@@ -1,0 +1,187 @@
+"""Combined CLIP model (Flax): vision tower + text tower + logit scale.
+
+Reference semantics: `/root/reference/clip/model.py:238-369`.  The
+pre-projection feature contract is first-class here:
+
+  * ``encode_image(params, images)``            -> pre-projection features
+  * ``encode_image(params, images, project=True)`` -> (pre, projected)
+  * ``encode_text(params, tokens)``             -> (pre, projected)
+
+Architectures are described by ``CLIPConfig`` and can be inferred from a
+torch checkpoint's tensor shapes (see ``config_from_state_dict_shapes``,
+mirroring the reference's ``build_model`` inference at ``:396-419``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .resnet import ModifiedResNet
+from .text import TextTransformer
+from .vit import VisionTransformer
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int
+    # vision
+    image_resolution: int
+    vision_layers: Union[Tuple[int, int, int, int], int]
+    vision_width: int
+    vision_patch_size: Optional[int]
+    # text
+    context_length: int
+    vocab_size: int
+    transformer_width: int
+    transformer_heads: int
+    transformer_layers: int
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
+
+    @property
+    def vision_preproj_dim(self) -> int:
+        """Width of the pre-projection image feature."""
+        return self.vision_width if self.is_vit else self.vision_width * 32
+
+
+# Named architectures of the OpenAI CLIP zoo (shape facts, public).
+CLIP_ARCHS: Dict[str, CLIPConfig] = {
+    "RN50": CLIPConfig(1024, 224, (3, 4, 6, 3), 64, None, 77, 49408, 512, 8, 12),
+    "RN101": CLIPConfig(512, 224, (3, 4, 23, 3), 64, None, 77, 49408, 512, 8, 12),
+    "ViT-B/32": CLIPConfig(512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
+    "ViT-B/16": CLIPConfig(512, 224, 12, 768, 16, 77, 49408, 512, 8, 12),
+    "ViT-L/14": CLIPConfig(768, 224, 24, 1024, 14, 77, 49408, 768, 12, 12),
+    "ViT-L/14@336px": CLIPConfig(768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
+}
+
+
+class CLIPModel(nn.Module):
+    config: CLIPConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        if cfg.is_vit:
+            self.visual = VisionTransformer(
+                input_resolution=cfg.image_resolution,
+                patch_size=cfg.vision_patch_size,
+                width=cfg.vision_width,
+                layers=cfg.vision_layers,
+                heads=cfg.vision_heads,
+                output_dim=cfg.embed_dim,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                remat=self.remat,
+            )
+        else:
+            self.visual = ModifiedResNet(
+                layers=tuple(cfg.vision_layers),
+                output_dim=cfg.embed_dim,
+                heads=cfg.vision_heads,
+                input_resolution=cfg.image_resolution,
+                width=cfg.vision_width,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+        self.text = TextTransformer(
+            context_length=cfg.context_length,
+            vocab_size=cfg.vocab_size,
+            width=cfg.transformer_width,
+            layers=cfg.transformer_layers,
+            heads=cfg.transformer_heads,
+            embed_dim=cfg.embed_dim,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            remat=self.remat,
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, math.log(1 / 0.07), jnp.float32),
+            (),
+        )
+
+    def encode_image(self, images: jax.Array, *, project: bool = False):
+        """images: [B, H, W, 3] NHWC, normalized. Pre-projection by default."""
+        return self.visual(images, project=project)
+
+    def encode_text(self, tokens: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """tokens: [B, context] int32 -> (pre_projection, projected)."""
+        return self.text(tokens)
+
+    def __call__(self, images: jax.Array, tokens: jax.Array):
+        """Contrastive logits (`/root/reference/clip/model.py:355-369`)."""
+        _, image_features = self.visual(images, project=True)
+        _, text_features = self.text(tokens)
+        image_features = image_features / jnp.linalg.norm(
+            image_features, axis=-1, keepdims=True)
+        text_features = text_features / jnp.linalg.norm(
+            text_features, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale).astype(image_features.dtype)
+        logits_per_image = scale * image_features @ text_features.T
+        return logits_per_image, logits_per_image.T
+
+
+def config_from_state_dict_shapes(shapes: Dict[str, Tuple[int, ...]]) -> CLIPConfig:
+    """Infer a CLIPConfig from a torch CLIP state dict's tensor shapes.
+
+    ``shapes`` maps torch parameter names to shapes; works for both ViT and
+    ModifiedResNet checkpoints (reference: ``build_model``,
+    `/root/reference/clip/model.py:396-419`).
+    """
+    is_vit = "visual.proj" in shapes
+
+    if is_vit:
+        vision_width = shapes["visual.conv1.weight"][0]
+        vision_layers = len({k.split(".")[3] for k in shapes
+                             if k.startswith("visual.transformer.resblocks.")})
+        vision_patch_size = shapes["visual.conv1.weight"][-1]
+        grid = round((shapes["visual.positional_embedding"][0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid
+    else:
+        counts = []
+        for stage in (1, 2, 3, 4):
+            prefix = f"visual.layer{stage}."
+            counts.append(len({k[len(prefix):].split(".")[0]
+                               for k in shapes if k.startswith(prefix)}))
+        vision_layers = tuple(counts)
+        vision_width = shapes["visual.layer1.0.conv1.weight"][0]
+        vision_patch_size = None
+        out_width = round((shapes["visual.attnpool.positional_embedding"][0] - 1) ** 0.5)
+        image_resolution = out_width * 32
+
+    embed_dim = shapes["text_projection"][1]
+    context_length = shapes["positional_embedding"][0]
+    vocab_size = shapes["token_embedding.weight"][0]
+    transformer_width = shapes["ln_final.weight"][0]
+    transformer_layers = len({k.split(".")[2] for k in shapes
+                              if k.startswith("transformer.resblocks.")})
+
+    return CLIPConfig(
+        embed_dim=int(embed_dim),
+        image_resolution=int(image_resolution),
+        vision_layers=(int(vision_layers) if is_vit
+                       else tuple(int(c) for c in vision_layers)),
+        vision_width=int(vision_width),
+        vision_patch_size=(int(vision_patch_size) if vision_patch_size else None),
+        context_length=int(context_length),
+        vocab_size=int(vocab_size),
+        transformer_width=int(transformer_width),
+        transformer_heads=int(transformer_width) // 64,
+        transformer_layers=int(transformer_layers),
+    )

@@ -1,0 +1,142 @@
+"""Shared Flax building blocks for the CLIP towers.
+
+Numerics contract (matching the reference semantics in
+`/root/reference/clip/model.py`):
+  * LayerNorm always computes in float32 and casts back (``:151-157``).
+  * QuickGELU is ``x * sigmoid(1.702 x)`` (``:160-162``).
+  * Attention uses a packed in-projection and a causal mask for the text
+    tower (``:323-329``).
+
+TPU notes: attention goes through ``jax.nn.dot_product_attention`` so XLA
+can fuse the softmax pipeline onto the MXU/VPU; matmul compute dtype is a
+module knob (bf16 on TPU) while LayerNorm stays fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32, output cast back to the input dtype."""
+
+    epsilon: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Packed-QKV multi-head self-attention (torch ``nn.MultiheadAttention``
+    layout: one ``in_proj`` of width 3W, one ``out_proj``)."""
+
+    num_heads: int
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [batch, seq, width]
+        width = x.shape[-1]
+        head_dim = width // self.num_heads
+        if head_dim * self.num_heads != width:
+            raise ValueError(f"width {width} not divisible by heads {self.num_heads}")
+
+        qkv = nn.Dense(3 * width, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t: jax.Array) -> jax.Array:
+            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+
+        # jax.nn.dot_product_attention handles scaling and causal masking and
+        # lowers to a fused kernel on TPU.
+        out = jax.nn.dot_product_attention(
+            heads(q), heads(k), heads(v), is_causal=self.causal)
+        out = out.reshape(*x.shape[:-1], width)
+        return nn.Dense(width, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    """Transformer MLP: c_fc -> QuickGELU -> c_proj (4x expansion)."""
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    expansion: int = 4
+    act: Callable[[jax.Array], jax.Array] = staticmethod(quick_gelu)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        width = x.shape[-1]
+        h = nn.Dense(self.expansion * width, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="c_fc")(x)
+        h = self.act(h)
+        return nn.Dense(width, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="c_proj")(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block: x + attn(ln1(x)); x + mlp(ln2(x))."""
+
+    num_heads: int
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x + MultiHeadAttention(
+            self.num_heads, causal=self.causal, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn")(
+                LayerNorm(param_dtype=self.param_dtype, name="ln_1")(x))
+        x = x + MLP(dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="mlp")(LayerNorm(param_dtype=self.param_dtype,
+                                          name="ln_2")(x))
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks."""
+
+    width: int
+    layers: int
+    heads: int
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            # trade FLOPs for HBM during fine-tuning of deep towers
+            block_cls = nn.remat(ResidualAttentionBlock)
+        for i in range(self.layers):
+            x = block_cls(self.heads, causal=self.causal, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name=f"resblocks_{i}")(x)
+        return x
