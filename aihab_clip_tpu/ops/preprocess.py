@@ -1,0 +1,317 @@
+"""On-device image preprocessing (pure JAX + Pallas fast paths).
+
+Replaces the reference's host-side torchvision-v2 transform stacks
+(`/root/reference/data/clip_transforms.py:26-56`,
+`/root/reference/clip/clip.py:74-81`, `/root/reference/data/data_utils.py:9-31`)
+with batched, jit-compiled device code:
+
+  * eval path  — deterministic: antialiased bicubic resize (shorter side) +
+    center crop + CLIP normalization; matches PIL/torchvision semantics
+    (jax.image.resize uses the same Keys a=-0.5 kernel with antialias
+    support scaling).
+  * train path — one *composed affine warp* per image instead of the
+    reference's sequential RandomResizedCrop -> flip -> rotate: the three
+    augmentations are affine maps, so they compose into a single 2x3 matrix
+    and the image is resampled exactly once (bicubic), which is both faster
+    (one gather pass) and higher quality (one resampling).  The random
+    parameter *distributions* match the reference flags: random_crop =
+    RandomResizedCrop(scale=(0.5, 1.0), ratio=(3/4, 4/3)), flip = p 0.5
+    horizontal, rotation = uniform(-30, 30) degrees with zero fill,
+    bottom_crop = bottom-aligned square crop.
+
+All functions take NHWC uint8 batches of a fixed size (static shapes for
+XLA) and return normalized float (bf16/f32) batches.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# CLIP visual normalization statistics
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def normalize(images: jax.Array, mean=CLIP_MEAN, std=CLIP_STD,
+              dtype=jnp.float32) -> jax.Array:
+    """[.., 3] pixels in 0..255 (uint8 or float) -> CLIP-normalized float."""
+    x = images.astype(jnp.float32) * (1.0 / 255.0)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def resize_bicubic(images: jax.Array, size: Tuple[int, int],
+                   antialias: bool = True) -> jax.Array:
+    """Batched antialiased bicubic resize to (H, W) (float32 output)."""
+    b, _, _, c = images.shape
+    x = images.astype(jnp.float32)
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bicubic",
+                            antialias=antialias)
+
+
+def center_crop(images: jax.Array, size: int) -> jax.Array:
+    h, w = images.shape[1:3]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return images[:, top:top + size, left:left + size, :]
+
+
+def bottom_square_crop(images: jax.Array, size: Optional[int] = None) -> jax.Array:
+    """Bottom-aligned, horizontally centered square crop
+    (reference `data/data_utils.py:9-31`)."""
+    h, w = images.shape[1:3]
+    side = min(h, w) if size is None else size
+    top = h - side
+    left = (w - side) // 2
+    return images[:, top:top + side, left:left + side, :]
+
+
+def eval_transform(images_u8: jax.Array, resolution: int,
+                   dtype=jnp.float32) -> jax.Array:
+    """Deterministic CLIP eval transform: resize(shorter side, bicubic AA)
+    -> center crop -> normalize."""
+    h, w = images_u8.shape[1:3]
+    scale = resolution / min(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    x = resize_bicubic(images_u8, (nh, nw))
+    x = center_crop(x, resolution)
+    return normalize(x, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Composed affine train augmentation
+# ---------------------------------------------------------------------------
+
+def _cubic_kernel(t: jax.Array, a: float = -0.5) -> jax.Array:
+    """Keys cubic convolution kernel (a=-0.5 = Catmull-Rom, PIL's BICUBIC)."""
+    at = jnp.abs(t)
+    at2, at3 = at * at, at * at * at
+    w1 = (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0
+    w2 = a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def _gather_pixels(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """img [H, W, C]; iy/ix [...] int32 -> pixels [..., C] with clamping."""
+    h, w = img.shape[:2]
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    flat = img.reshape(h * w, img.shape[2])
+    return flat[iy * w + ix]
+
+
+def _sample_bicubic(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample img [H, W, C] at float coords ys/xs [N] -> [N, C] (separable
+    4x4 cubic; edge-clamped)."""
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ty = ys - y0
+    tx = xs - x0
+
+    acc = 0.0
+    wsum = 0.0
+    for dy in range(-1, 3):
+        wy = _cubic_kernel(ty - dy)
+        for dx in range(-1, 3):
+            wx = _cubic_kernel(tx - dx)
+            wgt = (wy * wx)[:, None]
+            px = _gather_pixels(img, (y0 + dy).astype(jnp.int32),
+                                (x0 + dx).astype(jnp.int32))
+            acc = acc + wgt * px.astype(jnp.float32)
+            wsum = wsum + wgt
+    return acc / jnp.maximum(wsum, 1e-8)
+
+
+def _sample_bilinear(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ty = (ys - y0)[:, None]
+    tx = (xs - x0)[:, None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    p00 = _gather_pixels(img, y0i, x0i).astype(jnp.float32)
+    p01 = _gather_pixels(img, y0i, x0i + 1).astype(jnp.float32)
+    p10 = _gather_pixels(img, y0i + 1, x0i).astype(jnp.float32)
+    p11 = _gather_pixels(img, y0i + 1, x0i + 1).astype(jnp.float32)
+    top = p00 * (1 - tx) + p01 * tx
+    bot = p10 * (1 - tx) + p11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def affine_warp(
+    images: jax.Array,
+    matrices: jax.Array,
+    out_size: int,
+    method: str = "bicubic",
+    fill: float = 0.0,
+) -> jax.Array:
+    """Warp a batch with per-image affine maps (output coords -> input coords).
+
+    images: [B, H, W, C] (uint8 or float); matrices: [B, 2, 3] mapping
+    homogeneous output pixel coords (x, y, 1) to input (x_in, y_in).
+    Out-of-bounds samples get ``fill`` (torchvision rotate semantics).
+    """
+    b, h, w, c = images.shape
+    ys, xs = jnp.meshgrid(jnp.arange(out_size, dtype=jnp.float32),
+                          jnp.arange(out_size, dtype=jnp.float32),
+                          indexing="ij")
+    ones = jnp.ones_like(xs)
+    # pixel centers at +0.5 (continuous image coordinates)
+    coords = jnp.stack([xs.ravel() + 0.5, ys.ravel() + 0.5, ones.ravel()], 0)  # [3, N]
+
+    def warp_one(img, mat):
+        src = mat @ coords  # [2, N] -> x_in, y_in (continuous, center-based)
+        sx = src[0] - 0.5
+        sy = src[1] - 0.5
+        sample = _sample_bicubic if method == "bicubic" else _sample_bilinear
+        out = sample(img, sy, sx)  # [N, C]
+        inside = ((src[0] >= 0.0) & (src[0] <= w) &
+                  (src[1] >= 0.0) & (src[1] <= h))[:, None]
+        out = jnp.where(inside, out, fill)
+        return out.reshape(out_size, out_size, c)
+
+    return jax.vmap(warp_one)(images, matrices)
+
+
+def _crop_matrix(top, left, ch, cw, out_size: int):
+    """Affine map from output pixel coords to a crop box (resize semantics)."""
+    sx = cw / out_size
+    sy = ch / out_size
+    zeros = jnp.zeros_like(sx)
+    return jnp.stack([
+        jnp.stack([sx, zeros, left], -1),
+        jnp.stack([zeros, sy, top], -1),
+    ], -2)  # [..., 2, 3]
+
+
+def _rotation_matrix(theta, out_size: int):
+    """Rotate about the output center (in output pixel coords)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    cx = out_size / 2.0
+    # x' = c*(x-cx) - s*(y-cx) + cx ; y' = s*(x-cx) + c*(y-cx) + cx
+    tx = cx - c * cx + s * cx
+    ty = cx - s * cx - c * cx
+    return jnp.stack([
+        jnp.stack([c, -s, tx], -1),
+        jnp.stack([s, c, ty], -1),
+    ], -2)
+
+
+def _compose(a, b):
+    """Compose 2x3 affines: result(x) = a(b(x))."""
+    a3 = jnp.concatenate([a, jnp.broadcast_to(
+        jnp.asarray([[0.0, 0.0, 1.0]]), a.shape[:-2] + (1, 3))], -2)
+    b3 = jnp.concatenate([b, jnp.broadcast_to(
+        jnp.asarray([[0.0, 0.0, 1.0]]), b.shape[:-2] + (1, 3))], -2)
+    return (a3 @ b3)[..., :2, :]
+
+
+def _random_resized_crop_params(key, h: int, w: int,
+                                scale=(0.5, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """Sample a crop box following torchvision RandomResizedCrop: 10 attempts
+    of (area, log-ratio) sampling vectorized via masked first-success, with
+    the center-crop fallback."""
+    k_area, k_ratio, k_top, k_left = jax.random.split(key, 4)
+    n = 10
+    area = h * w
+    target_area = jax.random.uniform(k_area, (n,), minval=scale[0],
+                                     maxval=scale[1]) * area
+    log_ratio = jax.random.uniform(
+        k_ratio, (n,), minval=math.log(ratio[0]), maxval=math.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    cw = jnp.round(jnp.sqrt(target_area * aspect))
+    ch = jnp.round(jnp.sqrt(target_area / aspect))
+    ok = (cw > 0) & (cw <= w) & (ch > 0) & (ch <= h)
+    # first successful attempt (or fallback center crop)
+    idx = jnp.argmax(ok)
+    any_ok = jnp.any(ok)
+    cw_s, ch_s = cw[idx], ch[idx]
+    u_top = jax.random.uniform(k_top)
+    u_left = jax.random.uniform(k_left)
+    top = jnp.floor(u_top * (h - ch_s + 1))
+    left = jnp.floor(u_left * (w - cw_s + 1))
+
+    # fallback: largest center crop respecting the ratio bounds
+    in_ratio = w / h
+    fb_w = jnp.where(in_ratio < ratio[0], w, jnp.where(in_ratio > ratio[1],
+                                                       jnp.round(h * ratio[1]), w))
+    fb_h = jnp.where(in_ratio < ratio[0], jnp.round(w / ratio[0]),
+                     jnp.where(in_ratio > ratio[1], h, h))
+    fb_top = jnp.round((h - fb_h) / 2.0)
+    fb_left = jnp.round((w - fb_w) / 2.0)
+
+    top = jnp.where(any_ok, top, fb_top)
+    left = jnp.where(any_ok, left, fb_left)
+    ch_s = jnp.where(any_ok, ch_s, fb_h)
+    cw_s = jnp.where(any_ok, cw_s, fb_w)
+    return top, left, ch_s, cw_s
+
+
+@partial(jax.jit, static_argnames=("resolution", "crop_mode", "flip",
+                                  "rotation", "dtype", "method"))
+def train_transform(
+    images_u8: jax.Array,
+    key: jax.Array,
+    resolution: int,
+    crop_mode: str = "random",   # "random" | "bottom" | "center"
+    flip: bool = False,
+    rotation: bool = False,
+    dtype=jnp.float32,
+    method: str = "bicubic",
+) -> jax.Array:
+    """Batched random augmentation: one fused affine warp + normalize.
+
+    images_u8: [B, H, W, 3] uint8. key: one PRNG key for the batch (split
+    per-image internally)."""
+    b, h, w, _ = images_u8.shape
+    keys = jax.random.split(key, b)
+
+    def per_image_matrix(k):
+        k_crop, k_flip, k_rot = jax.random.split(k, 3)
+        if crop_mode == "random":
+            top, left, ch, cw = _random_resized_crop_params(k_crop, h, w)
+        elif crop_mode == "bottom":
+            # BottomSquareCrop(resolution): exact crop of the output size,
+            # bottom-aligned and horizontally centered (no resampling)
+            side = float(min(h, w, resolution))
+            top = jnp.asarray(float(h) - side)
+            left = jnp.asarray((w - side) // 2.0)
+            ch = jnp.asarray(side)
+            cw = jnp.asarray(side)
+        else:  # center
+            side = float(min(h, w))
+            top = jnp.asarray((h - side) / 2.0)
+            left = jnp.asarray((w - side) / 2.0)
+            ch = jnp.asarray(side)
+            cw = jnp.asarray(side)
+        mat = _crop_matrix(top, left, ch, cw, resolution)
+
+        if flip:
+            do = jax.random.bernoulli(k_flip)
+            flip_mat = jnp.asarray([[-1.0, 0.0, float(resolution)],
+                                    [0.0, 1.0, 0.0]])
+            ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+            mat = _compose(mat, jnp.where(do, flip_mat, ident))
+
+        if rotation:
+            theta = jax.random.uniform(k_rot, minval=-30.0, maxval=30.0)
+            mat = _compose(mat, _rotation_matrix(jnp.deg2rad(theta), resolution))
+        return mat
+
+    mats = jax.vmap(per_image_matrix)(keys)
+    warped = affine_warp(images_u8, mats, resolution, method=method)
+    warped = jnp.clip(warped, 0.0, 255.0)
+    return normalize(warped, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("resolution", "dtype"))
+def eval_transform_jit(images_u8: jax.Array, resolution: int,
+                       dtype=jnp.float32) -> jax.Array:
+    return eval_transform(images_u8, resolution, dtype=dtype)

@@ -1,0 +1,140 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from aihab_clip_tpu.ops.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
+    affine_warp,
+    bottom_square_crop,
+    center_crop,
+    eval_transform,
+    normalize,
+    train_transform,
+)
+
+
+def _rand_u8(rng, b=2, h=96, w=96):
+    return rng.integers(0, 256, size=(b, h, w, 3), dtype=np.uint8)
+
+
+def test_normalize_values(rng):
+    img = _rand_u8(rng, b=1, h=4, w=4)
+    out = np.asarray(normalize(jnp.asarray(img)))
+    expected = (img.astype(np.float32) / 255.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_eval_transform_matches_pil(rng):
+    """Deterministic eval path vs PIL: resize(shorter side, BICUBIC) +
+    center crop. This is the parity-critical test transform."""
+    img = _rand_u8(rng, b=1, h=96, w=96)[0]
+    res = 64
+
+    pil = Image.fromarray(img).resize((res, res), Image.BICUBIC)
+    pil_arr = np.asarray(pil).astype(np.float32)
+
+    ours = np.asarray(eval_transform(jnp.asarray(img[None]), res))[0]
+    # un-normalize for comparison in pixel units
+    ours_px = (ours * np.array(CLIP_STD) + np.array(CLIP_MEAN)) * 255.0
+
+    err = np.abs(ours_px - pil_arr)
+    assert err.mean() < 1.0      # average sub-LSB agreement
+    assert np.percentile(err, 99) < 4.0
+
+
+def test_eval_transform_non_square(rng):
+    img = _rand_u8(rng, b=2, h=80, w=120)
+    out = np.asarray(eval_transform(jnp.asarray(img), 64))
+    assert out.shape == (2, 64, 64, 3)
+
+
+def test_center_and_bottom_crop(rng):
+    img = _rand_u8(rng, b=1, h=96, w=96)
+    c = np.asarray(center_crop(jnp.asarray(img), 64))
+    np.testing.assert_array_equal(c[0], img[0, 16:80, 16:80])
+    bq = np.asarray(bottom_square_crop(jnp.asarray(img), 64))
+    np.testing.assert_array_equal(bq[0], img[0, 32:, 16:80])
+
+
+def test_affine_warp_identity(rng):
+    img = _rand_u8(rng, b=1, h=32, w=32)
+    ident = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+    out = np.asarray(affine_warp(jnp.asarray(img), ident, 32))
+    np.testing.assert_allclose(out[0], img[0].astype(np.float32), atol=1e-3)
+
+
+def test_affine_warp_scale_matches_crop(rng):
+    """Warp with a pure crop matrix == slicing (integer crop, unit scale)."""
+    img = _rand_u8(rng, b=1, h=64, w=64)
+    # crop box (top=8, left=16, 32x32) at output size 32 -> scale 1
+    mat = jnp.asarray([[[1.0, 0.0, 16.0], [0.0, 1.0, 8.0]]])
+    out = np.asarray(affine_warp(jnp.asarray(img), mat, 32))
+    np.testing.assert_allclose(out[0], img[0, 8:40, 16:48].astype(np.float32),
+                               atol=1e-3)
+
+
+def test_train_transform_shapes_and_range(rng):
+    img = _rand_u8(rng, b=4, h=96, w=96)
+    key = jax.random.key(0)
+    out = np.asarray(train_transform(jnp.asarray(img), key, 64,
+                                     crop_mode="random", flip=True,
+                                     rotation=True))
+    assert out.shape == (4, 64, 64, 3)
+    # normalized range sanity: pixel values in [0,255] map within a few stds
+    assert np.isfinite(out).all()
+    assert out.min() > -3.0 and out.max() < 3.0
+
+
+def test_train_transform_deterministic_per_key(rng):
+    img = jnp.asarray(_rand_u8(rng, b=2, h=96, w=96))
+    key = jax.random.key(7)
+    a = np.asarray(train_transform(img, key, 64, crop_mode="random"))
+    b = np.asarray(train_transform(img, key, 64, crop_mode="random"))
+    c = np.asarray(train_transform(img, jax.random.key(8), 64, crop_mode="random"))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-3  # different key -> different crops
+
+
+def test_train_transform_center_mode_matches_eval_shape(rng):
+    img = jnp.asarray(_rand_u8(rng, b=2, h=96, w=96))
+    out = np.asarray(train_transform(img, jax.random.key(0), 64,
+                                     crop_mode="center"))
+    assert out.shape == (2, 64, 64, 3)
+
+
+def test_flip_distribution(rng):
+    """With flip=True roughly half the images are mirrored."""
+    img = np.zeros((64, 32, 32, 3), np.uint8)
+    img[:, :, :16, :] = 255  # left half white
+    out = np.asarray(train_transform(jnp.asarray(img), jax.random.key(3), 32,
+                                     crop_mode="center", flip=True))
+    # decide flipped-ness by comparing left/right mean brightness
+    left = out[:, :, :16, :].mean(axis=(1, 2, 3))
+    right = out[:, :, 16:, :].mean(axis=(1, 2, 3))
+    flipped = (right > left).sum()
+    assert 10 < flipped < 54
+
+
+def test_rotation_fills_corners_with_zero(rng):
+    img = np.full((8, 64, 64, 3), 255, np.uint8)
+    out = np.asarray(train_transform(jnp.asarray(img), jax.random.key(1), 64,
+                                     crop_mode="center", rotation=True))
+    # un-normalize; rotated corners must contain zero-filled pixels for
+    # at least some images (uniform(-30,30) is rarely ~0 for all 8)
+    px = (out * np.array(CLIP_STD) + np.array(CLIP_MEAN)) * 255.0
+    corner_min = px[:, 0, 0, :].min()
+    assert corner_min < 50.0
+
+
+def test_random_crop_zoom_in_only(rng):
+    """RandomResizedCrop(scale<=1) never samples outside the image: output
+    of a constant image stays constant."""
+    img = np.full((4, 96, 96, 3), 128, np.uint8)
+    out = np.asarray(train_transform(jnp.asarray(img), jax.random.key(5), 64,
+                                     crop_mode="random"))
+    px = (out * np.array(CLIP_STD) + np.array(CLIP_MEAN)) * 255.0
+    np.testing.assert_allclose(px, 128.0, atol=1.0)
