@@ -11,6 +11,13 @@ from .convert import (
     torch_state_dict_to_params,
 )
 from .layers import LayerNorm, quick_gelu
+from .text_head import (
+    build_text_head,
+    classifier_logits,
+    compute_text_weights,
+    l2_normalize,
+)
+from .zoo import CLIPBundle, available_models, load
 from .resnet import ModifiedResNet
 from .text import TextTransformer
 from .vit import VisionTransformer

@@ -1,0 +1,194 @@
+"""Model zoo: named checkpoints, download with sha256 verification, torch ->
+npz conversion cache, and random-init dev models.
+
+Replaces the reference loader (`/root/reference/clip/clip.py:29-189`) with a
+conversion-once design: the first load of a torch ``.pt`` converts to a flax
+``.npz`` cache; every later load is torch-free.
+
+Resolution order for ``load(name)``:
+  1. converted ``.npz`` cache under ``<cache_dir>/converted/``
+  2. a local filesystem path to a torch checkpoint
+  3. a known zoo name -> download (sha256-verified) -> convert
+  4. ``random:<ARCH>`` (e.g. ``random:ViT-B/32``) -> randomly initialized
+     params for development/tests (optionally shrunk with ``random_cfg``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import urllib.request
+import warnings
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clip import CLIP_ARCHS, CLIPConfig, CLIPModel
+from .convert import (
+    cast_params,
+    load_params_npz,
+    save_params_npz,
+    torch_state_dict_to_params,
+)
+
+# Official OpenAI CLIP release artifacts (public URLs; the path component
+# embeds the artifact's sha256 which we verify after download).
+_ZOO_URLS: Dict[str, str] = {
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "RN50x4": "https://openaipublic.azureedge.net/clip/models/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+    "ViT-L/14": "https://openaipublic.azureedge.net/clip/models/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
+    "ViT-L/14@336px": "https://openaipublic.azureedge.net/clip/models/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
+}
+
+
+def available_models():
+    return list(_ZOO_URLS)
+
+
+def default_cache_root() -> Path:
+    return Path(os.path.expanduser("~/.cache/aihab_clip_tpu"))
+
+
+@dataclasses.dataclass
+class CLIPBundle:
+    name: str
+    config: CLIPConfig
+    model: CLIPModel
+    params: Dict[str, Any]
+    source: str  # 'npz-cache' | 'torch' | 'download' | 'random'
+
+    @property
+    def input_resolution(self) -> int:
+        return self.config.image_resolution
+
+
+def _sha256(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def download_checkpoint(name: str, root: Path) -> Path:
+    url = _ZOO_URLS[name]
+    expected_sha = url.split("/")[-2]
+    root.mkdir(parents=True, exist_ok=True)
+    target = root / os.path.basename(url)
+    if target.is_file():
+        if _sha256(target) == expected_sha:
+            return target
+        warnings.warn(f"{target} exists with bad sha256; re-downloading")
+    urllib.request.urlretrieve(url, target)
+    if _sha256(target) != expected_sha:
+        raise RuntimeError(
+            f"Downloaded {name} checkpoint has mismatched sha256")
+    return target
+
+
+def _convert_torch_checkpoint(path: Path):
+    """Load a torch CLIP checkpoint (JIT archive or plain state dict) and
+    convert to (config, flax params). Torch is only needed on this path."""
+    import torch
+
+    try:
+        jit_model = torch.jit.load(str(path), map_location="cpu")
+        state_dict = jit_model.state_dict()
+    except RuntimeError:
+        obj = torch.load(str(path), map_location="cpu", weights_only=False)
+        state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        state_dict = state_dict.get("state_dict", state_dict)
+    return torch_state_dict_to_params(state_dict)
+
+
+def _npz_cache_path(key: str, cache_root: Path) -> Path:
+    safe = key.replace("/", "-").replace(":", "_").replace("@", "_")
+    return cache_root / "converted" / f"{safe}.npz"
+
+
+def _config_cache_path(key: str, cache_root: Path) -> Path:
+    return _npz_cache_path(key, cache_root).with_suffix(".config.json")
+
+
+def _save_config(path: Path, cfg: CLIPConfig) -> None:
+    import json
+
+    d = dataclasses.asdict(cfg)
+    path.write_text(json.dumps(d))
+
+
+def _load_config(path: Path) -> CLIPConfig:
+    import json
+
+    d = json.loads(path.read_text())
+    if isinstance(d["vision_layers"], list):
+        d["vision_layers"] = tuple(d["vision_layers"])
+    return CLIPConfig(**d)
+
+
+def load(
+    name: str,
+    dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
+    cache_dir: Optional[str] = None,
+    download: bool = True,
+    random_cfg: Optional[CLIPConfig] = None,
+    remat: bool = False,
+    seed: int = 0,
+) -> CLIPBundle:
+    cache_root = Path(cache_dir) if cache_dir else default_cache_root()
+
+    # 4) random-init dev model
+    if name.startswith("random:"):
+        arch = name.split(":", 1)[1]
+        cfg = random_cfg or CLIP_ARCHS[arch]
+        model = CLIPModel(cfg, dtype=dtype, param_dtype=param_dtype, remat=remat)
+        variables = model.init(
+            jax.random.key(seed),
+            jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32),
+        )
+        return CLIPBundle(name=name, config=cfg, model=model,
+                          params=variables["params"], source="random")
+
+    # 1) converted npz cache
+    npz = _npz_cache_path(name, cache_root)
+    cfg_path = _config_cache_path(name, cache_root)
+    if npz.is_file() and cfg_path.is_file():
+        cfg = _load_config(cfg_path)
+        params = load_params_npz(npz)
+        params = cast_params(params, param_dtype)
+        model = CLIPModel(cfg, dtype=dtype, param_dtype=param_dtype, remat=remat)
+        return CLIPBundle(name=name, config=cfg, model=model, params=params,
+                          source="npz-cache")
+
+    # 2) local torch checkpoint path / 3) zoo download
+    source = "torch"
+    if os.path.isfile(name):
+        ckpt = Path(name)
+    elif name in _ZOO_URLS:
+        if not download:
+            raise FileNotFoundError(
+                f"No cached conversion for '{name}' and download=False")
+        ckpt = download_checkpoint(name, cache_root / "checkpoints")
+        source = "download"
+    else:
+        raise FileNotFoundError(
+            f"Model '{name}' is neither a file, a zoo name "
+            f"({available_models()}), nor 'random:<ARCH>'")
+
+    cfg, params = _convert_torch_checkpoint(ckpt)
+    npz.parent.mkdir(parents=True, exist_ok=True)
+    save_params_npz(npz, params)
+    _save_config(cfg_path, cfg)
+    params = cast_params(params, param_dtype)
+    model = CLIPModel(cfg, dtype=dtype, param_dtype=param_dtype, remat=remat)
+    return CLIPBundle(name=name, config=cfg, model=model, params=params,
+                      source=source)

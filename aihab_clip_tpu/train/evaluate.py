@@ -1,0 +1,116 @@
+"""Evaluation loop: zero-shot classification and fine-tune validation.
+
+The device side is ONE jitted step — preprocess (eval transform), image
+encode, logits, metric-state update — carried as a pytree across batches;
+only the final small metric dict crosses back to the host.  This replaces
+the reference's per-batch host syncs (`_run_validation`,
+`/root/reference/methods/PEFT_openclip.py:50-136`, which moves preds/targets
+to CPU every batch for torcheval/sklearn).
+
+Returns the reference's metric contract: loss, top1, top3, weighted F1,
+MCC, optional confusion matrix, optional L2 roll-up metrics, optional
+per-sample classification tracking rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import SplitView
+from ..ops import metrics as M
+from ..ops.preprocess import eval_transform
+from .tracker import ClassificationTracker
+
+
+def make_eval_step(model, resolution: int, num_classes: int,
+                   compute_dtype=jnp.float32, ks=(1, 3), project: bool = True):
+    """Build the jitted (params, text_weights, batch, state) -> state step."""
+
+    @jax.jit
+    def step(params, text_weights, images_u8, targets, valid, state):
+        x = eval_transform(images_u8, resolution, dtype=compute_dtype)
+        if project:
+            _, feats = model.apply({"params": params}, x,
+                                   method=type(model).encode_image,
+                                   project=True)
+        else:
+            feats = model.apply({"params": params}, x,
+                                method=type(model).encode_image)
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        logits = 100.0 * feats @ text_weights
+
+        # masked mean CE (padding rows excluded)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+
+        state = M.update_metric_state(state, logits, targets, loss=loss,
+                                      ks=ks, valid_mask=valid)
+        return state, logits
+
+    return step
+
+
+def evaluate(
+    model,
+    params,
+    view: SplitView,
+    text_weights: jax.Array,
+    resolution: int,
+    num_classes: int,
+    compute_dtype=jnp.float32,
+    return_confusion_matrix: bool = False,
+    l2_eval_ctx: Optional[Dict] = None,
+    tracker: Optional[ClassificationTracker] = None,
+    project: bool = True,
+    eval_step=None,
+) -> Dict[str, Any]:
+    """Evaluate a split. Returns
+    {loss, top1, top3, f1, mcc, cm (opt), l2 (opt)}."""
+    step = eval_step or make_eval_step(
+        model, resolution, num_classes, compute_dtype, project=project)
+    state = M.init_metric_state(num_classes)
+
+    l2_acc = None
+    if l2_eval_ctx is not None:
+        l2_acc = M.L2MetricsAccumulator(
+            l3_to_l2=l2_eval_ctx["l3_to_l2"],
+            num_l2=l2_eval_ctx["num_l2"],
+            reduce=l2_eval_ctx.get("reduce", "mean"),
+            topk=l2_eval_ctx.get("topk", (1, 3)),
+            mode=l2_eval_ctx.get("mode", "argmax"),
+            return_confusion_matrix=l2_eval_ctx.get(
+                "return_confusion_matrix", False),
+        )
+
+    for batch in view.batches():
+        state, logits = step(params, text_weights,
+                             jnp.asarray(batch.images),
+                             jnp.asarray(batch.labels),
+                             jnp.asarray(batch.valid), state)
+        if l2_acc is not None:
+            l2_acc.update(logits, jnp.asarray(batch.labels),
+                          valid_mask=jnp.asarray(batch.valid))
+        if tracker is not None:
+            tracker.track_batch(np.asarray(logits), batch.labels, batch.valid,
+                                view.metadata_rows(batch.indices))
+
+    m = M.compute_metrics(state)
+    out: Dict[str, Any] = {
+        "loss": float(m["loss"]),
+        "top1": float(m["top1"]),
+        "top3": float(m["top3"]),
+        "f1": float(m["f1"]),
+        "mcc": float(m["mcc"]),
+        "cm": np.asarray(m["cm"]) if return_confusion_matrix else None,
+        "l2": l2_acc.compute() if l2_acc is not None else None,
+    }
+    return out
