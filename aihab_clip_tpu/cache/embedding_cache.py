@@ -1,0 +1,143 @@
+"""Post-projection embedding cache (for visualization / outlier tools).
+
+Layout contract mirrors the reference
+(`/root/reference/aihab_utils/feature_cache.py:53-186`):
+
+    <cache_embeddings_dir>/<backbone>_<dataset>/<split>/seed<seed>/
+        embeddings.npy   [N, dim] fp32 (optionally L2-normalized)
+        labels.npy       [N] int32
+        metadata.csv     file_name, ground-truth L3 num/word label, L2 label
+        meta.json        timestamp, split, dims, normalization, checkpoint
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .feature_cache import canonical_backbone_name
+
+METADATA_COLUMNS = [
+    "file_name",
+    "ground_truth_num_label",
+    "ground_truth_word_label",
+    "ground_truth_L2_num_label",
+]
+
+
+def embedding_cache_dir(cfg, split: str) -> Path:
+    root = Path(cfg.get("root_path", "./"))
+    ft_cfg = cfg.get("finetune", {})
+    out_root = Path(ft_cfg.get("cache_embeddings_dir", "feat_cache_vis"))
+    if not out_root.is_absolute():
+        out_root = root / out_root
+
+    backend = str(cfg.get("clip_backend", "openai")).lower()
+    if backend == "openclip":
+        backbone_raw = cfg.get("open_clip_model", cfg.get("backbone", "RN50"))
+    else:
+        backbone_raw = cfg.get("backbone", "RN50")
+    backbone = canonical_backbone_name(backbone_raw)
+    dataset = cfg.get("dataset", "cs")
+    seed = int(cfg.get("seed", 1) or 1)
+    return out_root / f"{backbone}_{dataset}" / str(split).lower() / f"seed{seed}"
+
+
+def cache_embeddings(
+    cfg,
+    model,
+    params,
+    view,
+    resolution: int,
+    split: str = "test",
+    checkpoint_path: Optional[str] = None,
+    compute_dtype=jnp.float32,
+) -> Path:
+    """Encode a split with the (fine-tuned) model and persist embeddings +
+    labels + metadata."""
+    import pandas as pd
+
+    from ..ops.preprocess import eval_transform
+
+    ft_cfg = cfg.get("finetune", {})
+    do_normalize = bool(ft_cfg.get("cache_embeddings_normalize", True))
+    cache_dir = embedding_cache_dir(cfg, split)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def encode(images_u8):
+        x = eval_transform(images_u8, resolution, dtype=compute_dtype)
+        _, post = model.apply({"params": params}, x,
+                              method=type(model).encode_image, project=True)
+        post = post.astype(jnp.float32)
+        if do_normalize:
+            post = post / jnp.maximum(
+                jnp.linalg.norm(post, axis=-1, keepdims=True), 1e-12)
+        return post
+
+    feats, labels, rows = [], [], []
+    for batch in view.batches():
+        emb = np.asarray(encode(jnp.asarray(batch.images)))[batch.valid]
+        feats.append(emb)
+        labels.append(batch.labels[batch.valid])
+        for meta, lbl in zip(view.metadata_rows(batch.indices),
+                             batch.labels[batch.valid]):
+            rows.append({
+                "file_name": meta.get("file_name", ""),
+                "ground_truth_num_label": int(lbl),
+                "ground_truth_word_label": meta.get("plot_word_label", ""),
+                "ground_truth_L2_num_label": meta.get("l2_label", -1),
+            })
+
+    feats_all = np.concatenate(feats, 0).astype(np.float32)
+    labels_all = np.concatenate(labels, 0).astype(np.int32)
+
+    np.save(cache_dir / "embeddings.npy", feats_all)
+    np.save(cache_dir / "labels.npy", labels_all)
+    pd.DataFrame(rows).reindex(columns=METADATA_COLUMNS).to_csv(
+        cache_dir / "metadata.csv", index=False)
+
+    info = {
+        "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+        "split": str(split),
+        "normalized": do_normalize,
+        "num_samples": int(feats_all.shape[0]),
+        "dim": int(feats_all.shape[1]),
+        "checkpoint_path": str(checkpoint_path) if checkpoint_path else None,
+        "cache_dir": str(cache_dir),
+    }
+    (cache_dir / "meta.json").write_text(json.dumps(info, indent=2))
+
+    print("\n==== Embedding Cache ====")
+    print({k: info[k] for k in ("cache_dir", "num_samples", "dim", "normalized")})
+    return cache_dir
+
+
+def load_embedding_cache(cache_dir: Path) -> Dict:
+    """Strict load with row/label cross-checks (the contract the outlier
+    tools rely on; reference `/root/reference/tools/outlier_cleaning.py:128-173`)."""
+    import pandas as pd
+
+    cache_dir = Path(cache_dir)
+    emb = np.load(cache_dir / "embeddings.npy")
+    labels = np.load(cache_dir / "labels.npy")
+    meta = pd.read_csv(cache_dir / "metadata.csv")
+    info = json.loads((cache_dir / "meta.json").read_text())
+
+    if emb.shape[0] != labels.shape[0]:
+        raise ValueError(
+            f"embeddings rows ({emb.shape[0]}) != labels rows ({labels.shape[0]})")
+    if len(meta) != emb.shape[0]:
+        raise ValueError(
+            f"metadata rows ({len(meta)}) != embeddings rows ({emb.shape[0]})")
+    if "ground_truth_num_label" in meta.columns:
+        if not np.array_equal(meta["ground_truth_num_label"].to_numpy(), labels):
+            raise ValueError("metadata labels disagree with labels.npy")
+    return {"embeddings": emb, "labels": labels, "metadata": meta, "info": info}

@@ -1,0 +1,204 @@
+"""Pre-projection feature cache.
+
+Same cache layout contract as the reference
+(`/root/reference/aihab_utils/feature_cache.py:15-43,189-261`):
+
+    <root>/features_<backbone>_<dataset>/<shots>_shot/seed<seed>/
+        f{v}.npy      per-view pre-projection features   [N, pre_dim] fp16
+        label.npy     labels (written once)              [N] int32
+        manifest.json shapes / dtype / backbone / views
+
+but with raw ``.npy`` artifacts (memory-mappable, no pickle) instead of
+``torch.save`` — reads are a single mmap + optional device put, which is
+what the feature-cache GB/s north-star measures.  Each view ``v`` is one
+augmentation pass of the train split (device-side augmentation keyed by
+``fold_in(seed, view)``), reproducing the reference's "selection once per
+seed, variation via aug_views" model with explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def canonical_backbone_name(backbone: str) -> str:
+    """Canonicalize backbone names for cache folder naming (same scheme as
+    the reference so cache trees are interchangeable)."""
+    if not backbone:
+        return "unknown"
+    if backbone == "ViT-B/16":
+        return "ViTB16"
+    if backbone == "ViT-B/32":
+        return "ViTB32"
+    name = backbone.replace("hf-hub:", "hf-hub_")
+    return name.replace("/", "_").replace(" ", "_").replace(":", "_")
+
+
+def feature_cache_dir(cfg) -> Path:
+    root = Path(cfg.get("root_path", "./"))
+    backend = str(cfg.get("clip_backend", "openai")).lower()
+    if backend == "openclip":
+        backbone_raw = cfg.get("open_clip_model", cfg.get("backbone", "RN50"))
+    else:
+        backbone_raw = cfg.get("backbone", "RN50")
+    backbone = canonical_backbone_name(backbone_raw)
+    dataset = cfg.get("dataset", "cs")
+    shots = int(cfg.get("shots", 0) or 0)
+    seed = int(cfg.get("seed", 1) or 1)
+    return root / f"features_{backbone}_{dataset}" / f"{shots}_shot" / f"seed{seed}"
+
+
+def feature_cache_exists(cache_dir: Path, aug_views: int) -> bool:
+    if not (Path(cache_dir) / "label.npy").is_file():
+        return False
+    return all((Path(cache_dir) / f"f{v}.npy").is_file()
+               for v in range(aug_views))
+
+
+def write_preprojection_cache(
+    cache_dir: Path,
+    encode_view: Callable[[int], Tuple[np.ndarray, np.ndarray]],
+    aug_views: int,
+    expected_n: Optional[int] = None,
+    feature_dtype=np.float16,
+) -> Dict:
+    """Write the cache: ``encode_view(v)`` returns (features [N, D] np,
+    labels [N] np) for augmentation view ``v``.
+
+    Performs the reference's write-then-reload validation (shape check,
+    row/label agreement, expected-count check) and records everything in
+    ``manifest.json``."""
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+
+    manifest: Dict = {"views": [], "aug_views": aug_views}
+    t0 = time.perf_counter()
+    total_bytes = 0
+    labels_ref: Optional[np.ndarray] = None
+
+    for v in range(aug_views):
+        feats, labels = encode_view(v)
+        feats = np.asarray(feats, dtype=feature_dtype)
+        labels = np.asarray(labels, dtype=np.int32)
+
+        fpath = cache_dir / f"f{v}.npy"
+        np.save(fpath, feats)
+        total_bytes += feats.nbytes
+
+        if v == 0:
+            labels_ref = labels
+            np.save(cache_dir / "label.npy", labels)
+            total_bytes += labels.nbytes
+            print(f"[cache] labels -> {cache_dir / 'label.npy'} "
+                  f"shape={labels.shape} unique={len(np.unique(labels))}")
+
+        # write-then-reload validation
+        loaded = np.load(fpath, mmap_mode="r")
+        ok_shape = loaded.shape == feats.shape
+        ok_count = feats.shape[0] == labels_ref.shape[0]
+        ok_expected = expected_n is None or feats.shape[0] == expected_n
+        print(f"[cache] view {v} -> {fpath} shape={feats.shape} "
+              f"dtype={feats.dtype} reload_ok={ok_shape} "
+              f"rows_match_labels={ok_count} rows_match_expected={ok_expected}")
+        if not (ok_shape and ok_count):
+            raise RuntimeError(f"Feature cache validation failed for view {v}")
+
+        manifest["views"].append({
+            "file": fpath.name, "shape": list(feats.shape),
+            "dtype": str(feats.dtype),
+        })
+
+    dt = time.perf_counter() - t0
+    manifest.update({
+        "n": int(labels_ref.shape[0]),
+        "dim": int(manifest["views"][0]["shape"][1]),
+        "write_seconds": dt,
+        "write_gbps": total_bytes / max(dt, 1e-9) / 1e9,
+    })
+    (cache_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    print("\nFeature caching complete.")
+    return manifest
+
+
+def read_preprojection_cache(
+    cache_dir: Path,
+    aug_views: int,
+    max_label: Optional[int] = None,
+    mmap: bool = True,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Load cached views + labels.  ``max_label`` filters rows whose label
+    exceeds the class count (reference `/root/reference/methods/ProLIP.py:105-113`)."""
+    cache_dir = Path(cache_dir)
+    labels = np.load(cache_dir / "label.npy")
+    keep = (np.where(labels < max_label)[0] if max_label is not None
+            else np.arange(len(labels)))
+    labels = labels[keep]
+    views = []
+    for v in range(aug_views):
+        arr = np.load(cache_dir / f"f{v}.npy",
+                      mmap_mode="r" if mmap else None)
+        views.append(np.asarray(arr[keep]))
+    return views, labels
+
+
+def cache_features_from_loader(
+    cfg,
+    model,
+    params,
+    train_view,
+    resolution: int,
+    info: Dict,
+    compute_dtype=jnp.bfloat16,
+) -> Dict:
+    """End-to-end cache writer: run the train split through the frozen
+    encoder once per augmentation view (device-side train augmentation,
+    per-view PRNG key) and stream pre-projection features to the cache.
+
+    Reference flow: `/root/reference/aihab_utils/feature_cache.py:189-251`.
+    """
+    from ..ops.preprocess import train_transform
+
+    cache_dir = feature_cache_dir(cfg)
+    aug_views = int(cfg.get("aug_views", 1) or 1)
+    seed = int(cfg.get("seed", 1) or 1)
+    aug = cfg["data"]["preprocessing"].get("augmentations", {})
+    crop_mode = ("bottom" if aug.get("bottom_crop", False)
+                 else "random" if aug.get("random_crop", False) else "center")
+
+    print("\n==== Feature Caching (pre-projection) ====")
+    print({"cache_dir": str(cache_dir), "aug_views": aug_views,
+           "expected_train_size": info.get("train_size"),
+           "crop_mode": crop_mode})
+
+    @jax.jit
+    def encode_batch(images_u8, key):
+        x = train_transform(images_u8, key, resolution, crop_mode=crop_mode,
+                            flip=bool(aug.get("flip", False)),
+                            rotation=bool(aug.get("rotation", False)),
+                            dtype=compute_dtype)
+        pre = model.apply({"params": params}, x,
+                          method=type(model).encode_image)
+        return pre
+
+    def encode_view(v: int):
+        feats, labels = [], []
+        base = jax.random.fold_in(jax.random.key(seed), v)
+        for bi, batch in enumerate(train_view.batches(epoch=v)):
+            key = jax.random.fold_in(base, bi)
+            pre = encode_batch(jnp.asarray(batch.images), key)
+            pre = np.asarray(pre, np.float32)[batch.valid]
+            feats.append(pre)
+            labels.append(batch.labels[batch.valid])
+        return np.concatenate(feats, 0), np.concatenate(labels, 0)
+
+    return write_preprojection_cache(
+        cache_dir, encode_view, aug_views,
+        expected_n=info.get("train_size"))

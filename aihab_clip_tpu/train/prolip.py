@@ -1,0 +1,244 @@
+"""ProLIP: projector-only tuning on cached pre-projection features.
+
+Re-implements the reference method (`/root/reference/methods/ProLIP.py`) as
+jitted functional training:
+
+  * projector = the model's own visual projection, trainable
+    (ViT: the ``visual.proj`` matrix; ResNet: the attention-pool ``c_proj``
+    weight with its bias frozen);
+  * loss = CE(100 * normalize(x @ P) @ text_weights, y)
+           + lambda * sum((P - P_init)^2);
+  * one optimizer step per epoch on the whole cached tensor (few-shot), or
+    chunked steps with lambda scaled by 1/num_chunks (full-data);
+  * augmentation-view cycling: epoch e uses cached view (e + 1) % V
+    (the reference's counter produces exactly this sequence);
+  * Adam(eps=1e-4) + cosine-annealed LR stepped per epoch;
+  * optional 7x7 (lr, lambda) grid search scored on the validation split.
+
+TPU-first differences with identical semantics: the whole cached feature
+tensor lives on device, each epoch is ONE jitted step (or a jitted
+chunk-scan), and the grid search encodes validation features once and
+reuses them for all 49 combinations (the reference re-runs the frozen
+encoder every combination).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+LR_GRID = [1e-2, 1e-3, 1e-4, 1e-5, 1e-6, 1e-7, 1e-8]
+LAMBDA_GRID = [10, 1, 0.1, 0.01, 0.001, 0.0001, 0]
+
+
+@dataclasses.dataclass
+class ProjectorSpec:
+    """The trainable projector extracted from a CLIP param tree."""
+
+    weight: jnp.ndarray          # [pre_dim, embed_dim]
+    bias: Optional[jnp.ndarray]  # [embed_dim] (frozen; ResNet c_proj only)
+
+    @staticmethod
+    def from_clip_params(params, is_vit: bool) -> "ProjectorSpec":
+        if is_vit:
+            return ProjectorSpec(weight=jnp.asarray(params["visual"]["proj"],
+                                                    jnp.float32), bias=None)
+        ap = params["visual"]["attnpool"]["c_proj"]
+        return ProjectorSpec(weight=jnp.asarray(ap["kernel"], jnp.float32),
+                             bias=jnp.asarray(ap["bias"], jnp.float32))
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x.astype(jnp.float32) @ self.weight
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+def view_for_epoch(epoch: int, aug_views: int) -> int:
+    """The reference's view-cycling counter reduces to (epoch+1) mod V."""
+    return (epoch + 1) % max(aug_views, 1)
+
+
+def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
+    """torch CosineAnnealingLR with eta_min=0, stepped per epoch."""
+    if total_epochs <= 0:
+        return base_lr
+    return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / total_epochs))
+
+
+def _make_step(text_weights: jnp.ndarray, init_weight: jnp.ndarray,
+               bias: Optional[jnp.ndarray]):
+    """Jitted train step over (weight, opt_state, x, y, valid, lr, lam)."""
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3, eps=1e-4)
+
+    def loss_fn(weight, x, y, valid, lam):
+        feats = x.astype(jnp.float32) @ weight
+        if bias is not None:
+            feats = feats + bias
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        logits = 100.0 * feats @ text_weights
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        ce = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+        mse = jnp.sum(jnp.square(weight - init_weight))
+        correct = jnp.sum(
+            jnp.where(valid, (jnp.argmax(logits, -1) == y), False))
+        return ce + lam * mse, (ce, mse, correct, n_valid)
+
+    @jax.jit
+    def step(weight, opt_state, x, y, valid, lr, lam):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            weight, x, y, valid, lam)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = opt.update(grads, opt_state, weight)
+        weight = optax.apply_updates(weight, updates)
+        return weight, opt_state, loss, aux
+
+    return opt, step
+
+
+def _chunk_batches(n: int, chunk: int):
+    for start in range(0, n, chunk):
+        yield start, min(chunk, n - start)
+
+
+def train_projector(
+    views: List[np.ndarray],
+    labels: np.ndarray,
+    text_weights: jnp.ndarray,
+    init_spec: ProjectorSpec,
+    lr: float,
+    lam: float,
+    epochs: int,
+    feat_batch_size: int = 0,
+    verbose: bool = True,
+) -> Tuple[ProjectorSpec, Dict]:
+    """Run the ProLIP training loop; returns (trained projector, stats)."""
+    aug_views = len(views)
+    labels_d = jnp.asarray(labels, jnp.int32)
+    views_d = [jnp.asarray(v, jnp.float32) for v in views]
+    n = int(labels_d.shape[0])
+
+    init_weight = init_spec.weight
+    weight = init_weight
+    opt, step = _make_step(text_weights, init_weight, init_spec.bias)
+    opt_state = opt.init(weight)
+
+    stats: Dict = {"epochs": []}
+    last_loss = None
+    for epoch in range(epochs):
+        x = views_d[view_for_epoch(epoch, aug_views)]
+        lr_e = cosine_lr(lr, epoch, epochs)
+
+        if feat_batch_size and feat_batch_size > 0 and n > feat_batch_size:
+            num_chunks = math.ceil(n / feat_batch_size)
+            lam_scaled = lam / float(max(num_chunks, 1))
+            correct = 0.0
+            seen = 0.0
+            ce_sum, mse_sum = 0.0, 0.0
+            for start, k in _chunk_batches(n, feat_batch_size):
+                if k < feat_batch_size:
+                    # keep the static chunk shape: take the LAST B rows and
+                    # mask out the (already-trained) overlap prefix
+                    xi = x[n - feat_batch_size:n]
+                    yi = labels_d[n - feat_batch_size:n]
+                    valid = jnp.arange(feat_batch_size) >= (feat_batch_size - k)
+                else:
+                    xi = x[start:start + k]
+                    yi = labels_d[start:start + k]
+                    valid = jnp.ones((k,), bool)
+                weight, opt_state, loss, (ce, mse, corr, nv) = step(
+                    weight, opt_state, xi, yi, valid, lr_e, lam_scaled)
+                correct += float(corr)
+                seen += float(nv)
+                ce_sum += float(ce)
+                mse_sum += float(mse)
+                last_loss = float(loss)
+            epoch_stats = {"acc": correct / max(seen, 1), "ce": ce_sum / num_chunks,
+                           "mse": mse_sum / num_chunks, "lr": lr_e}
+        else:
+            valid = jnp.ones((n,), bool)
+            weight, opt_state, loss, (ce, mse, corr, nv) = step(
+                weight, opt_state, x, labels_d, valid, lr_e, lam)
+            last_loss = float(loss)
+            epoch_stats = {"acc": float(corr) / max(float(nv), 1),
+                           "ce": float(ce), "mse": float(mse), "lr": lr_e}
+
+        stats["epochs"].append(epoch_stats)
+        if verbose:
+            print(f"Train Epoch: {epoch} / {epochs}  "
+                  f"Acc: {epoch_stats['acc']:.4f}, Loss_ce: {epoch_stats['ce']:.4f}, "
+                  f"Loss_mse: {epoch_stats['mse']:.4f}, lr: {lr_e:.2e}")
+
+    stats["final_loss"] = last_loss
+    return ProjectorSpec(weight=weight, bias=init_spec.bias), stats
+
+
+def projector_accuracy(proj: ProjectorSpec, feats: np.ndarray,
+                       labels: np.ndarray, text_weights: jnp.ndarray) -> float:
+    """top-1 accuracy (%) of projected+normalized features vs the text head."""
+
+    @jax.jit
+    def predict(w, b, x):
+        y = x.astype(jnp.float32) @ w
+        if b is not None:
+            y = y + b
+        y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+        return jnp.argmax(100.0 * y @ text_weights, axis=-1)
+
+    preds = np.asarray(predict(proj.weight, proj.bias, jnp.asarray(feats)))
+    return float((preds == np.asarray(labels)).mean() * 100.0)
+
+
+def grid_search(
+    views: List[np.ndarray],
+    labels: np.ndarray,
+    text_weights: jnp.ndarray,
+    init_spec: ProjectorSpec,
+    val_feats: np.ndarray,
+    val_labels: np.ndarray,
+    epochs: int,
+    lr_grid=LR_GRID,
+    lambda_grid=LAMBDA_GRID,
+    feat_batch_size: int = 0,
+    verbose: bool = True,
+) -> Tuple[float, float, float]:
+    """7x7 (lr, lambda) search scored by validation accuracy.
+
+    Validation features are encoded once by the caller and reused — the
+    model is frozen, so re-encoding per combination (as the reference does)
+    is pure waste."""
+    best = (-1.0, lr_grid[0], lambda_grid[0])
+    if verbose:
+        print("**** Searching for best lr **** \n")
+    for lr in lr_grid:
+        for lam in lambda_grid:
+            proj, _ = train_projector(
+                views, labels, text_weights, init_spec, lr, lam, epochs,
+                feat_batch_size=feat_batch_size, verbose=False)
+            acc = projector_accuracy(proj, val_feats, val_labels, text_weights)
+            if verbose:
+                print(f"lr={lr:g} lambda={lam:g} val_acc={acc:.4f}")
+            if acc > best[0]:
+                best = (acc, lr, lam)
+    return best[1], best[2], best[0]
+
+
+def resolve_lambda(cfg, shots: int) -> float:
+    """lambda schedules: 1/N, 1/N^2, or the configured fallback."""
+    if cfg.get("lambda_funct_1_N", False):
+        return 1.0 / max(shots, 1)
+    if cfg.get("lambda_funct_1_N2", False):
+        return 1.0 / max(shots, 1) ** 2
+    return float(cfg.get("lambda_v", 0.1))
