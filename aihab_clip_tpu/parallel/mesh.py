@@ -1,0 +1,119 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-device (SURVEY.md §2.3); the TPU build
+scales with SPMD over a ``jax.sharding.Mesh``:
+
+  * axis ``data``  — batch sharding (DP); gradient all-reduce is inserted
+    by the GSPMD partitioner and rides ICI;
+  * axis ``model`` — optional tensor parallelism for large towers: attention
+    QKV/out and MLP hidden dims are sharded over ``model`` via param-path
+    rules (megatron-style column/row split pairs, so each block needs one
+    all-reduce of activations, fused by XLA into the matmul schedule).
+
+PP/SP/EP are intentionally N/A for this model family: towers fit on one
+chip and sequences are <= ~1k tokens (SURVEY.md §5); DP x TP covers the
+scaling surface.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              model_parallel: int = 1) -> Mesh:
+    """Build a (data, model) mesh over the given devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel param placement rules (path-regex -> PartitionSpec).
+# Megatron pairing: column-parallel (shard output dim) for QKV/c_fc,
+# row-parallel (shard input dim) for out_proj/c_proj.
+# ---------------------------------------------------------------------------
+
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*attn/in_proj/kernel$", P(None, MODEL_AXIS)),
+    (r".*attn/in_proj/bias$", P(MODEL_AXIS)),
+    (r".*attn/out_proj/kernel$", P(MODEL_AXIS, None)),
+    (r".*mlp/c_fc/kernel$", P(None, MODEL_AXIS)),
+    (r".*mlp/c_fc/bias$", P(MODEL_AXIS)),
+    (r".*mlp/c_proj/kernel$", P(MODEL_AXIS, None)),
+    (r".*/token_embedding$", P(None, None)),
+)
+
+
+def param_pspec(path: str, tp: bool) -> P:
+    """PartitionSpec for a '/'-joined param path."""
+    if tp:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, path):
+                return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree for a param tree (TP rules active when the
+    model axis has more than one device)."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+    flat = _flatten(params)
+    specs = {path: NamedSharding(mesh, param_pspec(path, tp))
+             for path in flat}
+    return _unflatten(specs)
+
+
+def _flatten(tree, prefix=()):  # path -> leaf
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def _unflatten(flat: dict):
+    out: dict = {}
+    for path, v in flat.items():
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a param tree on the mesh per the TP rules (replicated when
+    model axis is 1)."""
+    shardings = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place batch arrays with leading-axis data sharding."""
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]

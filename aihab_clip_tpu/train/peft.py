@@ -1,0 +1,364 @@
+"""PEFT: partial-unfreeze fine-tuning of a CLIP tower.
+
+Re-implements the reference method (`/root/reference/methods/PEFT_openclip.py`)
+TPU-first:
+
+  * freezing via *param partitioning*: the open_clip ``lock_image_tower
+    (unlocked_groups)`` / ``lock_text_tower(unlocked_layers)`` semantics
+    become boolean masks over the param tree (group list = [stem] +
+    resblocks + [head]); trainable leaves are split out, the frozen rest is
+    a closure constant, so XLA prunes the dead backward graph below the
+    earliest trainable layer;
+  * the whole step — device-side train augmentation, image encode,
+    optional per-step text-head recompute (tune_text), logits, masked CE,
+    Adam update — is ONE jitted, donated function; under a Mesh the batch
+    is sharded over ``data`` and the GSPMD partitioner inserts the gradient
+    all-reduce over ICI;
+  * loss = CE(100 * normalize(img) @ text_weights, y); logit_scale is
+    deliberately ignored (reference ``:262``);
+  * Adam + cosine-annealed LR stepped per epoch (constant within an epoch,
+    like torch's scheduler.step() placement);
+  * periodic validation (``val_interval``) and final test reuse the
+    device-resident evaluator (loss/top1/top3/F1/MCC/CM/L2 roll-up).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from ..data.pipeline import SplitView
+from ..models.clip import CLIPModel
+from ..models.text_head import compute_text_weights
+from ..ops.preprocess import train_transform
+from .evaluate import evaluate, make_eval_step
+from .prolip import cosine_lr
+from .tracker import ClassificationTracker
+
+# ---------------------------------------------------------------------------
+# Lock masks (open_clip lock_image_tower / lock_text_tower semantics)
+# ---------------------------------------------------------------------------
+
+
+def _vit_group_of(path: Tuple[str, ...], num_layers: int) -> int:
+    """Group index of a visual-tower param: 0 = stem (conv1 + class/pos
+    embedding + ln_pre), 1..L = resblocks, L+1 = head (ln_post + proj)."""
+    if path[0] == "transformer":
+        # ('transformer', 'resblocks_i', ...)
+        idx = int(path[1].split("_")[-1])
+        return 1 + idx
+    if path[0] in ("ln_post", "proj", "attnpool"):
+        return num_layers + 1
+    return 0
+
+
+def _text_group_of(path: Tuple[str, ...], num_layers: int) -> int:
+    """0 = embeddings, 1..L = resblocks, L+1 = head (ln_final + projection)."""
+    if path[0] == "transformer":
+        idx = int(path[1].split("_")[-1])
+        return 1 + idx
+    if path[0] in ("ln_final", "text_projection"):
+        return num_layers + 1
+    return 0
+
+
+def build_lock_mask(
+    params: Dict,
+    vision_layers: int,
+    text_layers: int,
+    unlocked_groups: int = 0,
+    tune_text: bool = False,
+    unlocked_text_layers: int = 0,
+) -> Dict:
+    """Boolean pytree: True = trainable.
+
+    ``unlocked_groups`` unlocks the LAST n visual groups (0 = vision fully
+    frozen).  ``tune_text`` with ``unlocked_text_layers`` unlocks the last
+    n text groups; tune_text=False freezes the whole text tower.
+    logit_scale stays frozen (it is unused by the loss).
+    """
+    n_vis_groups = vision_layers + 2
+    n_txt_groups = text_layers + 2
+    flat = traverse_util.flatten_dict(params)
+    mask = {}
+    for path in flat:
+        top = path[0]
+        if top == "visual":
+            g = _vit_group_of(path[1:], vision_layers)
+            mask[path] = g >= (n_vis_groups - unlocked_groups)
+        elif top == "text":
+            if not tune_text:
+                mask[path] = False
+            else:
+                g = _text_group_of(path[1:], text_layers)
+                mask[path] = g >= (n_txt_groups - unlocked_text_layers)
+        else:  # logit_scale etc.
+            mask[path] = False
+    return traverse_util.unflatten_dict(mask)
+
+
+def partition_params(params: Dict, mask: Dict) -> Tuple[Dict, Dict]:
+    """Split params into (trainable, frozen) trees by the boolean mask."""
+    flat_p = traverse_util.flatten_dict(params)
+    flat_m = traverse_util.flatten_dict(mask)
+    train = {k: v for k, v in flat_p.items() if flat_m[k]}
+    frozen = {k: v for k, v in flat_p.items() if not flat_m[k]}
+    return (traverse_util.unflatten_dict(train),
+            traverse_util.unflatten_dict(frozen))
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)
+
+
+def trainable_report(mask: Dict) -> Dict[str, Any]:
+    """Summary of trainable vs frozen params (reference prints
+    `/root/reference/methods/PEFT_openclip.py:208-229`)."""
+    flat = traverse_util.flatten_dict(mask)
+    trainable = [("/".join(k)) for k, v in flat.items() if v]
+    frozen = [("/".join(k)) for k, v in flat.items() if not v]
+    by_top: Dict[str, int] = {}
+    for name in trainable:
+        parts = name.split("/")
+        top = "/".join(parts[:2]) if len(parts) > 1 else name
+        by_top[top] = by_top.get(top, 0) + 1
+    return {
+        "num_trainable": len(trainable),
+        "num_frozen": len(frozen),
+        "fraction_trainable": len(trainable) / max(len(flat), 1),
+        "by_top_module": by_top,
+        "trainable_sample": trainable[:10],
+        "trainable_visual": [n for n in trainable if n.startswith("visual")][:10],
+        "trainable_text": [n for n in trainable if n.startswith("text")][:10],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PEFTConfig:
+    resolution: int
+    num_classes: int
+    lr: float
+    epochs: int
+    crop_mode: str = "random"
+    flip: bool = False
+    rotation: bool = False
+    tune_text: bool = False
+    num_templates: int = 1
+    compute_dtype: Any = jnp.float32
+    val_interval: int = 0
+
+
+def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
+                    text_weights: Optional[jax.Array],
+                    prompt_tokens: Optional[jax.Array]):
+    """Build the jitted PEFT step.
+
+    Returns (opt, step) where step(trainable, opt_state, images_u8, labels,
+    valid, key, lr) -> (trainable, opt_state, metrics dict)."""
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+
+    def loss_fn(trainable, images_u8, labels, valid, key):
+        params = merge_params(trainable, frozen)
+        x = train_transform(images_u8, key, cfg.resolution,
+                            crop_mode=cfg.crop_mode, flip=cfg.flip,
+                            rotation=cfg.rotation, dtype=cfg.compute_dtype)
+        _, feats = model.apply({"params": params}, x,
+                               method=CLIPModel.encode_image, project=True)
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+
+        if cfg.tune_text:
+            w = compute_text_weights(model, params, prompt_tokens,
+                                     cfg.num_classes, cfg.num_templates)
+        else:
+            w = text_weights
+        logits = 100.0 * feats @ w
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+        correct = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == labels,
+                                    False))
+        return loss, (correct, n_valid)
+
+    @jax.jit
+    def step(trainable, opt_state, images_u8, labels, valid, key, lr):
+        (loss, (correct, n_valid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, images_u8, labels, valid, key)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, {"loss": loss, "correct": correct,
+                                      "n_valid": n_valid}
+
+    return opt, step
+
+
+# ---------------------------------------------------------------------------
+# Full fine-tune driver
+# ---------------------------------------------------------------------------
+
+
+def finetune(
+    model: CLIPModel,
+    params: Dict,
+    train_view: SplitView,
+    val_view: Optional[SplitView],
+    test_view: Optional[SplitView],
+    cfg: PEFTConfig,
+    text_weights: Optional[jax.Array] = None,
+    prompt_tokens: Optional[jax.Array] = None,
+    unlocked_groups: int = 1,
+    unlocked_text_layers: int = 0,
+    seed: int = 0,
+    l2_eval_ctx: Optional[Dict] = None,
+    return_confusion_matrix: bool = True,
+    track_test: bool = True,
+    logger=None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Run the PEFT loop.  Returns the reference's result contract:
+    {val: {...}|None, test: {...}|None, params, tracker, report}."""
+    ccfg = model.config
+    mask = build_lock_mask(
+        params,
+        vision_layers=(ccfg.vision_layers if ccfg.is_vit else 0),
+        text_layers=ccfg.transformer_layers,
+        unlocked_groups=unlocked_groups,
+        tune_text=cfg.tune_text,
+        unlocked_text_layers=unlocked_text_layers,
+    )
+    trainable, frozen = partition_params(params, mask)
+    report = trainable_report(mask)
+    if verbose:
+        print(f"Trainable params: {report['num_trainable']} "
+              f"({report['fraction_trainable']:.1%})")
+        print(f"Frozen params   : {report['num_frozen']}")
+        for top, cnt in sorted(report["by_top_module"].items()):
+            print(f"  {top}: {cnt} params")
+
+    if cfg.tune_text and prompt_tokens is None:
+        raise ValueError("tune_text=True requires prompt_tokens")
+    if not cfg.tune_text and text_weights is None:
+        raise ValueError("tune_text=False requires precomputed text_weights")
+
+    opt, step = make_train_step(model, frozen, cfg, text_weights, prompt_tokens)
+    opt_state = opt.init(trainable)
+
+    def current_text_weights(par) -> jax.Array:
+        if cfg.tune_text:
+            return compute_text_weights(model, par, prompt_tokens,
+                                        cfg.num_classes, cfg.num_templates)
+        return text_weights
+
+    eval_step = make_eval_step(model, cfg.resolution, cfg.num_classes,
+                               cfg.compute_dtype, project=True)
+
+    def run_eval(view, **kw):
+        par = merge_params(trainable, frozen)
+        return evaluate(model, par, view, current_text_weights(par),
+                        cfg.resolution, cfg.num_classes,
+                        compute_dtype=cfg.compute_dtype, eval_step=eval_step,
+                        **kw)
+
+    base_key = jax.random.key(seed)
+    val_metrics = None
+    if verbose:
+        print("\nStart Training procedure")
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        lr_e = cosine_lr(cfg.lr, epoch, cfg.epochs)
+        run_loss, run_batches, correct, seen = 0.0, 0, 0.0, 0.0
+        ekey = jax.random.fold_in(base_key, epoch)
+        for bi, batch in enumerate(train_view.batches(epoch=epoch)):
+            key = jax.random.fold_in(ekey, bi)
+            trainable, opt_state, m = step(
+                trainable, opt_state, jnp.asarray(batch.images),
+                jnp.asarray(batch.labels), jnp.asarray(batch.valid), key,
+                lr_e)
+            run_loss += float(m["loss"])
+            run_batches += 1
+            correct += float(m["correct"])
+            seen += float(m["n_valid"])
+
+        if verbose:
+            print(f"Train Epoch: {epoch + 1} / {cfg.epochs}  "
+                  f"Acc: {correct / max(seen, 1):.4f} "
+                  f"({int(correct)}/{int(seen)}), "
+                  f"Avg Loss: {run_loss / max(run_batches, 1):.4f}, "
+                  f"LR: {lr_e:.2e}, "
+                  f"{time.perf_counter() - t0:.1f}s")
+        if logger is not None:
+            logger.log({"epoch": epoch + 1, "train_loss": run_loss / max(run_batches, 1),
+                        "train_acc": correct / max(seen, 1), "lr": lr_e})
+
+        do_val = ((cfg.val_interval and (epoch + 1) % cfg.val_interval == 0)
+                  or (epoch + 1) == cfg.epochs)
+        if do_val:
+            if val_view is not None and val_view.num_samples > 0:
+                val_metrics = run_eval(val_view, l2_eval_ctx=l2_eval_ctx)
+                if verbose:
+                    print(f"[val epoch {epoch + 1}] "
+                          f"loss={val_metrics['loss']:.4f}, "
+                          f"top1_acc={val_metrics['top1']:.4f}, "
+                          f"top3_acc={val_metrics['top3']:.4f}, "
+                          f"f1={val_metrics['f1']:.4f}, "
+                          f"mcc={val_metrics['mcc']:.4f}")
+                    if val_metrics.get("l2"):
+                        l2 = val_metrics["l2"]
+                        print(f"[val epoch {epoch + 1} L2] " + ", ".join(
+                            f"{k}={v:.4f}" for k, v in l2.items()
+                            if isinstance(v, float)))
+                if logger is not None:
+                    logger.log({f"val_{k}": v for k, v in val_metrics.items()
+                                if isinstance(v, (int, float))})
+            elif verbose:
+                print(f"[val epoch {epoch + 1}] skipped (no val split)")
+
+    # final test
+    test_metrics = None
+    tracker = ClassificationTracker() if track_test else None
+    if test_view is not None and test_view.num_samples > 0:
+        test_metrics = run_eval(
+            test_view, return_confusion_matrix=return_confusion_matrix,
+            l2_eval_ctx=l2_eval_ctx, tracker=tracker)
+        if verbose:
+            print(f"[test] loss={test_metrics['loss']:.4f}, "
+                  f"top1_acc={test_metrics['top1']:.4f}, "
+                  f"top3_acc={test_metrics['top3']:.4f}, "
+                  f"f1={test_metrics['f1']:.4f}, mcc={test_metrics['mcc']:.4f}")
+            if test_metrics.get("l2"):
+                print("[test L2] " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in test_metrics["l2"].items()
+                    if isinstance(v, float)))
+    elif verbose:
+        print("[test] skipped (no test split)")
+
+    final_params = merge_params(trainable, frozen)
+    return {
+        "val": val_metrics,
+        "test": test_metrics,
+        "params": final_params,
+        "opt_state": opt_state,
+        "tracker": tracker,
+        "report": report,
+        "mask": mask,
+    }

@@ -1,0 +1,137 @@
+"""Sharded execution on the 8-device virtual CPU mesh: data-parallel and
+data x tensor parallel runs of the real PEFT train step and encoder."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from aihab_clip_tpu.models import CLIPConfig, build_text_head, load
+from aihab_clip_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+from aihab_clip_tpu.templates import gen_prompts
+from aihab_clip_tpu.train.peft import (
+    PEFTConfig,
+    build_lock_mask,
+    make_train_step,
+    partition_params,
+)
+
+TINY = CLIPConfig(
+    embed_dim=32, image_resolution=16, vision_layers=2, vision_width=128,
+    vision_patch_size=8, context_length=77, vocab_size=49408,
+    transformer_width=128, transformer_heads=2, transformer_layers=2)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return load("random:tiny-par", random_cfg=TINY, seed=0)
+
+
+@pytest.fixture(scope="module")
+def head(bundle):
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    return build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {DATA_AXIS: 8, MODEL_AXIS: 1}
+    mesh2 = make_mesh(model_parallel=2)
+    assert mesh2.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    with pytest.raises(ValueError):
+        make_mesh(model_parallel=3)
+
+
+def test_param_shardings_rules(bundle):
+    mesh = make_mesh(model_parallel=2)
+    sh = param_shardings(mesh, bundle.params)
+    blk = sh["visual"]["transformer"]["resblocks_0"]
+    assert blk["attn"]["in_proj"]["kernel"].spec == P(None, MODEL_AXIS)
+    assert blk["attn"]["out_proj"]["kernel"].spec == P(MODEL_AXIS, None)
+    assert blk["mlp"]["c_fc"]["kernel"].spec == P(None, MODEL_AXIS)
+    assert blk["mlp"]["c_proj"]["kernel"].spec == P(MODEL_AXIS, None)
+    # replicated elsewhere
+    assert sh["visual"]["conv1"]["kernel"].spec == P()
+    # dp-only mesh -> everything replicated
+    sh_dp = param_shardings(make_mesh(), bundle.params)
+    assert sh_dp["visual"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"].spec == P()
+
+
+def _run_step(bundle, head, mesh, model_parallel):
+    params = shard_params(mesh, bundle.params)
+    mask = build_lock_mask(params, TINY.vision_layers, TINY.transformer_layers,
+                           unlocked_groups=2, tune_text=False)
+    trainable, frozen = partition_params(params, mask)
+
+    cfg = PEFTConfig(resolution=16, num_classes=20, lr=1e-3, epochs=1,
+                     crop_mode="center")
+    opt, step = make_train_step(bundle.model, frozen, cfg,
+                                jnp.asarray(head["text_weights"]), None)
+    opt_state = opt.init(trainable)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(16, 24, 24, 3), dtype=np.uint8)
+    labels = rng.integers(0, 20, size=16).astype(np.int32)
+    valid = np.ones(16, bool)
+    images, labels, valid = shard_batch(mesh, images, labels, valid)
+
+    trainable, opt_state, m = step(trainable, opt_state, images, labels,
+                                   valid, jax.random.key(0), 1e-3)
+    return float(m["loss"]), trainable
+
+
+def test_dp8_step_runs_and_matches_single_device(bundle, head):
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        loss_dp, _ = _run_step(bundle, head, mesh, 1)
+    assert np.isfinite(loss_dp)
+
+
+def test_dp4_tp2_step_runs(bundle, head):
+    mesh = make_mesh(model_parallel=2)
+    with jax.set_mesh(mesh):
+        loss_tp, _ = _run_step(bundle, head, mesh, 2)
+    assert np.isfinite(loss_tp)
+
+
+def test_dp_and_tp_agree(bundle, head):
+    mesh_dp = make_mesh()
+    with jax.set_mesh(mesh_dp):
+        loss_dp, tr_dp = _run_step(bundle, head, mesh_dp, 1)
+    mesh_tp = make_mesh(model_parallel=2)
+    with jax.set_mesh(mesh_tp):
+        loss_tp, tr_tp = _run_step(bundle, head, mesh_tp, 2)
+    assert loss_dp == pytest.approx(loss_tp, rel=1e-4)
+    a = np.asarray(jax.tree_util.tree_leaves(tr_dp)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(tr_tp)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_encode_image(bundle):
+    mesh = make_mesh()
+    params = shard_params(mesh, bundle.params)
+    x = np.random.default_rng(0).standard_normal((8, 16, 16, 3)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+
+    @jax.jit
+    def encode(p, x):
+        return bundle.model.apply({"params": p}, x,
+                                  method=type(bundle.model).encode_image)
+
+    with jax.set_mesh(mesh):
+        out = encode(params, xs)
+    assert out.shape == (8, TINY.vision_width)
+    # matches unsharded execution
+    ref = bundle.model.apply({"params": bundle.params}, jnp.asarray(x),
+                             method=type(bundle.model).encode_image)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,180 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from flax import traverse_util
+
+from aihab_clip_tpu.config import ConfigNode
+from aihab_clip_tpu.data import build_loaders, make_synthetic_cs_dataset
+from aihab_clip_tpu.models import CLIPConfig, build_text_head, load
+from aihab_clip_tpu.taxonomy import NUM_L2, l3_to_l2_array
+from aihab_clip_tpu.templates import gen_prompts
+from aihab_clip_tpu.train.peft import (
+    PEFTConfig,
+    build_lock_mask,
+    finetune,
+    merge_params,
+    partition_params,
+    trainable_report,
+)
+
+TINY = CLIPConfig(
+    embed_dim=32, image_resolution=24, vision_layers=3, vision_width=64,
+    vision_patch_size=8, context_length=77, vocab_size=49408,
+    transformer_width=64, transformer_heads=1, transformer_layers=2)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return load("random:tiny-peft", random_cfg=TINY, seed=1)
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("peft")
+    synth = make_synthetic_cs_dataset(root, n_train_per_class=6,
+                                      n_test_per_class=3, image_size=32)
+    cfg = ConfigNode({
+        "seed": 1, "shots": 0, "subset_l3": [],
+        "data": {
+            "dataset_paths": synth["dataset_paths"],
+            "index_file_names": synth["index_file_names"],
+            "batch_size": 8, "shuffle": True, "num_workers": 0,
+            "data_split": {"valid_split": 0.25, "split_seed": 42},
+            "preprocessing": {"resize": 32, "resolution": 24},
+        },
+    })
+    return build_loaders(cfg)
+
+
+def _mask_count(mask):
+    flat = traverse_util.flatten_dict(mask)
+    return sum(bool(v) for v in flat.values()), len(flat)
+
+
+def test_lock_mask_fully_frozen(bundle):
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=0,
+                           tune_text=False)
+    n_train, _ = _mask_count(mask)
+    assert n_train == 0
+
+
+def test_lock_mask_head_group_only(bundle):
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=1,
+                           tune_text=False)
+    flat = traverse_util.flatten_dict(mask)
+    trainable = {"/".join(k) for k, v in flat.items() if v}
+    assert trainable == {"visual/ln_post/scale", "visual/ln_post/bias",
+                         "visual/proj"}
+
+
+def test_lock_mask_unlocks_last_blocks(bundle):
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=2,
+                           tune_text=False)
+    flat = traverse_util.flatten_dict(mask)
+    trainable = {"/".join(k) for k, v in flat.items() if v}
+    # head + LAST resblock only
+    assert any(t.startswith("visual/transformer/resblocks_2/") for t in trainable)
+    assert not any(t.startswith("visual/transformer/resblocks_1/") for t in trainable)
+    assert not any(t.startswith("visual/transformer/resblocks_0/") for t in trainable)
+    assert not any(t.startswith("visual/conv1") for t in trainable)
+
+
+def test_lock_mask_text(bundle):
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=0,
+                           tune_text=True, unlocked_text_layers=1)
+    flat = traverse_util.flatten_dict(mask)
+    trainable = {"/".join(k) for k, v in flat.items() if v}
+    assert "text/ln_final/scale" in trainable
+    assert "text/text_projection" in trainable
+    assert not any(t.startswith("text/transformer") for t in trainable)
+    assert not any(t.startswith("text/token_embedding") for t in trainable)
+    # logit_scale never trainable
+    assert "logit_scale" not in trainable
+
+    mask2 = build_lock_mask(bundle.params, TINY.vision_layers,
+                            TINY.transformer_layers, unlocked_groups=0,
+                            tune_text=True, unlocked_text_layers=2)
+    flat2 = traverse_util.flatten_dict(mask2)
+    trainable2 = {"/".join(k) for k, v in flat2.items() if v}
+    assert any(t.startswith("text/transformer/resblocks_1/") for t in trainable2)
+    assert not any(t.startswith("text/transformer/resblocks_0/") for t in trainable2)
+
+
+def test_partition_merge_roundtrip(bundle):
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=2,
+                           tune_text=True, unlocked_text_layers=1)
+    train, frozen = partition_params(bundle.params, mask)
+    merged = merge_params(train, frozen)
+    flat_a = traverse_util.flatten_dict(bundle.params)
+    flat_b = traverse_util.flatten_dict(merged)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]))
+
+
+def test_trainable_report(bundle):
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=2)
+    rep = trainable_report(mask)
+    assert rep["num_trainable"] > 0
+    assert 0 < rep["fraction_trainable"] < 1
+    assert all(n.startswith("visual") for n in rep["trainable_sample"])
+
+
+@pytest.mark.slow
+def test_finetune_end_to_end_improves(bundle, data):
+    """2-epoch PEFT on the color-separable synthetic set must beat the
+    random-init zero-shot accuracy and keep frozen params untouched."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+
+    cfg = PEFTConfig(resolution=24, num_classes=20, lr=2e-3, epochs=3,
+                     crop_mode="center", tune_text=False, val_interval=2)
+    l2_ctx = {"l3_to_l2": l3_to_l2_array(), "num_l2": NUM_L2, "mode": "argmax"}
+    out = finetune(
+        bundle.model, bundle.params, data.train, data.val, data.test, cfg,
+        text_weights=head["text_weights"], unlocked_groups=2, seed=0,
+        l2_eval_ctx=l2_ctx, verbose=False)
+
+    assert out["test"] is not None
+    assert set(out["test"]) >= {"loss", "top1", "top3", "f1", "mcc", "cm", "l2"}
+    assert out["val"] is not None
+    assert out["test"]["cm"].sum() == data.test.num_samples
+
+    # frozen leaves identical, trainable leaves changed
+    flat0 = traverse_util.flatten_dict(bundle.params)
+    flat1 = traverse_util.flatten_dict(out["params"])
+    flat_m = traverse_util.flatten_dict(out["mask"])
+    changed = sum(
+        not np.array_equal(np.asarray(flat0[k]), np.asarray(flat1[k]))
+        for k in flat0)
+    for k, m in flat_m.items():
+        if not m:
+            np.testing.assert_array_equal(np.asarray(flat0[k]),
+                                          np.asarray(flat1[k]))
+    assert changed > 0
+    assert out["tracker"] is not None
+
+
+@pytest.mark.slow
+def test_finetune_tune_text_path(bundle, data):
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+    cfg = PEFTConfig(resolution=24, num_classes=20, lr=1e-3, epochs=1,
+                     crop_mode="center", tune_text=True, num_templates=tpc)
+    out = finetune(
+        bundle.model, bundle.params, data.train, None, data.test, cfg,
+        prompt_tokens=head["prompt_tokens"], unlocked_groups=1,
+        unlocked_text_layers=1, seed=0, verbose=False)
+    assert out["test"] is not None
+    flat0 = traverse_util.flatten_dict(bundle.params)
+    flat1 = traverse_util.flatten_dict(out["params"])
+    assert not np.array_equal(np.asarray(flat0[("text", "text_projection")]),
+                              np.asarray(flat1[("text", "text_projection")]))
