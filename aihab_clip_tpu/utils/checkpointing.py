@@ -1,0 +1,154 @@
+"""Checkpoint save / load / resume (Orbax).
+
+Extends the reference's save-only checkpointing
+(`/root/reference/aihab_utils/checkpointing.py`) with actual resume:
+
+  * path scheme parity: ``<save_model_dir>/<backbone>_<epoch>_<YYYYMMDD_HH>``
+  * payload parity: model params, optimizer state, schedule position,
+    epoch, timestamp, config, backend, model name
+  * ``load_checkpoint`` restores into provided abstract targets (Orbax
+    needs structure); ``latest_checkpoint`` finds the newest run for a
+    backbone so training can resume (the reference defines
+    ``finetune.checkpoint`` / ``eval_only`` config stubs but never wires
+    them — here they work).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+from ..cache.feature_cache import canonical_backbone_name
+
+
+def _resolve_dir(root: Path, path: str) -> Path:
+    out = Path(path)
+    return out if out.is_absolute() else root / out
+
+
+def checkpoint_path(cfg, epoch: int, timestamp: Optional[str] = None) -> Path:
+    ft_cfg = cfg.get("finetune", {})
+    root = Path(cfg.get("root_path", "./"))
+    ckpt_dir = _resolve_dir(root, ft_cfg.get("save_model_dir", "model_ckpt"))
+    backend = str(cfg.get("clip_backend", "openclip")).lower()
+    if backend == "openclip":
+        model_raw = cfg.get("open_clip_model", cfg.get("backbone", "openclip"))
+    else:
+        model_raw = cfg.get("backbone", "openai")
+    name = canonical_backbone_name(str(model_raw))
+    ts = timestamp or datetime.now().strftime("%Y%m%d_%H")
+    return ckpt_dir / f"{name}_{int(epoch)}_{ts}".replace("/", "_")
+
+
+def save_checkpoint(
+    cfg,
+    params: Dict,
+    opt_state: Any = None,
+    epoch: int = 0,
+    extra_meta: Optional[Dict] = None,
+) -> Path:
+    ts = datetime.now().strftime("%Y%m%d_%H")
+    path = checkpoint_path(cfg, epoch, ts).resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if opt_state is not None and bool(cfg.get("finetune", {}).get(
+            "save_optimizer", True)):
+        payload["opt_state"] = opt_state
+    ckptr.save(path / "state", payload)
+    ckptr.wait_until_finished()
+
+    meta = {
+        "epoch": int(epoch),
+        "timestamp": ts,
+        "clip_backend": cfg.get("clip_backend", "openclip"),
+        "open_clip_model": cfg.get("open_clip_model", None),
+        "backbone": cfg.get("backbone", None),
+        "cfg": _cfg_to_jsonable(cfg),
+        "has_opt_state": "opt_state" in payload,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    (path / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
+    return path
+
+
+def _cfg_to_jsonable(cfg) -> Dict:
+    try:
+        return json.loads(json.dumps(
+            cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg),
+            default=str))
+    except Exception:
+        return {}
+
+
+def load_checkpoint(
+    path: Path,
+    abstract_params: Dict,
+    abstract_opt_state: Any = None,
+) -> Dict[str, Any]:
+    """Restore a checkpoint. ``abstract_*`` provide target structure (use
+    the freshly-initialized pytrees)."""
+    path = Path(path).resolve()
+    meta = json.loads((path / "meta.json").read_text())
+    target = {"params": abstract_params}
+    if meta.get("has_opt_state") and abstract_opt_state is not None:
+        target["opt_state"] = abstract_opt_state
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path / "state", target)
+    restored["meta"] = meta
+    return restored
+
+
+def latest_checkpoint(cfg) -> Optional[Path]:
+    """Newest checkpoint directory for the configured backbone, or None."""
+    ft_cfg = cfg.get("finetune", {})
+    root = Path(cfg.get("root_path", "./"))
+    ckpt_dir = _resolve_dir(root, ft_cfg.get("save_model_dir", "model_ckpt"))
+    if not ckpt_dir.is_dir():
+        return None
+    backend = str(cfg.get("clip_backend", "openclip")).lower()
+    model_raw = (cfg.get("open_clip_model", cfg.get("backbone", ""))
+                 if backend == "openclip" else cfg.get("backbone", ""))
+    prefix = canonical_backbone_name(str(model_raw))
+    candidates = [p for p in ckpt_dir.iterdir()
+                  if p.is_dir() and p.name.startswith(prefix)
+                  and (p / "meta.json").is_file()]
+    if not candidates:
+        return None
+
+    def sort_key(p: Path):
+        m = re.search(r"_(\d+)_(\d{8}_\d{2})$", p.name)
+        return (m.group(2), int(m.group(1))) if m else ("", 0)
+
+    return max(candidates, key=sort_key)
+
+
+def save_projector(path: Path, weight, bias=None, meta: Optional[Dict] = None):
+    """Persist a ProLIP projector (small head -> plain npz + json)."""
+    import numpy as np
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {"weight": np.asarray(weight)}
+    if bias is not None:
+        arrays["bias"] = np.asarray(bias)
+    np.savez(path, **arrays)
+    if meta:
+        path.with_suffix(".json").write_text(json.dumps(meta, indent=2,
+                                                        default=str))
+
+
+def load_projector(path: Path):
+    import numpy as np
+
+    with np.load(path) as data:
+        weight = data["weight"]
+        bias = data["bias"] if "bias" in data.files else None
+    return weight, bias
