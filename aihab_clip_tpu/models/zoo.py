@@ -59,14 +59,81 @@ def default_cache_root() -> Path:
 @dataclasses.dataclass
 class CLIPBundle:
     name: str
-    config: CLIPConfig
-    model: CLIPModel
+    config: Any                  # CLIPConfig | SigLIPConfig
+    model: Any                   # CLIPModel | SigLIPModel
     params: Dict[str, Any]
-    source: str  # 'npz-cache' | 'torch' | 'download' | 'random'
+    source: str  # 'npz-cache' | 'torch' | 'download' | 'hf-local' | 'random'
+    tokenize_fn: Any = None      # optional override (e.g. HF sentencepiece)
 
     @property
     def input_resolution(self) -> int:
         return self.config.image_resolution
+
+
+# Known aliases: open_clip/timm hub names -> HF transformers repos that hold
+# the same weights in SiglipModel format.
+_SIGLIP_HF_ALIASES = {
+    "timm/ViT-SO400M-16-SigLIP2-384": "google/siglip2-so400m-patch16-384",
+    "timm/ViT-B-16-SigLIP": "google/siglip-base-patch16-224",
+}
+
+
+def _siglip_arch_for(name: str):
+    from .siglip import SIGLIP_ARCHS
+
+    stripped = name.replace("hf-hub:", "").replace("random:", "")
+    if stripped in SIGLIP_ARCHS:
+        return stripped, SIGLIP_ARCHS[stripped]
+    tail = stripped.split("/")[-1]
+    if tail in SIGLIP_ARCHS:
+        return tail, SIGLIP_ARCHS[tail]
+    if "siglip" in stripped.lower():
+        # default to the SO400M-16-384 family when the exact variant is not
+        # in the registry
+        return ("ViT-SO400M-16-SigLIP2-384",
+                SIGLIP_ARCHS["ViT-SO400M-16-SigLIP2-384"])
+    return None, None
+
+
+def _load_siglip(name: str, dtype, param_dtype, remat: bool, seed: int
+                 ) -> CLIPBundle:
+    """SigLIP path: local HF snapshot when present, else random init."""
+    import jax
+    import jax.numpy as jnp
+
+    from .convert_hf import load_local_hf_siglip
+    from .siglip import SigLIPModel
+
+    arch_name, arch_cfg = _siglip_arch_for(name)
+    stripped = name.replace("hf-hub:", "").replace("random:", "")
+    repo_candidates = [stripped]
+    if stripped in _SIGLIP_HF_ALIASES:
+        repo_candidates.append(_SIGLIP_HF_ALIASES[stripped])
+
+    if not name.startswith("random:"):
+        for repo in repo_candidates:
+            try:
+                cfg, params = load_local_hf_siglip(repo)
+                model = SigLIPModel(cfg, dtype=dtype, param_dtype=param_dtype,
+                                    remat=remat)
+                params = cast_params(params, param_dtype)
+                return CLIPBundle(name=name, config=cfg, model=model,
+                                  params=params, source="hf-local")
+            except FileNotFoundError:
+                continue
+        warnings.warn(
+            f"No local weights for SigLIP '{name}'; using random init "
+            f"({arch_name})")
+
+    model = SigLIPModel(arch_cfg, dtype=dtype, param_dtype=param_dtype,
+                        remat=remat)
+    variables = model.init(
+        jax.random.key(seed),
+        jnp.zeros((1, arch_cfg.image_resolution, arch_cfg.image_resolution, 3)),
+        jnp.zeros((1, arch_cfg.context_length), jnp.int32),
+    )
+    return CLIPBundle(name=name, config=arch_cfg, model=model,
+                      params=variables["params"], source="random")
 
 
 def _sha256(path: Path) -> str:
@@ -144,6 +211,16 @@ def load(
     seed: int = 0,
 ) -> CLIPBundle:
     cache_root = Path(cache_dir) if cache_dir else default_cache_root()
+
+    # SigLIP family (hf-hub names, registry names, random:SigLIP-*)
+    from .siglip import SIGLIP_ARCHS
+
+    plain = name.replace("random:", "").replace("hf-hub:", "")
+    is_siglip = ("siglip" in name.lower()
+                 or plain in SIGLIP_ARCHS
+                 or plain.split("/")[-1] in SIGLIP_ARCHS)
+    if is_siglip and random_cfg is None:
+        return _load_siglip(name, dtype, param_dtype, remat, seed)
 
     # 4) random-init dev model
     if name.startswith("random:"):

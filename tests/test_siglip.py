@@ -1,0 +1,141 @@
+"""SigLIP tower parity vs HuggingFace transformers SiglipModel (random tiny
+weights, no downloads) + PEFT-mask compatibility + zoo integration."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_hf_siglip():
+    import torch
+
+    cfg = transformers.SiglipConfig.from_text_vision_configs(
+        transformers.SiglipTextConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=16,
+            vocab_size=512),
+        transformers.SiglipVisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=8),
+    )
+    torch.manual_seed(0)
+    return transformers.SiglipModel(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    return _tiny_hf_siglip()
+
+
+@pytest.fixture(scope="module")
+def converted(hf_model):
+    from aihab_clip_tpu.models.convert_hf import (
+        hf_siglip_state_dict_to_params,
+        siglip_config_from_hf,
+    )
+    from aihab_clip_tpu.models.siglip import SigLIPModel
+
+    cfg = siglip_config_from_hf(hf_model.config)
+    params = hf_siglip_state_dict_to_params(hf_model.state_dict(),
+                                            cfg.vision_width)
+    return SigLIPModel(cfg), params, cfg
+
+
+def test_config_from_hf(hf_model, converted):
+    _, _, cfg = converted
+    assert cfg.vision_width == 64
+    assert cfg.vision_mlp_dim == 128
+    assert cfg.vision_layers == 2
+    assert cfg.image_resolution == 32
+    assert cfg.context_length == 16
+    assert cfg.vocab_size == 512
+
+
+def test_vision_parity(hf_model, converted, rng):
+    import torch
+
+    model, params, cfg = converted
+    images = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf_model.vision_model(
+            pixel_values=torch.from_numpy(images)).pooler_output.numpy()
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(np.transpose(images, (0, 2, 3, 1))),
+        method=type(model).encode_image))
+    np.testing.assert_allclose(ours, hf_out, atol=3e-5, rtol=1e-4)
+
+
+def test_text_parity(hf_model, converted, rng):
+    import torch
+
+    model, params, cfg = converted
+    tokens = rng.integers(0, 512, size=(2, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf_out = hf_model.text_model(
+            input_ids=torch.from_numpy(tokens)).pooler_output.numpy()
+    _, ours = model.apply({"params": params},
+                          jnp.asarray(tokens.astype(np.int32)),
+                          method=type(model).encode_text)
+    np.testing.assert_allclose(np.asarray(ours), hf_out, atol=3e-5, rtol=1e-4)
+
+
+def test_full_logits_parity(hf_model, converted, rng):
+    import torch
+
+    model, params, cfg = converted
+    images = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    tokens = rng.integers(0, 512, size=(3, 16)).astype(np.int64)
+    with torch.no_grad():
+        hf = hf_model(input_ids=torch.from_numpy(tokens),
+                      pixel_values=torch.from_numpy(images))
+        hf_logits = hf.logits_per_image.numpy()
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(np.transpose(images, (0, 2, 3, 1))),
+        jnp.asarray(tokens.astype(np.int32))))
+    np.testing.assert_allclose(ours, hf_logits, atol=5e-4, rtol=1e-3)
+
+
+def test_peft_mask_compat(converted):
+    from flax import traverse_util
+
+    from aihab_clip_tpu.train.peft import build_lock_mask
+
+    model, params, cfg = converted
+    mask = build_lock_mask(params, cfg.vision_layers, cfg.text_layers,
+                           unlocked_groups=1, tune_text=False)
+    flat = traverse_util.flatten_dict(mask)
+    trainable = {"/".join(k) for k, v in flat.items() if v}
+    # head group = ln_post + MAP attnpool
+    assert any(t.startswith("visual/attnpool") for t in trainable)
+    assert any(t.startswith("visual/ln_post") for t in trainable)
+    assert not any(t.startswith("visual/transformer") for t in trainable)
+    assert not any(t.startswith("text/") for t in trainable)
+
+
+def test_zoo_siglip_random_fallback():
+    from aihab_clip_tpu.models import load
+
+    b = load("random:SigLIP-Tiny")
+    assert b.source == "random"
+    assert b.config.vision_mlp_dim == 128
+    out = b.model.apply({"params": b.params},
+                        jnp.zeros((1, 32, 32, 3)),
+                        method=type(b.model).encode_image)
+    assert out.shape == (1, 64)
+
+
+def test_zoo_hf_hub_name_resolves_offline():
+    """The reference's default backbone name resolves (random init when no
+    local snapshot exists)."""
+    import warnings as w
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.siglip import SIGLIP_ARCHS
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        b = load("hf-hub:timm/ViT-B-16-SigLIP-224")
+    assert b.config == SIGLIP_ARCHS["ViT-B-16-SigLIP-224"] or b.source == "hf-local"
