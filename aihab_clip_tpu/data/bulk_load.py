@@ -128,9 +128,20 @@ def load_folder(
 
     workers = num_workers if num_workers > 0 else min(32, (os.cpu_count() or 4))
     paths = [str(folder / f) for f, _ in todo]
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        decoded = list(pool.map(
-            lambda p: _decode_resize(p, resize_dim, channel_order), paths))
+
+    # native C++ fast path (OpenMP JPEG decode + bilinear resize, RGB)
+    decoded = None
+    if channel_order == "rgb" and paths:
+        from ..native import native_bulk_decode_resize
+
+        native_out = native_bulk_decode_resize(paths, resize_dim, workers)
+        if native_out is not None:
+            arr, ok = native_out
+            decoded = [arr[i] if ok[i] else None for i in range(len(paths))]
+    if decoded is None:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            decoded = list(pool.map(
+                lambda p: _decode_resize(p, resize_dim, channel_order), paths))
 
     images, labels, l2_labels, poly_labels = [], [], [], []
     plot_word_labels, poly_word_labels = [], []

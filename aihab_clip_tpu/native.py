@@ -1,0 +1,139 @@
+"""ctypes bindings for the native (C++) runtime components.
+
+Two shared libraries under ``native/`` (built with ``make -C native``):
+  * ``libclip_bpe.so``       — fast byte-level BPE encoder (ASCII fast path;
+                               non-ASCII falls back to the Python tokenizer)
+  * ``libimage_pipeline.so`` — OpenMP-parallel JPEG decode + bilinear
+                               resize for bulk dataset loading
+
+Everything degrades gracefully: if a library is missing or fails to build,
+the pure-Python paths are used and ``available()`` reports False.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import zlib
+from functools import lru_cache
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(["make", "-C", str(NATIVE_DIR)], capture_output=True,
+                       timeout=120, check=False)
+    except Exception:
+        pass
+
+
+@lru_cache()
+def _load_lib(name: str) -> Optional[ctypes.CDLL]:
+    path = NATIVE_DIR / name
+    if not path.is_file():
+        _try_build()
+    if not path.is_file():
+        return None
+    try:
+        return ctypes.CDLL(str(path))
+    except OSError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer
+# ---------------------------------------------------------------------------
+
+
+@lru_cache()
+def _bpe_lib() -> Optional[ctypes.CDLL]:
+    lib = _load_lib("libclip_bpe.so")
+    if lib is None:
+        return None
+    lib.clip_bpe_init.restype = ctypes.c_int
+    lib.clip_bpe_init.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.clip_bpe_encode.restype = ctypes.c_int
+    lib.clip_bpe_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+
+    from .tokenizer.bpe import default_merges_path
+
+    blob = zlib.decompress(Path(default_merges_path()).read_bytes())
+    vocab = lib.clip_bpe_init(blob, len(blob))
+    if vocab != 49408:
+        return None
+    return lib
+
+
+def native_bpe_available() -> bool:
+    return _bpe_lib() is not None
+
+
+def native_bpe_encode(cleaned_text: str,
+                      max_tokens: int = 1024) -> Optional[List[int]]:
+    """Encode an already-cleaned+lowercased string.  Returns None when the
+    native path cannot handle it (non-ASCII etc.) — caller falls back."""
+    lib = _bpe_lib()
+    if lib is None:
+        return None
+    raw = cleaned_text.encode("utf-8")
+    buf = (ctypes.c_int32 * max_tokens)()
+    n = lib.clip_bpe_encode(raw, len(raw), buf, max_tokens)
+    if n == -2:  # capacity; retry bigger once
+        buf = (ctypes.c_int32 * (max_tokens * 8))()
+        n = lib.clip_bpe_encode(raw, len(raw), buf, max_tokens * 8)
+    if n < 0:
+        return None
+    return list(buf[:n])
+
+
+# ---------------------------------------------------------------------------
+# Bulk image decode + resize
+# ---------------------------------------------------------------------------
+
+
+@lru_cache()
+def _img_lib() -> Optional[ctypes.CDLL]:
+    lib = _load_lib("libimage_pipeline.so")
+    if lib is None:
+        return None
+    lib.bulk_decode_resize.restype = ctypes.c_int
+    lib.bulk_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int]
+    return lib
+
+
+def native_image_available() -> bool:
+    return _img_lib() is not None
+
+
+def native_bulk_decode_resize(
+    paths: List[str], resize_dim: int, num_threads: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode+resize JPEGs -> ([N, R, R, 3] uint8 RGB, ok mask [N] bool).
+    Returns None if the native library is unavailable."""
+    lib = _img_lib()
+    if lib is None or not paths:
+        return None
+    # only JPEGs are supported natively
+    if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        return None
+    blob = "\n".join(paths).encode("utf-8")
+    n = len(paths)
+    out = np.empty((n, resize_dim, resize_dim, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    threads = num_threads if num_threads > 0 else min(32, os.cpu_count() or 4)
+    lib.bulk_decode_resize(
+        blob, len(blob), n, resize_dim,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    return out, ok.astype(bool)

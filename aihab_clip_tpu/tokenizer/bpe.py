@@ -82,7 +82,9 @@ def clean_text(text: str) -> str:
 class ClipBPETokenizer:
     """Exact CLIP byte-level BPE."""
 
-    def __init__(self, merges_path: str | None = None):
+    def __init__(self, merges_path: str | None = None,
+                 use_native: bool = True):
+        self.use_native = use_native and merges_path is None
         self.byte_encoder = byte_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         merges = _load_merges(merges_path or default_merges_path())
@@ -156,8 +158,18 @@ class ClipBPETokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
-        ids: List[int] = []
         text = clean_text(text).lower()
+        # native C++ fast path (ASCII inputs; exact same ids)
+        if self.use_native and text.isascii():
+            from ..native import native_bpe_encode
+
+            ids = native_bpe_encode(text)
+            if ids is not None:
+                return ids
+        return self._encode_python(text)
+
+    def _encode_python(self, text: str) -> List[int]:
+        ids: List[int] = []
         for token in re.findall(self._pat, text):
             mapped = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[piece] for piece in self._bpe(mapped).split(" "))

@@ -1,0 +1,105 @@
+"""Native C++ components: exact BPE parity vs the Python tokenizer and
+JPEG decode+resize parity vs cv2."""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+from aihab_clip_tpu import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_native():
+    if not native.native_bpe_available():
+        pytest.skip("native libs not built")
+
+
+def test_native_bpe_matches_python_on_prompts():
+    from aihab_clip_tpu.templates import gen_prompts
+    from aihab_clip_tpu.tokenizer.bpe import ClipBPETokenizer, clean_text
+
+    py_tok = ClipBPETokenizer(use_native=False)
+    for use_h in (False, True):
+        for use_d in (False, True):
+            prompts, _ = gen_prompts(use_hierarchy=use_h, use_descriptive=use_d)
+            for p in prompts:
+                cleaned = clean_text(p).lower()
+                ids_native = native.native_bpe_encode(cleaned)
+                assert ids_native is not None
+                assert ids_native == py_tok.encode(p), p
+
+
+def test_native_bpe_matches_python_random_ascii():
+    from aihab_clip_tpu.tokenizer.bpe import ClipBPETokenizer, clean_text
+
+    py_tok = ClipBPETokenizer(use_native=False)
+    rng = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + " .,!?'\"-():/%"
+    for _ in range(200):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 60)))
+        cleaned = clean_text(text).lower()
+        ids_native = native.native_bpe_encode(cleaned)
+        assert ids_native is not None
+        assert ids_native == py_tok.encode(text), repr(text)
+
+
+def test_native_bpe_contractions():
+    from aihab_clip_tpu.tokenizer.bpe import ClipBPETokenizer
+
+    py_tok = ClipBPETokenizer(use_native=False)
+    for text in ["it's a dog", "they're well", "i'll we've he'd isn't",
+                 "'side quotes' and 'll edge", "o'clock!!'s mixed"]:
+        assert native.native_bpe_encode(text) == py_tok.encode(text), text
+
+
+def test_native_bpe_rejects_non_ascii():
+    assert native.native_bpe_encode("café") is None
+
+
+def test_default_tokenizer_uses_native_transparently():
+    from aihab_clip_tpu.tokenizer import get_tokenizer
+    from aihab_clip_tpu.tokenizer.bpe import ClipBPETokenizer
+
+    tok = get_tokenizer()
+    py_tok = ClipBPETokenizer(use_native=False)
+    assert tok.encode("a habitat photo of Improved Grassland.") == \
+        py_tok.encode("a habitat photo of Improved Grassland.")
+
+
+def test_native_bulk_decode_matches_cv2(tmp_path, rng):
+    if not native.native_image_available():
+        pytest.skip("image pipeline lib not built")
+    import cv2
+
+    paths = []
+    originals = []
+    for i in range(6):
+        img = rng.integers(0, 256, size=(57 + i, 91, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i}.jpg"
+        cv2.imwrite(str(p), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(str(p))
+        originals.append(img)
+
+    out, ok = native.native_bulk_decode_resize(paths, 32)
+    assert ok.all()
+    assert out.shape == (6, 32, 32, 3)
+
+    for i, p in enumerate(paths):
+        ref = cv2.resize(cv2.imread(p), (32, 32))[:, :, ::-1]  # BGR->RGB
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        # decode (IDCT) and rounding differences stay tiny
+        assert diff.mean() < 2.0
+        assert np.percentile(diff, 99) <= 12
+
+
+def test_native_bulk_decode_bad_file(tmp_path):
+    if not native.native_image_available():
+        pytest.skip("image pipeline lib not built")
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg")
+    out, ok = native.native_bulk_decode_resize([str(bad)], 16)
+    assert not ok[0]
+    assert (out[0] == 0).all()
