@@ -206,6 +206,27 @@ def _l2_eval_ctx(cfg, num_classes: int) -> Optional[Dict]:
     }
 
 
+def _maybe_restore_checkpoint(cfg, bundle) -> Optional[str]:
+    """Restore params from finetune.checkpoint (path or 'latest').
+
+    The reference defines these config stubs but never wires them
+    (`/root/reference/configs/base.yaml:15-16`); here they work."""
+    from .utils import latest_checkpoint, load_checkpoint
+
+    ft_cfg = cfg.get("finetune", {})
+    ckpt = ft_cfg.get("checkpoint", None)
+    if not ckpt:
+        return None
+    path = latest_checkpoint(cfg) if str(ckpt) == "latest" else Path(ckpt)
+    if path is None:
+        print("[ckpt] no checkpoint found to restore")
+        return None
+    restored = load_checkpoint(path, bundle["params"])
+    bundle["params"] = restored["params"]
+    print(f"[ckpt] restored params from {path}")
+    return str(path)
+
+
 def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
              ) -> Dict[str, Any]:
     """OpenCLIP-style partial-unfreeze fine-tune (reference FTOpenCLIP)."""
@@ -213,6 +234,35 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     pp = cfg["data"]["preprocessing"]
     aug = pp.get("augmentations", {})
     tune_text = bool(ft_cfg.get("tune_text", False))
+
+    restored_from = _maybe_restore_checkpoint(cfg, bundle)
+
+    if bool(ft_cfg.get("eval_only", False)):
+        # evaluation-only: no training, full metric stack on the test split
+        from .train.evaluate import evaluate
+        from .train.tracker import ClassificationTracker
+
+        tracker = ClassificationTracker()
+        test = evaluate(
+            bundle["model"], bundle["params"], loaders.test,
+            bundle["text_weights"], bundle["resolution"],
+            bundle["num_classes"],
+            compute_dtype=compute_dtype_for_backend(),
+            return_confusion_matrix=True,
+            l2_eval_ctx=_l2_eval_ctx(cfg, bundle["num_classes"]),
+            tracker=tracker)
+        print(f"[eval_only] top1={test['top1']:.4f} top3={test['top3']:.4f} "
+              f"f1={test['f1']:.4f} mcc={test['mcc']:.4f}")
+        if bool(ft_cfg.get("cache_embeddings", False)):
+            split = str(ft_cfg.get("cache_embeddings_split", "test")).lower()
+            view = {"train": loaders.train, "val": loaders.val,
+                    "test": loaders.test}.get(split, loaders.test)
+            cache_embeddings(cfg, bundle["model"], bundle["params"], view,
+                             bundle["resolution"], split=split,
+                             checkpoint_path=restored_from)
+        return {"val": None, "test": test, "params": bundle["params"],
+                "opt_state": None, "tracker": tracker, "report": None,
+                "mask": None}
 
     pcfg = PEFTConfig(
         resolution=bundle["resolution"],

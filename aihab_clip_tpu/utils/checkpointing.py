@@ -97,11 +97,16 @@ def load_checkpoint(
     the freshly-initialized pytrees)."""
     path = Path(path).resolve()
     meta = json.loads((path / "meta.json").read_text())
-    target = {"params": abstract_params}
-    if meta.get("has_opt_state") and abstract_opt_state is not None:
-        target["opt_state"] = abstract_opt_state
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path / "state", target)
+    if meta.get("has_opt_state") and abstract_opt_state is None:
+        # opt state on disk but caller only wants params: restore with the
+        # on-disk structure, then drop the optimizer state
+        restored = dict(ckptr.restore(path / "state"))
+    else:
+        target = {"params": abstract_params}
+        if meta.get("has_opt_state") and abstract_opt_state is not None:
+            target["opt_state"] = abstract_opt_state
+        restored = dict(ckptr.restore(path / "state", target))
     restored["meta"] = meta
     return restored
 

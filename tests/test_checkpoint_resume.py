@@ -1,0 +1,111 @@
+"""Checkpoint save / restore / eval_only wiring through the runner."""
+
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from aihab_clip_tpu.config import ConfigNode
+from aihab_clip_tpu.data import make_synthetic_cs_dataset
+from aihab_clip_tpu.runner import run
+from aihab_clip_tpu.utils import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_projector,
+    save_checkpoint,
+    save_projector,
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt")
+    return make_synthetic_cs_dataset(root, n_train_per_class=4,
+                                     n_test_per_class=2, image_size=40)
+
+
+def _cfg(synth, tmp_path, **over):
+    cfg = ConfigNode({
+        "root_path": str(tmp_path),
+        "dataset": "synth", "seed": 1, "shots": 0, "subset_l3": [],
+        "clip_backend": "openclip", "open_clip_model": "random:Tiny",
+        "backbone": "random:Tiny",
+        "wandb_project": None,
+        "use_hierarchical_prompts": False, "use_descriptive_prompts": False,
+        "remat": False, "train_epoch": 1, "lr_v": 0.001,
+        "lambda_v": 0.1, "lambda_funct_1_N": False, "lambda_funct_1_N2": False,
+        "search_lr": False, "feat_batch_size": 0, "save_checkpoints": False,
+        "save_features": False, "aug_views": 1,
+        "finetune": {
+            "enabled": True, "tune_text": False, "unlocked_groups": 1,
+            "unlocked_layers": 1, "val_interval": 0, "eval_l2": False,
+            "eval_only": False, "checkpoint": None,
+            "require_cached_features": True,
+            "save_model": True, "save_model_dir": str(tmp_path / "model_ckpt"),
+            "save_optimizer": True, "cache_embeddings": False,
+        },
+        "data": {
+            "dataset_paths": synth["dataset_paths"],
+            "index_file_names": synth["index_file_names"],
+            "batch_size": 8, "shuffle": True, "num_workers": 0,
+            "data_split": {"valid_split": 0.25, "split_seed": 42},
+            "use_l2_label": False,
+            "preprocessing": {"resize": 40, "resolution": 32,
+                              "augmentations": {"random_crop": False}},
+        },
+    })
+    for k, v in over.items():
+        cfg[k] = v
+    return cfg
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    cfg = ConfigNode({"root_path": str(tmp_path), "clip_backend": "openai",
+                      "backbone": "ViT-B/16",
+                      "finetune": {"save_model_dir": "ck"}})
+    params = {"a": {"w": jnp.ones((3, 3))}, "b": jnp.zeros((2,))}
+    path = save_checkpoint(cfg, params, opt_state=None, epoch=5)
+    assert (path / "meta.json").is_file()
+    found = latest_checkpoint(cfg)
+    assert found == path
+    restored = load_checkpoint(path, params)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["a"]["w"]),
+                                  np.ones((3, 3)))
+    assert restored["meta"]["epoch"] == 5
+
+
+def test_projector_save_load(tmp_path):
+    w = np.random.randn(4, 2).astype(np.float32)
+    b = np.zeros(2, np.float32)
+    save_projector(tmp_path / "p.npz", w, b, meta={"lr": 0.1})
+    w2, b2 = load_projector(tmp_path / "p.npz")
+    np.testing.assert_array_equal(w, w2)
+    np.testing.assert_array_equal(b, b2)
+
+
+def test_peft_save_then_eval_only_restore(synth, tmp_path):
+    # train one epoch with save_model
+    cfg = _cfg(synth, tmp_path)
+    result = run(cfg, inspect_only=False)
+    trained_test = result["peft"]["test"]
+
+    ck = latest_checkpoint(cfg)
+    assert ck is not None
+
+    # eval_only from the saved checkpoint reproduces test metrics
+    cfg2 = _cfg(synth, tmp_path)
+    cfg2.finetune.eval_only = True
+    cfg2.finetune.checkpoint = "latest"
+    cfg2.finetune.save_model = False
+    result2 = run(cfg2, inspect_only=False)
+    eval_test = result2["peft"]["test"]
+    assert eval_test["top1"] == pytest.approx(trained_test["top1"], abs=1e-6)
+    assert eval_test["f1"] == pytest.approx(trained_test["f1"], abs=1e-6)
+
+    # restored params differ from a fresh random init (training happened)
+    flat_trained = traverse_util.flatten_dict(result["peft"]["params"])
+    flat_restored = traverse_util.flatten_dict(result2["peft"]["params"])
+    for k in flat_trained:
+        np.testing.assert_allclose(np.asarray(flat_trained[k]),
+                                   np.asarray(flat_restored[k]), atol=1e-6)
