@@ -164,6 +164,7 @@ def cache_features_from_loader(
 
     Reference flow: `/root/reference/aihab_utils/feature_cache.py:189-251`.
     """
+    from ..ops.fast_warp import fast_train_transform
     from ..ops.preprocess import train_transform
 
     cache_dir = feature_cache_dir(cfg)
@@ -172,6 +173,9 @@ def cache_features_from_loader(
     aug = cfg["data"]["preprocessing"].get("augmentations", {})
     crop_mode = ("bottom" if aug.get("bottom_crop", False)
                  else "random" if aug.get("random_crop", False) else "center")
+    aug_fn = (fast_train_transform
+              if str(cfg.get("aug_impl", "fast")) == "fast"
+              else train_transform)
 
     print("\n==== Feature Caching (pre-projection) ====")
     print({"cache_dir": str(cache_dir), "aug_views": aug_views,
@@ -180,10 +184,10 @@ def cache_features_from_loader(
 
     @jax.jit
     def encode_batch(images_u8, key):
-        x = train_transform(images_u8, key, resolution, crop_mode=crop_mode,
-                            flip=bool(aug.get("flip", False)),
-                            rotation=bool(aug.get("rotation", False)),
-                            dtype=compute_dtype)
+        x = aug_fn(images_u8, key, resolution, crop_mode=crop_mode,
+                   flip=bool(aug.get("flip", False)),
+                   rotation=bool(aug.get("rotation", False)),
+                   dtype=compute_dtype)
         pre = model.apply({"params": params}, x,
                           method=type(model).encode_image)
         return pre

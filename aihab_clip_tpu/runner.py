@@ -277,6 +277,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         num_templates=bundle["num_templates"],
         compute_dtype=compute_dtype_for_backend(),
         val_interval=int(ft_cfg.get("val_interval", 0)),
+        aug_impl=str(cfg.get("aug_impl", "fast")),
     )
 
     out = finetune(

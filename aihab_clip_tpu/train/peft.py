@@ -162,6 +162,7 @@ class PEFTConfig:
     num_templates: int = 1
     compute_dtype: Any = jnp.float32
     val_interval: int = 0
+    aug_impl: str = "fast"   # 'fast' = matmul-formulated warp; 'exact' = per-image gather
 
 
 def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
@@ -173,11 +174,15 @@ def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
     valid, key, lr) -> (trainable, opt_state, metrics dict)."""
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
 
+    from ..ops.fast_warp import fast_train_transform
+
+    aug_fn = fast_train_transform if cfg.aug_impl == "fast" else train_transform
+
     def loss_fn(trainable, images_u8, labels, valid, key):
         params = merge_params(trainable, frozen)
-        x = train_transform(images_u8, key, cfg.resolution,
-                            crop_mode=cfg.crop_mode, flip=cfg.flip,
-                            rotation=cfg.rotation, dtype=cfg.compute_dtype)
+        x = aug_fn(images_u8, key, cfg.resolution,
+                   crop_mode=cfg.crop_mode, flip=cfg.flip,
+                   rotation=cfg.rotation, dtype=cfg.compute_dtype)
         _, feats = model.apply({"params": params}, x,
                                method=CLIPModel.encode_image, project=True)
         feats = feats.astype(jnp.float32)
