@@ -45,7 +45,8 @@ def _phase_tables(mean, std, lanes: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _normalize_kernel(x_ref, scale_ref, shift_ref, out_ref):
-    x = x_ref[:].astype(jnp.float32)
+    # Mosaic can't cast u8 -> f32 directly; widen via int32 first
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     out_ref[:] = (x * scale_ref[:] + shift_ref[:]).astype(out_ref.dtype)
 
 

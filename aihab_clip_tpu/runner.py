@@ -409,10 +409,32 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     test_feats, test_labels = encode_split(loaders.test)
     acc_test = projector_accuracy(proj, test_feats, test_labels, text_weights)
     loss = stats.get("final_loss")
+
+    # optional extra test sets, each bulk-loaded with its own folder/index
+    # (generalizes the reference's ImageNet v2/sketch/a/r branch)
+    extra_results = {}
+    extra = cfg.get("extra_testsets", None) or {}
+    if extra:
+        from .data import SplitView, load_folders
+        from .train.prolip import evaluate_multi_testsets
+
+        views = {}
+        for name, spec in extra.items():
+            ds_extra = load_folders(
+                spec["dataset_paths"], spec["index_file_names"],
+                int(cfg["data"]["preprocessing"].get("resize", 256)))
+            views[name] = SplitView(ds_extra, np.arange(len(ds_extra)),
+                                    int(cfg["data"]["batch_size"]))
+        extra_results = evaluate_multi_testsets(
+            proj, encode_split, views, {}, text_weights)
+        for name, acc in extra_results.items():
+            print(f"[extra testset {name}] acc={acc:.4f}")
+
     if logger is not None:
-        logger.log({"acc": acc_test})
+        logger.log({"acc": acc_test, **{f"acc_{k}": v
+                                        for k, v in extra_results.items()}})
     return {"loss": loss, "acc": acc_test, "lr": lr_v, "lambda": lambda_v,
-            "projector": proj, "stats": stats}
+            "projector": proj, "stats": stats, "extra": extra_results}
 
 
 def run(cfg, inspect_only: bool = False, config_file: str = "cfg",

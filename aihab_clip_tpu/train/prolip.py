@@ -235,6 +235,28 @@ def grid_search(
     return best[1], best[2], best[0]
 
 
+def evaluate_multi_testsets(
+    proj: ProjectorSpec,
+    encode_split,
+    test_views: Dict[str, object],
+    text_weights_map: Dict[str, jnp.ndarray],
+    default_weights: jnp.ndarray,
+) -> Dict[str, float]:
+    """Evaluate the trained projector on several test sets, each with its
+    own (optional) text head — the reference's ImageNet branch
+    (v2 / sketch / a / r, `/root/reference/methods/ProLIP.py:276-284`)
+    generalized to any named collection of splits."""
+    out: Dict[str, float] = {}
+    for name, view in test_views.items():
+        if view is None:
+            out[name] = 0.0
+            continue
+        feats, labels = encode_split(view)
+        weights = text_weights_map.get(name, default_weights)
+        out[name] = projector_accuracy(proj, feats, labels, weights)
+    return out
+
+
 def resolve_lambda(cfg, shots: int) -> float:
     """lambda schedules: 1/N, 1/N^2, or the configured fallback."""
     if cfg.get("lambda_funct_1_N", False):
