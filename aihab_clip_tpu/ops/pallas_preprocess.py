@@ -105,9 +105,15 @@ def normalize_u8_pallas(images_u8: jax.Array, mean=CLIP_MEAN, std=CLIP_STD,
 
 
 def normalize_u8(images_u8: jax.Array, mean=CLIP_MEAN, std=CLIP_STD,
-                 dtype=jnp.bfloat16) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, jnp elsewhere."""
-    if jax.default_backend() == "tpu":
+                 dtype=jnp.bfloat16, use_pallas: bool = False) -> jax.Array:
+    """Fused u8 normalize.
+
+    Measured on TPU v5e (batch 256 @224): XLA fully fuses the jnp
+    formulation into neighboring ops (~0 ms standalone) while the Pallas
+    kernel costs ~10 ms as a separate pass — so the jnp path is the
+    default and the kernel is kept as an explicit opt-in (useful when the
+    surrounding graph prevents fusion)."""
+    if use_pallas and jax.default_backend() == "tpu":
         try:
             return normalize_u8_pallas(images_u8, mean, std, dtype)
         except Exception:
