@@ -111,8 +111,15 @@ def init_clip_and_text_head(cfg) -> Dict[str, Any]:
         "params": bundle.params,
         "config": bundle.config,
         "source": bundle.source,
-        "resolution": int(cfg.get("data", {}).get("preprocessing", {})
-                          .get("resolution", bundle.config.image_resolution)),
+        # use_model_preprocess: openclip backends default to the model's
+        # native resolution (reference `/root/reference/main.py:91-94`);
+        # otherwise the dataset config's resolution wins
+        "resolution": (
+            int(bundle.config.image_resolution)
+            if backend == "openclip" and bool(cfg.get("use_model_preprocess",
+                                                      True))
+            else int(cfg.get("data", {}).get("preprocessing", {})
+                     .get("resolution", bundle.config.image_resolution))),
         "text_weights": head["text_weights"],
         "text_weights_before": head["text_weights_before"],
         "prompt_tokens": head["prompt_tokens"],

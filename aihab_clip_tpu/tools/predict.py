@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Batch inference CLI: classify a folder of habitat photos -> CSV.
+
+Production-serving utility (no counterpart in the reference, which only
+evaluates labeled datasets): loads a model (zoo name, checkpoint path, or
+random for smoke), builds the CS prompt-ensemble text head, streams the
+folder through the jitted device pipeline in fixed-size padded batches,
+and writes per-image top-k predictions with probabilities.
+
+Usage:
+    python -m aihab_clip_tpu.tools.predict --images <folder> \
+        [--model ViT-B/16] [--out predictions.csv] [--batch_size 64] \
+        [--topk 3] [--hierarchical/--flat] [--resolution 224]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", required=True, help="folder of images")
+    p.add_argument("--model", default="ViT-B/16",
+                   help="zoo name | checkpoint path | random:<ARCH>")
+    p.add_argument("--out", default="predictions.csv")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--resolution", type=int, default=0,
+                   help="0 = model native")
+    p.add_argument("--flat", action="store_true",
+                   help="flat prompts (default: hierarchical descriptive)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from ..data.bulk_load import _decode_resize
+    from ..models import CLIPModel, build_text_head, load
+    from ..ops.preprocess import eval_transform
+    from ..taxonomy import CS_CLASSNAMES, REASSIGN_LABEL_NAME_L3
+    from ..templates import gen_prompts
+
+    bundle = load(args.model)
+    model, params = bundle.model, bundle.params
+    res = args.resolution or bundle.config.image_resolution
+
+    prompts, tpc = gen_prompts(use_hierarchy=not args.flat,
+                               use_descriptive=not args.flat)
+    head = build_text_head(model, params, prompts, len(CS_CLASSNAMES), tpc,
+                           context_length=bundle.config.context_length)
+    tw = jnp.asarray(head["text_weights"])
+
+    folder = Path(args.images)
+    files = sorted(f for f in os.listdir(folder)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if not files:
+        raise SystemExit(f"no images found in {folder}")
+    print(f"[predict] {len(files)} images, model {args.model} "
+          f"({bundle.source}), resolution {res}")
+
+    @jax.jit
+    def classify(p, images_u8):
+        x = eval_transform(images_u8, res)
+        _, feats = model.apply({"params": p}, x,
+                               method=type(model).encode_image, project=True)
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        logits = 100.0 * feats @ tw
+        return jax.nn.softmax(logits, axis=-1)
+
+    decode_dim = max(res, 224)
+    bs = args.batch_size
+    rows = []
+    t0 = time.perf_counter()
+    for start in range(0, len(files), bs):
+        chunk = files[start:start + bs]
+        imgs = []
+        kept = []
+        for f in chunk:
+            arr = _decode_resize(str(folder / f), decode_dim, "rgb")
+            if arr is not None:
+                imgs.append(arr)
+                kept.append(f)
+        if not imgs:
+            continue
+        batch = np.stack(imgs)
+        if len(batch) < bs:  # pad to the static shape
+            batch = np.concatenate(
+                [batch, np.zeros((bs - len(batch),) + batch.shape[1:],
+                                 np.uint8)])
+        probs = np.asarray(classify(params, jnp.asarray(batch)))[:len(kept)]
+        top = np.argsort(-probs, axis=-1)[:, :args.topk]
+        for i, f in enumerate(kept):
+            row = {"file_name": f,
+                   "predicted_label": int(top[i, 0]),
+                   "predicted_word_label":
+                       REASSIGN_LABEL_NAME_L3[int(top[i, 0])]}
+            for j in range(args.topk):
+                row[f"top{j + 1}_label"] = int(top[i, j])
+                row[f"top{j + 1}_name"] = REASSIGN_LABEL_NAME_L3[int(top[i, j])]
+                row[f"top{j + 1}_prob"] = float(probs[i, top[i, j]])
+            rows.append(row)
+    dt = time.perf_counter() - t0
+
+    df = pd.DataFrame(rows)
+    df.to_csv(args.out, index=False)
+    print(f"[predict] {len(rows)} predictions in {dt:.1f}s "
+          f"({len(rows) / max(dt, 1e-9):.1f} img/s incl. decode) -> {args.out}")
+    return df
+
+
+if __name__ == "__main__":
+    main()
