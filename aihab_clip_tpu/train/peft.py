@@ -239,6 +239,7 @@ def finetune(
     track_test: bool = True,
     logger=None,
     verbose: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Run the PEFT loop.  Returns the reference's result contract:
     {val: {...}|None, test: {...}|None, params, tracker, report}."""
@@ -286,6 +287,7 @@ def finetune(
 
     base_key = jax.random.key(seed)
     val_metrics = None
+    timer = None
     if verbose:
         print("\nStart Training procedure")
     for epoch in range(cfg.epochs):
@@ -293,16 +295,35 @@ def finetune(
         lr_e = cosine_lr(cfg.lr, epoch, cfg.epochs)
         run_loss, run_batches, correct, seen = 0.0, 0, 0.0, 0.0
         ekey = jax.random.fold_in(base_key, epoch)
+
+        profiling = profile_dir is not None and epoch == 0
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
+        if epoch == 0:
+            from ..utils.profiling import StepTimer
+
+            timer = StepTimer()
+
         for bi, batch in enumerate(train_view.batches(epoch=epoch)):
             key = jax.random.fold_in(ekey, bi)
-            trainable, opt_state, m = step(
-                trainable, opt_state, jnp.asarray(batch.images),
-                jnp.asarray(batch.labels), jnp.asarray(batch.valid), key,
-                lr_e)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=bi):
+                trainable, opt_state, m = step(
+                    trainable, opt_state, jnp.asarray(batch.images),
+                    jnp.asarray(batch.labels), jnp.asarray(batch.valid), key,
+                    lr_e)
             run_loss += float(m["loss"])
             run_batches += 1
             correct += float(m["correct"])
             seen += float(m["n_valid"])
+            if timer is not None:
+                timer.tick(items=batch.n_valid)
+            if profiling and bi >= 4:
+                jax.profiler.stop_trace()
+                profiling = False
+                if verbose:
+                    print(f"[profile] trace (5 steps) -> {profile_dir}")
+        if profiling:
+            jax.profiler.stop_trace()
 
         if verbose:
             print(f"Train Epoch: {epoch + 1} / {cfg.epochs}  "

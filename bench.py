@@ -51,6 +51,19 @@ def chip_peak_tflops(device) -> float:
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: repeat driver runs skip the multi-minute
+    # cold remote compile when supported by the backend
+    try:
+        import os
+
+        cache_dir = os.path.expanduser("~/.cache/aihab_clip_tpu/xla_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from aihab_clip_tpu.models import CLIPModel, load
@@ -77,7 +90,9 @@ def main() -> None:
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     rng = np.random.default_rng(0)
-    batch_sizes = (256, 512) if on_tpu else (8,)
+    # batch 512 measured no faster than 256 on v5e; keep one size so a cold
+    # driver run pays at most two remote compiles
+    batch_sizes = (256,) if on_tpu else (8,)
     n_short, n_long = (2, 12) if on_tpu else (1, 3)
 
     best_ips, best_bs = 0.0, 0
