@@ -201,6 +201,53 @@ def projector_accuracy(proj: ProjectorSpec, feats: np.ndarray,
     return float((preds == np.asarray(labels)).mean() * 100.0)
 
 
+def _vmapped_grid_train(
+    views_d: jnp.ndarray,      # [V, N, pre]
+    labels_d: jnp.ndarray,     # [N]
+    text_weights: jnp.ndarray,
+    init_weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    lrs: jnp.ndarray,          # [K]
+    lams: jnp.ndarray,         # [K]
+    epochs: int,
+) -> jnp.ndarray:
+    """Train K projectors (one per hyper-parameter combination) in ONE
+    jitted, vmapped program: the whole 7x7 grid is a single device
+    computation instead of 49 sequential training runs."""
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3, eps=1e-4)
+    aug_views = views_d.shape[0]
+
+    def loss_fn(weight, x, lam):
+        feats = x @ weight
+        if bias is not None:
+            feats = feats + bias
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        logits = 100.0 * feats @ text_weights
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = jnp.mean(-jnp.take_along_axis(logp, labels_d[:, None], 1)[:, 0])
+        return ce + lam * jnp.sum(jnp.square(weight - init_weight))
+
+    def train_one(lr, lam):
+        opt_state = opt.init(init_weight)
+
+        def epoch_body(e, carry):
+            weight, opt_state = carry
+            x = jax.lax.dynamic_index_in_dim(
+                views_d, (e + 1) % aug_views, axis=0, keepdims=False)
+            lr_e = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / epochs))
+            grads = jax.grad(loss_fn)(weight, x, lam)
+            opt_state.hyperparams["learning_rate"] = lr_e
+            updates, opt_state = opt.update(grads, opt_state, weight)
+            return optax.apply_updates(weight, updates), opt_state
+
+        weight, _ = jax.lax.fori_loop(0, epochs, epoch_body,
+                                      (init_weight, opt_state))
+        return weight
+
+    return jax.vmap(train_one)(lrs, lams)  # [K, pre, emb]
+
+
 def grid_search(
     views: List[np.ndarray],
     labels: np.ndarray,
@@ -214,24 +261,60 @@ def grid_search(
     feat_batch_size: int = 0,
     verbose: bool = True,
 ) -> Tuple[float, float, float]:
-    """7x7 (lr, lambda) search scored by validation accuracy.
+    """(lr, lambda) grid search scored by validation accuracy.
 
-    Validation features are encoded once by the caller and reused — the
-    model is frozen, so re-encoding per combination (as the reference does)
-    is pure waste."""
-    best = (-1.0, lr_grid[0], lambda_grid[0])
+    TPU-native redesign of the reference's search
+    (`/root/reference/methods/ProLIP.py:116-137,302-361`), which runs 49
+    sequential training runs and re-encodes the validation set through the
+    frozen encoder for every combination.  Here (a) validation features
+    are encoded ONCE by the caller, and (b) for the full-batch regime the
+    entire grid trains as a single vmapped program on device; the chunked
+    (feat_batch_size > 0) regime falls back to sequential training runs."""
     if verbose:
         print("**** Searching for best lr **** \n")
-    for lr in lr_grid:
-        for lam in lambda_grid:
-            proj, _ = train_projector(
-                views, labels, text_weights, init_spec, lr, lam, epochs,
-                feat_batch_size=feat_batch_size, verbose=False)
-            acc = projector_accuracy(proj, val_feats, val_labels, text_weights)
-            if verbose:
+
+    combos = [(lr, lam) for lr in lr_grid for lam in lambda_grid]
+
+    if not feat_batch_size or feat_batch_size <= 0:
+        views_d = jnp.asarray(np.stack(views, 0), jnp.float32)
+        labels_d = jnp.asarray(labels, jnp.int32)
+        lrs = jnp.asarray([c[0] for c in combos], jnp.float32)
+        lams = jnp.asarray([c[1] for c in combos], jnp.float32)
+        weights = _vmapped_grid_train(
+            views_d, labels_d, text_weights, init_spec.weight,
+            init_spec.bias, lrs, lams, epochs)  # [K, pre, emb]
+
+        vf = jnp.asarray(val_feats, jnp.float32)
+        vl = jnp.asarray(val_labels, jnp.int32)
+
+        @jax.jit
+        def score_all(ws):
+            feats = jnp.einsum("np,kpe->kne", vf, ws)
+            if init_spec.bias is not None:
+                feats = feats + init_spec.bias
+            feats = feats / jnp.maximum(
+                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+            logits = 100.0 * feats @ text_weights
+            return jnp.mean(jnp.argmax(logits, -1) == vl[None, :], axis=-1)
+
+        accs = np.asarray(score_all(weights)) * 100.0
+        if verbose:
+            for (lr, lam), acc in zip(combos, accs):
                 print(f"lr={lr:g} lambda={lam:g} val_acc={acc:.4f}")
-            if acc > best[0]:
-                best = (acc, lr, lam)
+        best_i = int(np.argmax(accs))
+        return combos[best_i][0], combos[best_i][1], float(accs[best_i])
+
+    # chunked regime: sequential (optimizer state per chunk, cheap anyway)
+    best = (-1.0, lr_grid[0], lambda_grid[0])
+    for lr, lam in combos:
+        proj, _ = train_projector(
+            views, labels, text_weights, init_spec, lr, lam, epochs,
+            feat_batch_size=feat_batch_size, verbose=False)
+        acc = projector_accuracy(proj, val_feats, val_labels, text_weights)
+        if verbose:
+            print(f"lr={lr:g} lambda={lam:g} val_acc={acc:.4f}")
+        if acc > best[0]:
+            best = (acc, lr, lam)
     return best[1], best[2], best[0]
 
 
