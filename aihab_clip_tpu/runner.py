@@ -285,6 +285,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         compute_dtype=compute_dtype_for_backend(),
         val_interval=int(ft_cfg.get("val_interval", 0)),
         aug_impl=str(cfg.get("aug_impl", "fast")),
+        device_dataset=bool(cfg.get("device_dataset", False)),
     )
 
     out = finetune(

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import time
+from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -163,6 +164,7 @@ class PEFTConfig:
     compute_dtype: Any = jnp.float32
     val_interval: int = 0
     aug_impl: str = "fast"   # 'fast' = matmul-formulated warp; 'exact' = per-image gather
+    device_dataset: bool = False  # stage the train split in HBM; scan the epoch
 
 
 def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
@@ -217,6 +219,100 @@ def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
     return opt, step
 
 
+def make_epoch_scan(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
+                    text_weights: Optional[jax.Array],
+                    prompt_tokens: Optional[jax.Array]):
+    """One jitted call per EPOCH: the train split lives in HBM and a
+    lax.scan drives every optimizer step on device.
+
+    Eliminates per-batch host round-trips (the dominant cost of small-batch
+    fine-tuning over a remote device: a tiny-model epoch measured ~100 ms
+    per *dispatch* vs 0.2 s for the whole epoch once scanned).  The batch
+    order is supplied by the host (same shuffle as the host loop), so both
+    paths are step-for-step equivalent."""
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+
+    from ..ops.fast_warp import fast_train_transform
+    from ..ops.preprocess import train_transform as exact_train_transform
+
+    aug_fn = (fast_train_transform if cfg.aug_impl == "fast"
+              else exact_train_transform)
+
+    def loss_fn(trainable, images_u8, labels, valid, key):
+        params = merge_params(trainable, frozen)
+        x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
+                   flip=cfg.flip, rotation=cfg.rotation,
+                   dtype=cfg.compute_dtype)
+        _, feats = model.apply({"params": params}, x,
+                               method=CLIPModel.encode_image, project=True)
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        if cfg.tune_text:
+            w = compute_text_weights(model, params, prompt_tokens,
+                                     cfg.num_classes, cfg.num_templates)
+        else:
+            w = text_weights
+        logits = 100.0 * feats @ w
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+        correct = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == labels,
+                                    False))
+        return loss, (correct, n_valid)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(trainable, opt_state, images_all, labels_all, batch_idx,
+                 batch_valid, epoch_key, lr):
+        """batch_idx: [steps, B] int32 gather indices into images_all;
+        batch_valid: [steps, B] bool (padding rows False)."""
+
+        def body(carry, sb):
+            trainable, opt_state = carry
+            idx, valid, bi = sb
+            images = jnp.take(images_all, idx, axis=0)
+            labels = jnp.take(labels_all, idx, axis=0)
+            key = jax.random.fold_in(epoch_key, bi)
+            (loss, (correct, n_valid)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, images, labels, valid, key)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = opt.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return (trainable, opt_state), (loss, correct, n_valid)
+
+        steps = batch_idx.shape[0]
+        (trainable, opt_state), (losses, corrects, n_valids) = jax.lax.scan(
+            body, (trainable, opt_state),
+            (batch_idx, batch_valid, jnp.arange(steps)))
+        return trainable, opt_state, {
+            "loss_sum": jnp.sum(losses),
+            "batches": steps,
+            "correct": jnp.sum(corrects),
+            "n_valid": jnp.sum(n_valids),
+        }
+
+    return opt, epoch_fn
+
+
+def _epoch_batch_indices(view: SplitView, epoch: int):
+    """The host-side batch order of SplitView.batches(epoch) as padded
+    index/valid arrays [steps, B] (relative to the view's selection)."""
+    order = np.arange(view.num_samples)
+    if view.shuffle:
+        rng = np.random.RandomState((view.seed * 100003 + epoch) % (2 ** 31))
+        order = order[rng.permutation(len(order))]
+    bs = view.batch_size
+    steps = (len(order) + bs - 1) // bs
+    idx = np.zeros((steps, bs), np.int32)
+    valid = np.zeros((steps, bs), bool)
+    for s in range(steps):
+        chunk = order[s * bs:(s + 1) * bs]
+        idx[s, :len(chunk)] = chunk
+        valid[s, :len(chunk)] = True
+    return idx, valid
+
+
 # ---------------------------------------------------------------------------
 # Full fine-tune driver
 # ---------------------------------------------------------------------------
@@ -266,7 +362,18 @@ def finetune(
     if not cfg.tune_text and text_weights is None:
         raise ValueError("tune_text=False requires precomputed text_weights")
 
-    opt, step = make_train_step(model, frozen, cfg, text_weights, prompt_tokens)
+    use_scan = bool(cfg.device_dataset)
+    if use_scan:
+        opt, epoch_fn = make_epoch_scan(model, frozen, cfg, text_weights,
+                                        prompt_tokens)
+        # stage the train split in HBM once (view-relative ordering)
+        images_all = jnp.asarray(
+            train_view.dataset.images[train_view.indices])
+        labels_all = jnp.asarray(train_view.labels.astype(np.int32))
+        step = None
+    else:
+        opt, step = make_train_step(model, frozen, cfg, text_weights,
+                                    prompt_tokens)
     opt_state = opt.init(trainable)
 
     def current_text_weights(par) -> jax.Array:
@@ -304,24 +411,37 @@ def finetune(
 
             timer = StepTimer()
 
-        for bi, batch in enumerate(train_view.batches(epoch=epoch)):
-            key = jax.random.fold_in(ekey, bi)
-            with jax.profiler.StepTraceAnnotation("train_step", step_num=bi):
-                trainable, opt_state, m = step(
-                    trainable, opt_state, jnp.asarray(batch.images),
-                    jnp.asarray(batch.labels), jnp.asarray(batch.valid), key,
-                    lr_e)
-            run_loss += float(m["loss"])
-            run_batches += 1
-            correct += float(m["correct"])
-            seen += float(m["n_valid"])
+        if use_scan:
+            idx, valid = _epoch_batch_indices(train_view, epoch)
+            trainable, opt_state, m = epoch_fn(
+                trainable, opt_state, images_all, labels_all,
+                jnp.asarray(idx), jnp.asarray(valid), ekey, lr_e)
+            run_loss = float(m["loss_sum"])
+            run_batches = int(m["batches"])
+            correct = float(m["correct"])
+            seen = float(m["n_valid"])
             if timer is not None:
-                timer.tick(items=batch.n_valid)
-            if profiling and bi >= 4:
-                jax.profiler.stop_trace()
-                profiling = False
-                if verbose:
-                    print(f"[profile] trace (5 steps) -> {profile_dir}")
+                timer.tick(items=int(seen))
+        else:
+            for bi, batch in enumerate(train_view.batches(epoch=epoch)):
+                key = jax.random.fold_in(ekey, bi)
+                with jax.profiler.StepTraceAnnotation("train_step",
+                                                      step_num=bi):
+                    trainable, opt_state, m = step(
+                        trainable, opt_state, jnp.asarray(batch.images),
+                        jnp.asarray(batch.labels), jnp.asarray(batch.valid),
+                        key, lr_e)
+                run_loss += float(m["loss"])
+                run_batches += 1
+                correct += float(m["correct"])
+                seen += float(m["n_valid"])
+                if timer is not None:
+                    timer.tick(items=batch.n_valid)
+                if profiling and bi >= 4:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    if verbose:
+                        print(f"[profile] trace (5 steps) -> {profile_dir}")
         if profiling:
             jax.profiler.stop_trace()
 
