@@ -60,13 +60,19 @@ def build_text_head(
     num_templates: int,
     batch_size: int = 256,
     context_length: Optional[int] = None,
+    tokenize_fn=None,
 ) -> Dict[str, Any]:
     """Offline text-head build: tokenize + batched encode.
 
-    Returns {'text_weights' [dim, C] f32, 'text_weights_before' [C, T, pre]
-    f32, 'prompt_tokens' [C*T, ctx] int32, 'num_templates'}."""
+    ``tokenize_fn(texts, context_length) -> [N, ctx] int32`` overrides the
+    default CLIP BPE (e.g. a SigLIP sentencepiece tokenizer from a local
+    HF snapshot).  Returns {'text_weights' [dim, C] f32,
+    'text_weights_before' [C, T, pre] f32, 'prompt_tokens' [C*T, ctx]
+    int32, 'num_templates'}."""
     ctx = context_length or model.config.context_length
-    tokens = tokenize(list(prompts), context_length=ctx)
+    tok = tokenize_fn or (lambda texts, context_length: tokenize(
+        texts, context_length=context_length, truncate=True))
+    tokens = np.asarray(tok(list(prompts), ctx), dtype=np.int32)
 
     pre_list, post_list = [], []
     encode = jax.jit(lambda p, t: model.apply({"params": p}, t,

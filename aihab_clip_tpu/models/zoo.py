@@ -97,6 +97,30 @@ def _siglip_arch_for(name: str):
     return None, None
 
 
+def _try_hf_tokenizer(repo: str):
+    """SigLIP checkpoints tokenize with sentencepiece; use the snapshot's
+    tokenizer when locally available (never downloads)."""
+    try:
+        import numpy as _np
+        import transformers
+
+        from .convert_hf import find_local_hf_snapshot
+
+        snap = find_local_hf_snapshot(repo)
+        if snap is None:
+            return None
+        tok = transformers.AutoTokenizer.from_pretrained(str(snap))
+
+        def tokenize_fn(texts, context_length):
+            enc = tok(list(texts), padding="max_length", truncation=True,
+                      max_length=context_length, return_tensors="np")
+            return enc["input_ids"].astype(_np.int32)
+
+        return tokenize_fn
+    except Exception:
+        return None
+
+
 def _load_siglip(name: str, dtype, param_dtype, remat: bool, seed: int
                  ) -> CLIPBundle:
     """SigLIP path: local HF snapshot when present, else random init."""
@@ -119,8 +143,10 @@ def _load_siglip(name: str, dtype, param_dtype, remat: bool, seed: int
                 model = SigLIPModel(cfg, dtype=dtype, param_dtype=param_dtype,
                                     remat=remat)
                 params = cast_params(params, param_dtype)
+                tokenize_fn = _try_hf_tokenizer(repo)
                 return CLIPBundle(name=name, config=cfg, model=model,
-                                  params=params, source="hf-local")
+                                  params=params, source="hf-local",
+                                  tokenize_fn=tokenize_fn)
             except FileNotFoundError:
                 continue
         warnings.warn(

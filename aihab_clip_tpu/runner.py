@@ -98,7 +98,8 @@ def init_clip_and_text_head(cfg) -> Dict[str, Any]:
 
     num_classes = len(CS_CLASSNAMES)
     head = build_text_head(bundle.model, bundle.params, prompts,
-                           num_classes, tpc)
+                           num_classes, tpc,
+                           tokenize_fn=getattr(bundle, "tokenize_fn", None))
 
     example_class = "Improved Grassland"
     ei = CS_CLASSNAMES.index(example_class)
@@ -500,6 +501,20 @@ def run(cfg, inspect_only: bool = False, config_file: str = "cfg",
         print(f"Loss: {out['loss']}, Accuracy: {out['acc']}")
     else:
         print("\nFinetune disabled (finetune.enabled=False).")
+        # reference config stub made real: cache embeddings from a saved
+        # checkpoint without training (finetune.cache_embeddings_checkpoint)
+        ft_cfg = cfg.get("finetune", {})
+        ckpt = ft_cfg.get("cache_embeddings_checkpoint", None)
+        if bool(ft_cfg.get("cache_embeddings", False)) and ckpt:
+            from .utils import load_checkpoint
+
+            restored = load_checkpoint(Path(ckpt), bundle["params"])
+            split = str(ft_cfg.get("cache_embeddings_split", "test")).lower()
+            view = {"train": loaders.train, "val": loaders.val,
+                    "test": loaders.test}.get(split, loaders.test)
+            cache_embeddings(cfg, bundle["model"], restored["params"], view,
+                             bundle["resolution"], split=split,
+                             checkpoint_path=str(ckpt))
 
     if logger is not None:
         logger.finish()
