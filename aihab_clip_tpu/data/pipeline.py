@@ -11,7 +11,7 @@ every step hits the same compiled executable.  Shuffling is host-side
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

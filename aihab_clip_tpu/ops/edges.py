@@ -9,7 +9,7 @@ augmentation path.
 
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import Tuple
 
 import numpy as np
 

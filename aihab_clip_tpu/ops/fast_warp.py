@@ -28,19 +28,13 @@ zero weight mass).
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from .preprocess import (
-    CLIP_MEAN,
-    CLIP_STD,
-    _random_resized_crop_params,
-    normalize,
-)
+from .preprocess import _random_resized_crop_params, normalize
 
 
 def _cubic_weight(t: jax.Array, a: float = -0.5) -> jax.Array:

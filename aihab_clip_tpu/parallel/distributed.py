@@ -13,12 +13,12 @@ host pods it is driven by the standard TPU runtime env vars.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
 
-from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from .mesh import DATA_AXIS, make_mesh
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,

@@ -30,7 +30,6 @@ from .cache import (
     feature_cache_exists,
     read_preprojection_cache,
 )
-from .config import ConfigNode
 from .data import build_loaders
 from .models import CLIPModel, build_text_head, load as load_model
 from .taxonomy import CS_CLASSNAMES, NUM_L2, REASSIGN_LABEL_NAME_L3, l3_to_l2_array

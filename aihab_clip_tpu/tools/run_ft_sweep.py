@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 from pathlib import Path
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 from ..config import ConfigNode, load_configs, set_by_dotted_path
 from ..runner import run

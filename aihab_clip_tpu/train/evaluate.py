@@ -14,7 +14,6 @@ per-sample classification tracking rows.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

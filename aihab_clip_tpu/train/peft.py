@@ -25,10 +25,9 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
 from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import time
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -113,6 +111,61 @@ def _chunk_batches(n: int, chunk: int):
         yield start, min(chunk, n - start)
 
 
+def _train_scan(views_d: jnp.ndarray, labels_d: jnp.ndarray,
+                text_weights: jnp.ndarray, init_weight: jnp.ndarray,
+                bias: Optional[jnp.ndarray], lr: float, lam: float,
+                epochs: int):
+    """Whole ProLIP training (full-batch regime) as ONE jitted lax.scan over
+    epochs — a single device dispatch instead of one per epoch (per-epoch
+    host syncs dominate through a remote tunnel: measured ~4 steps/s for
+    sub-millisecond compute)."""
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=1e-4)
+    aug_views = views_d.shape[0]
+    n = labels_d.shape[0]
+
+    def loss_fn(weight, x):
+        feats = x @ weight
+        if bias is not None:
+            feats = feats + bias
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        logits = 100.0 * feats @ text_weights
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = jnp.mean(-jnp.take_along_axis(logp, labels_d[:, None], 1)[:, 0])
+        mse = jnp.sum(jnp.square(weight - init_weight))
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels_d)
+        return ce + lam * mse, (ce, mse, correct)
+
+    @jax.jit
+    def train(weight, opt_state):
+        def body(carry, e):
+            weight, opt_state = carry
+            x = jax.lax.dynamic_index_in_dim(
+                views_d, (e + 1) % aug_views, axis=0, keepdims=False)
+            lr_e = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / epochs))
+            (loss, (ce, mse, correct)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(weight, x)
+            opt_state.hyperparams["learning_rate"] = lr_e
+            updates, opt_state = opt.update(grads, opt_state, weight)
+            weight = optax.apply_updates(weight, updates)
+            return (weight, opt_state), (loss, ce, mse, correct, lr_e)
+
+        (weight, opt_state), trail = jax.lax.scan(
+            body, (weight, opt_state), jnp.arange(epochs))
+        return weight, trail
+
+    opt_state = opt.init(init_weight)
+    weight, (losses, ces, mses, corrects, lrs) = train(init_weight, opt_state)
+    losses, ces, mses = np.asarray(losses), np.asarray(ces), np.asarray(mses)
+    corrects, lrs = np.asarray(corrects), np.asarray(lrs)
+    stats: Dict = {"epochs": [
+        {"acc": float(corrects[e]) / n, "ce": float(ces[e]),
+         "mse": float(mses[e]), "lr": float(lrs[e])}
+        for e in range(epochs)
+    ], "final_loss": float(losses[-1]) if epochs else None}
+    return weight, stats
+
+
 def train_projector(
     views: List[np.ndarray],
     labels: np.ndarray,
@@ -127,9 +180,21 @@ def train_projector(
     """Run the ProLIP training loop; returns (trained projector, stats)."""
     aug_views = len(views)
     labels_d = jnp.asarray(labels, jnp.int32)
-    views_d = [jnp.asarray(v, jnp.float32) for v in views]
     n = int(labels_d.shape[0])
 
+    # full-batch regime: the whole training is one scanned device program
+    if not (feat_batch_size and feat_batch_size > 0 and n > feat_batch_size):
+        weight, stats = _train_scan(
+            jnp.asarray(np.stack(views, 0), jnp.float32), labels_d,
+            text_weights, init_spec.weight, init_spec.bias, lr, lam, epochs)
+        if verbose:
+            for e, s in enumerate(stats["epochs"]):
+                print(f"Train Epoch: {e} / {epochs}  Acc: {s['acc']:.4f}, "
+                      f"Loss_ce: {s['ce']:.4f}, Loss_mse: {s['mse']:.4f}, "
+                      f"lr: {s['lr']:.2e}")
+        return ProjectorSpec(weight=weight, bias=init_spec.bias), stats
+
+    views_d = [jnp.asarray(v, jnp.float32) for v in views]
     init_weight = init_spec.weight
     weight = init_weight
     opt, step = _make_step(text_weights, init_weight, init_spec.bias)
