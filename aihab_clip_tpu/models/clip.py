@@ -44,6 +44,11 @@ class CLIPConfig:
     transformer_width: int
     transformer_heads: int
     transformer_layers: int
+    # 0 = standard 4x MLP; ViT-g class towers use non-4x widths
+    vision_mlp_dim: int = 0
+    text_mlp_dim: int = 0
+    # 0 = the width//64 rule; ViT-g uses 16 heads of width 88
+    vision_heads_override: int = 0
 
     @property
     def is_vit(self) -> bool:
@@ -51,6 +56,8 @@ class CLIPConfig:
 
     @property
     def vision_heads(self) -> int:
+        if self.vision_heads_override:
+            return self.vision_heads_override
         if self.is_vit:
             return self.vision_width // 64
         return self.vision_width * 32 // 64
@@ -74,6 +81,11 @@ CLIP_ARCHS: Dict[str, CLIPConfig] = {
     "ViT-L/14@336px": CLIPConfig(768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
     # development/smoke architecture (tiny but tokenizer-compatible)
     "Tiny": CLIPConfig(32, 32, 2, 64, 8, 77, 49408, 64, 1, 2),
+    # open_clip-scale large towers (conversion via state-dict shape
+    # inference; the ViT-g family uses a 4.36x MLP)
+    "ViT-H/14": CLIPConfig(1024, 224, 32, 1280, 14, 77, 49408, 1024, 16, 24),
+    "ViT-g/14": CLIPConfig(1024, 224, 40, 1408, 14, 77, 49408, 1024, 16, 24,
+                           vision_mlp_dim=6144, vision_heads_override=16),
 }
 
 
@@ -93,6 +105,7 @@ class CLIPModel(nn.Module):
                 layers=cfg.vision_layers,
                 heads=cfg.vision_heads,
                 output_dim=cfg.embed_dim,
+                mlp_dim=cfg.vision_mlp_dim,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 remat=self.remat,
             )
@@ -112,6 +125,7 @@ class CLIPModel(nn.Module):
             layers=cfg.transformer_layers,
             heads=cfg.transformer_heads,
             embed_dim=cfg.embed_dim,
+            mlp_dim=cfg.text_mlp_dim,
             dtype=self.dtype, param_dtype=self.param_dtype,
             remat=self.remat,
         )
@@ -177,6 +191,16 @@ def config_from_state_dict_shapes(shapes: Dict[str, Tuple[int, ...]]) -> CLIPCon
     transformer_layers = len({k.split(".")[2] for k in shapes
                               if k.startswith("transformer.resblocks.")})
 
+    def mlp_dim_of(prefix: str, width: int) -> int:
+        key = f"{prefix}.resblocks.0.mlp.c_fc.weight"
+        if key in shapes and shapes[key][0] != 4 * width:
+            return int(shapes[key][0])
+        return 0
+
+    vision_mlp = (mlp_dim_of("visual.transformer", int(vision_width))
+                  if is_vit else 0)
+    text_mlp = mlp_dim_of("transformer", int(transformer_width))
+
     return CLIPConfig(
         embed_dim=int(embed_dim),
         image_resolution=int(image_resolution),
@@ -189,4 +213,6 @@ def config_from_state_dict_shapes(shapes: Dict[str, Tuple[int, ...]]) -> CLIPCon
         transformer_width=int(transformer_width),
         transformer_heads=int(transformer_width) // 64,
         transformer_layers=int(transformer_layers),
+        vision_mlp_dim=vision_mlp,
+        text_mlp_dim=text_mlp,
     )

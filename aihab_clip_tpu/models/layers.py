@@ -81,17 +81,20 @@ class MultiHeadAttention(nn.Module):
 
 
 class MLP(nn.Module):
-    """Transformer MLP: c_fc -> QuickGELU -> c_proj (4x expansion)."""
+    """Transformer MLP: c_fc -> QuickGELU -> c_proj (4x expansion unless
+    ``mlp_dim`` overrides it — ViT-g style towers use ~4.36x)."""
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     expansion: int = 4
+    mlp_dim: int = 0  # 0 = expansion * width
     act: Callable[[jax.Array], jax.Array] = staticmethod(quick_gelu)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         width = x.shape[-1]
-        h = nn.Dense(self.expansion * width, dtype=self.dtype,
+        hidden = self.mlp_dim or self.expansion * width
+        h = nn.Dense(hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="c_fc")(x)
         h = self.act(h)
         return nn.Dense(width, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -103,6 +106,7 @@ class ResidualAttentionBlock(nn.Module):
 
     num_heads: int
     causal: bool = False
+    mlp_dim: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -113,6 +117,7 @@ class ResidualAttentionBlock(nn.Module):
             param_dtype=self.param_dtype, name="attn")(
                 LayerNorm(param_dtype=self.param_dtype, name="ln_1")(x))
         x = x + MLP(dtype=self.dtype, param_dtype=self.param_dtype,
+                    mlp_dim=self.mlp_dim,
                     name="mlp")(LayerNorm(param_dtype=self.param_dtype,
                                           name="ln_2")(x))
         return x
@@ -125,6 +130,7 @@ class Transformer(nn.Module):
     layers: int
     heads: int
     causal: bool = False
+    mlp_dim: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
@@ -136,7 +142,8 @@ class Transformer(nn.Module):
             # trade FLOPs for HBM during fine-tuning of deep towers
             block_cls = nn.remat(ResidualAttentionBlock)
         for i in range(self.layers):
-            x = block_cls(self.heads, causal=self.causal, dtype=self.dtype,
+            x = block_cls(self.heads, causal=self.causal,
+                          mlp_dim=self.mlp_dim, dtype=self.dtype,
                           param_dtype=self.param_dtype,
                           name=f"resblocks_{i}")(x)
         return x

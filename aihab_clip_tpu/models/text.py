@@ -27,6 +27,7 @@ class TextTransformer(nn.Module):
     layers: int
     heads: int
     embed_dim: int
+    mlp_dim: int = 0
     causal: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -60,6 +61,7 @@ class TextTransformer(nn.Module):
         x = x + positional_embedding.astype(self.dtype)
         x = Transformer(
             self.width, self.layers, self.heads, causal=self.causal,
+            mlp_dim=self.mlp_dim,
             dtype=self.dtype, param_dtype=self.param_dtype, remat=self.remat,
             name="transformer",
         )(x)

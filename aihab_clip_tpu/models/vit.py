@@ -29,6 +29,7 @@ class VisionTransformer(nn.Module):
     layers: int
     heads: int
     output_dim: int
+    mlp_dim: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
@@ -76,7 +77,7 @@ class VisionTransformer(nn.Module):
 
         x = LayerNorm(param_dtype=self.param_dtype, name="ln_pre")(x)
         x = Transformer(
-            self.width, self.layers, self.heads,
+            self.width, self.layers, self.heads, mlp_dim=self.mlp_dim,
             dtype=self.dtype, param_dtype=self.param_dtype, remat=self.remat,
             name="transformer",
         )(x)
