@@ -68,14 +68,11 @@ class MultiHeadAttention(nn.Module):
                        name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t: jax.Array) -> jax.Array:
-            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+        # fused Pallas kernel on TPU (non-causal short sequences); XLA
+        # dot_product_attention elsewhere — see ops/attention.py
+        from ..ops.attention import attention
 
-        # jax.nn.dot_product_attention handles scaling and causal masking and
-        # lowers to a fused kernel on TPU.
-        out = jax.nn.dot_product_attention(
-            heads(q), heads(k), heads(v), is_causal=self.causal)
-        out = out.reshape(*x.shape[:-1], width)
+        out = attention(q, k, v, self.num_heads, causal=self.causal)
         return nn.Dense(width, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="out_proj")(out)
 

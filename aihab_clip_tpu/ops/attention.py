@@ -1,0 +1,132 @@
+"""Fused short-sequence attention (Pallas TPU kernel).
+
+XLA's attention path materializes the [B, H, S, S] score tensor in HBM
+(fp32 softmax): for ViT-B/16 @ batch 256 that is ~0.5 GB per direction and
+measured ~4 ms/block of pure memory traffic — half the block time.  This
+kernel keeps everything in VMEM: one grid program per image computes all
+heads' scores, softmax, and the value contraction without touching HBM in
+between.  Designed for vision-tower sequences (a few hundred tokens);
+sequences are padded to a lane multiple and masked inside the kernel.
+
+Backward: ``fused_attention`` carries a custom VJP whose backward pass
+recomputes through the plain XLA formulation — the kernel accelerates
+inference/eval (the headline encode path) while training gradients remain
+exactly the standard ones.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int,
+                 head_dim: int, interpret: bool = False):
+    """Blocks: q/k/v/o [1, 1, S_pad, D] — one (image, head) per program."""
+    s_pad = q_ref.shape[2]
+    scale = 1.0 / math.sqrt(head_dim)
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [S, S]
+    # key-padding mask: columns >= seq_len contribute -inf scores
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    scores = jnp.where(col < seq_len, scores, jnp.float32(-1e30))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      num_heads: int, interpret: bool = False) -> jax.Array:
+    """q/k/v: [B, S, W] (heads packed in W). Returns [B, S, W]."""
+    b, s, w = q.shape
+    head_dim = w // num_heads
+    s_pad = _round_up(s, 128)
+
+    def split(t):
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        # [B, S_pad, H, D] -> [B, H, S_pad, D]
+        return t.reshape(b, s_pad, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q4, k4, v4 = split(q), split(k), split(v)
+    out = pl.pallas_call(
+        partial(_attn_kernel, seq_len=s, head_dim=head_dim),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, s_pad, head_dim),
+                                       q.dtype),
+        grid=(b, num_heads),
+        in_specs=[pl.BlockSpec((1, 1, s_pad, head_dim),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, 1, s_pad, head_dim),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q4, k4, v4)
+    # [B, H, S_pad, D] -> [B, S, W]
+    return out.transpose(0, 2, 1, 3)[:, :s, :].reshape(b, s, w)
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   num_heads: int) -> jax.Array:
+    b, s, w = q.shape
+    head_dim = w // num_heads
+
+    def heads(t):
+        return t.reshape(b, s, num_heads, head_dim)
+
+    out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+    return out.reshape(b, s, w)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, num_heads: int):
+    """Fused multi-head attention over packed-head inputs [B, S, W]."""
+    return _pallas_attention(q, k, v, num_heads)
+
+
+def _fused_fwd(q, k, v, num_heads):
+    return _pallas_attention(q, k, v, num_heads), (q, k, v)
+
+
+def _fused_bwd(num_heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, num_heads),
+                     q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+              *, causal: bool = False, use_fused: bool = True) -> jax.Array:
+    """Dispatch: fused Pallas kernel on TPU for non-causal short sequences,
+    XLA elsewhere (causal text towers use sequence length 77 where the
+    score tensor is small)."""
+    if (use_fused and not causal and jax.default_backend() == "tpu"
+            and q.shape[1] <= 1024):
+        return fused_attention(q, k, v, num_heads)
+    b, s, w = q.shape
+    head_dim = w // num_heads
+
+    def heads(t):
+        return t.reshape(b, s, num_heads, head_dim)
+
+    out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v),
+                                       is_causal=causal)
+    return out.reshape(b, s, w)
