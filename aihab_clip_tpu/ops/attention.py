@@ -1,17 +1,19 @@
 """Fused short-sequence attention (Pallas TPU kernel).
 
-XLA's attention path materializes the [B, H, S, S] score tensor in HBM
-(fp32 softmax): for ViT-B/16 @ batch 256 that is ~0.5 GB per direction and
-measured ~4 ms/block of pure memory traffic — half the block time.  This
-kernel keeps everything in VMEM: one grid program per image computes all
-heads' scores, softmax, and the value contraction without touching HBM in
-between.  Designed for vision-tower sequences (a few hundred tokens);
-sequences are padded to a lane multiple and masked inside the kernel.
+One grid program per (image, head) computes scores, masked softmax, and
+the value contraction entirely in VMEM.
+
+Measured reality on v5e (ViT-B/16 shapes, batch 256): XLA's own attention
+is already fast here — 2.5 ms for the whole 12-head batch op vs 4.4 ms for
+this kernel (the per-(image, head) grid under-utilizes the MXU at S=197,
+D=64).  Block-time profiling attributes the tower's non-GEMM time to
+LayerNorm/residual/GELU HBM traffic *between* GEMMs, not to attention
+(see PERF_NOTES.md).  The dispatcher therefore defaults to XLA
+(``use_fused=False``); the kernel remains as working infrastructure for
+longer-sequence regimes where score materialization does dominate.
 
 Backward: ``fused_attention`` carries a custom VJP whose backward pass
-recomputes through the plain XLA formulation — the kernel accelerates
-inference/eval (the headline encode path) while training gradients remain
-exactly the standard ones.
+recomputes through the plain XLA formulation.
 """
 
 from __future__ import annotations
@@ -114,10 +116,10 @@ fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-              *, causal: bool = False, use_fused: bool = True) -> jax.Array:
-    """Dispatch: fused Pallas kernel on TPU for non-causal short sequences,
-    XLA elsewhere (causal text towers use sequence length 77 where the
-    score tensor is small)."""
+              *, causal: bool = False, use_fused: bool = False) -> jax.Array:
+    """Dispatch: XLA attention by default (measured faster at ViT sequence
+    lengths — see module docstring); ``use_fused=True`` selects the Pallas
+    kernel for long-sequence regimes."""
     if (use_fused and not causal and jax.default_backend() == "tpu"
             and q.shape[1] <= 1024):
         return fused_attention(q, k, v, num_heads)
