@@ -1,0 +1,98 @@
+"""Fast ViT encode path: the CLIP vision tower over fused Pallas kernels.
+
+A pure function over the canonical ``CLIPModel`` param tree (same
+checkpoints, same numerics contract) that replaces the per-op XLA graph
+with the fused linear kernels from ``ops/fused_linear.py``:
+
+  * patchify as an explicit reshape+matmul (a stride=kernel conv IS a
+    patch matmul — feeds the MXU directly, no conv layout overhead);
+  * per block: LN1+QKV in one kernel, XLA attention (measured optimal at
+    these sequence lengths), out-proj+residual in one kernel, LN2+c_fc+
+    QuickGELU in one kernel, c_proj+residual in one kernel — normalized /
+    activated activations never round-trip through HBM;
+  * ln_post + projection on the CLS row only.
+
+This is the inference/encode fast path (bench + evaluation); training and
+parity baselines use the canonical Flax module.  Equivalence is tested
+against ``CLIPModel.encode_image`` (CPU interpret mode exact to fp32
+tolerance; on-device to bf16 tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import _xla_attention
+from ..ops.fused_linear import ln_matmul, matmul_residual
+from .clip import CLIPConfig
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
+                    *, project: bool = False, dtype=jnp.bfloat16):
+    """images: [B, H, W, 3] normalized NHWC -> pre-projection CLS features
+    (or (pre, projected))."""
+    vp = params["visual"]
+    p = config.vision_patch_size
+    width = config.vision_width
+    heads = config.vision_heads
+
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+
+    # patchify == reshape + matmul
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, gh * gw, p * p * c)
+    kernel = jnp.asarray(vp["conv1"]["kernel"], dtype)  # [p, p, c, width] HWIO
+    kernel2d = kernel.reshape(p * p * c, width)
+    x = patches @ kernel2d
+
+    cls = jnp.broadcast_to(
+        jnp.asarray(vp["class_embedding"], dtype)[None, None, :],
+        (b, 1, width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + jnp.asarray(vp["positional_embedding"], dtype)
+
+    x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
+
+    s = x.shape[1]
+    x2 = x.reshape(b * s, width)
+    blocks = vp["transformer"]
+    for i in range(config.vision_layers):
+        blk = blocks[f"resblocks_{i}"]
+        qkv = ln_matmul(
+            x2,
+            blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+            jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
+            blk["attn"]["in_proj"]["bias"])
+        q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
+        attn = _xla_attention(q, k, v, heads).reshape(b * s, width)
+        x2 = matmul_residual(
+            attn, jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
+            blk["attn"]["out_proj"]["bias"], x2)
+        hdn = ln_matmul(
+            x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+            jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+            blk["mlp"]["c_fc"]["bias"], "quick_gelu")
+        x2 = matmul_residual(
+            hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+            blk["mlp"]["c_proj"]["bias"], x2)
+
+    cls_tok = x2.reshape(b, s, width)[:, 0, :]
+    pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if not project:
+        return pre
+    projected = pre @ jnp.asarray(vp["proj"], pre.dtype)
+    return pre, projected
