@@ -11,10 +11,13 @@ values never round-trip through HBM:
   * ``ln_matmul(..., activation='quick_gelu')`` adds the epilogue act
   * ``matmul_residual(x, w, b, res)``       -> x @ w + b + res
 
-Design: grid (M/BM, N/BN), row-major (the N axis iterates fastest); the
-LN of each M-tile is computed once (at j == 0) into a VMEM scratch that
-persists across the sequential TPU grid, so LN costs one pass per M-tile
-regardless of how many N-tiles consume it.  fp32 accumulation via
+Design: when the whole weight matrix fits in VMEM (ViT-B/L class layers:
+K x N x 2 bytes <= ~10 MB), the grid runs over M-tiles ONLY and the weight
+block index is constant, so Pallas keeps it resident — x, W, and the
+output each cross HBM exactly once (an (M, N)-tiled first attempt
+re-streamed W once per M-tile: ~700 MB of extra traffic per ViT-B layer,
+measured slower than XLA).  Larger layers fall back to an N-blocked grid
+with a persistent LN scratch.  fp32 accumulation via
 ``preferred_element_type``.
 
 All entry points carry a custom VJP that recomputes through the plain XLA
@@ -77,6 +80,32 @@ def _matmul_residual_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _ln_matmul_fulln_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref, o_ref,
+                            *, activation: Optional[str]):
+    """Grid over M only; W resident in VMEM (constant block index)."""
+    x = x_ref[:].astype(jnp.float32)
+    ln = _ln_rows(x, ls_ref[:].astype(jnp.float32),
+                  lb_ref[:].astype(jnp.float32))
+    out = jnp.dot(ln.astype(w_ref.dtype), w_ref[:],
+                  preferred_element_type=jnp.float32)
+    out = out + b_ref[:].astype(jnp.float32)
+    if activation == "quick_gelu":
+        out = _quick_gelu_f32(out)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _matmul_residual_fulln_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
+    out = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    out = out + b_ref[:].astype(jnp.float32)
+    out = out + r_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+# weights larger than this use the N-blocked grid instead of staying
+# VMEM-resident
+_FULLN_WEIGHT_BYTES = 10 * 1024 * 1024
+
+
 # ---------------------------------------------------------------------------
 # Callers
 # ---------------------------------------------------------------------------
@@ -103,10 +132,40 @@ def _ln_matmul_pallas(x, ln_scale, ln_bias, w, b,
                       activation: Optional[str] = None,
                       interpret: bool = False):
     x, m = _pad_rows(x, BM)
-    w, b, n = _pad_cols(w, b, BN)
+    w, b, n = _pad_cols(w, b, 128)
     mp, k = x.shape
     np_ = w.shape[1]
 
+    if k * np_ * x.dtype.itemsize <= _FULLN_WEIGHT_BYTES:
+        out = pl.pallas_call(
+            partial(_ln_matmul_fulln_kernel, activation=activation),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+            grid=(mp // BM,),
+            in_specs=[
+                pl.BlockSpec((BM, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, np_), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k * np_,
+                bytes_accessed=mp * k * 2 + k * np_ * 2 + mp * np_ * 2,
+                transcendentals=mp * np_ if activation else 0),
+            interpret=interpret,
+        )(x, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1), w,
+          b.reshape(1, -1))
+        return out[:m, :n]
+
+    w, b, _ = _pad_cols(w, b.reshape(-1), BN)
+    np_ = w.shape[1]
     out = pl.pallas_call(
         partial(_ln_matmul_kernel, activation=activation),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
@@ -139,12 +198,41 @@ def _ln_matmul_pallas(x, ln_scale, ln_bias, w, b,
 def _matmul_residual_pallas(x, w, b, res, interpret: bool = False):
     x, m = _pad_rows(x, BM)
     mp, k = x.shape
-    w, b, n = _pad_cols(w, b, BN)
+    w, b, n = _pad_cols(w, b, 128)
     np_ = w.shape[1]
     res_p, _ = _pad_rows(res, BM)
     if np_ != n:
         res_p = jnp.pad(res_p, ((0, 0), (0, np_ - n)))
 
+    if k * np_ * x.dtype.itemsize <= _FULLN_WEIGHT_BYTES:
+        out = pl.pallas_call(
+            _matmul_residual_fulln_kernel,
+            out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+            grid=(mp // BM,),
+            in_specs=[
+                pl.BlockSpec((BM, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BM, np_), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, np_), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k * np_,
+                bytes_accessed=mp * k * 2 + k * np_ * 2 + 2 * mp * np_ * 2,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, w, b.reshape(1, -1), res_p)
+        return out[:m, :n]
+
+    w, b, _ = _pad_cols(w, b.reshape(-1), BN)
+    np_ = w.shape[1]
+    if res_p.shape[1] != np_:
+        res_p = jnp.pad(res_p, ((0, 0), (0, np_ - res_p.shape[1])))
     out = pl.pallas_call(
         _matmul_residual_kernel,
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
