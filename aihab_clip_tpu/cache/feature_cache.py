@@ -86,7 +86,8 @@ def write_preprojection_cache(
 
     for v in range(aug_views):
         feats, labels = encode_view(v)
-        feats = np.asarray(feats, dtype=feature_dtype)
+        if feats.dtype != feature_dtype:  # usually cast on device already
+            feats = np.asarray(feats, dtype=feature_dtype)
         labels = np.asarray(labels, dtype=np.int32)
 
         fpath = cache_dir / f"f{v}.npy"
@@ -190,7 +191,9 @@ def cache_features_from_loader(
                    dtype=compute_dtype)
         pre = model.apply({"params": params}, x,
                           method=type(model).encode_image)
-        return pre
+        # cast to the on-disk dtype ON DEVICE: numpy's fp32->fp16 convert is
+        # ~0.25 GB/s and would bottleneck the cache writer
+        return pre.astype(jnp.float16)
 
     def encode_view(v: int):
         feats, labels = [], []
@@ -198,8 +201,7 @@ def cache_features_from_loader(
         for bi, batch in enumerate(train_view.batches(epoch=v)):
             key = jax.random.fold_in(base, bi)
             pre = encode_batch(jnp.asarray(batch.images), key)
-            pre = np.asarray(pre, np.float32)[batch.valid]
-            feats.append(pre)
+            feats.append(np.asarray(pre)[batch.valid])
             labels.append(batch.labels[batch.valid])
         return np.concatenate(feats, 0), np.concatenate(labels, 0)
 

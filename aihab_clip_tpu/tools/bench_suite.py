@@ -27,7 +27,8 @@ def bench_cache_io(tmp_dir: Path, n: int = 20000, dim: int = 768,
     from ..cache import read_preprojection_cache, write_preprojection_cache
 
     rng = np.random.default_rng(0)
-    feats = rng.standard_normal((n, dim)).astype(np.float32)
+    # fp16 input reflects the real pipeline (the encoder casts on device)
+    feats = rng.standard_normal((n, dim)).astype(np.float16)
     labels = rng.integers(0, 20, size=n)
 
     t0 = time.perf_counter()
