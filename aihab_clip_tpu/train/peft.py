@@ -6,9 +6,10 @@ TPU-first:
   * freezing via *param partitioning*: the open_clip ``lock_image_tower
     (unlocked_groups)`` / ``lock_text_tower(unlocked_layers)`` semantics
     become boolean masks over the param tree (group list = [stem] +
-    resblocks + [head]); trainable leaves are split out, the frozen rest is
-    a closure constant, so XLA prunes the dead backward graph below the
-    earliest trainable layer;
+    resblocks + [head]); trainable leaves are split out and only they are
+    differentiated, so XLA prunes the dead backward graph below the
+    earliest trainable layer (frozen params stay runtime arguments — see
+    ``make_train_step``);
   * the whole step — device-side train augmentation, image encode,
     optional per-step text-head recompute (tune_text), logits, masked CE,
     Adam update — is ONE jitted, donated function; under a Mesh the batch
@@ -166,20 +167,25 @@ class PEFTConfig:
     device_dataset: bool = False  # stage the train split in HBM; scan the epoch
 
 
-def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
+def make_train_step(model: CLIPModel, cfg: PEFTConfig,
                     text_weights: Optional[jax.Array],
                     prompt_tokens: Optional[jax.Array]):
     """Build the jitted PEFT step.
 
-    Returns (opt, step) where step(trainable, opt_state, images_u8, labels,
-    valid, key, lr) -> (trainable, opt_state, metrics dict)."""
+    Returns (opt, step) where step(trainable, frozen, opt_state, images_u8,
+    labels, valid, key, lr) -> (trainable, opt_state, metrics dict).
+
+    ``frozen`` params are a runtime ARGUMENT, never a closure constant:
+    closing over a frozen tower embeds its weights into the compiled
+    program (hundreds of MB for real models — observed as oversized
+    remote-compile payloads) and forces recompilation when they change."""
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
 
     from ..ops.fast_warp import fast_train_transform
 
     aug_fn = fast_train_transform if cfg.aug_impl == "fast" else train_transform
 
-    def loss_fn(trainable, images_u8, labels, valid, key):
+    def loss_fn(trainable, frozen, images_u8, labels, valid, key):
         params = merge_params(trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution,
                    crop_mode=cfg.crop_mode, flip=cfg.flip,
@@ -206,9 +212,10 @@ def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
         return loss, (correct, n_valid)
 
     @jax.jit
-    def step(trainable, opt_state, images_u8, labels, valid, key, lr):
+    def step(trainable, frozen, opt_state, images_u8, labels, valid, key, lr):
         (loss, (correct, n_valid)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable, images_u8, labels, valid, key)
+            loss_fn, has_aux=True)(trainable, frozen, images_u8, labels,
+                                   valid, key)
         opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = opt.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
@@ -218,7 +225,7 @@ def make_train_step(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
     return opt, step
 
 
-def make_epoch_scan(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
+def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
                     text_weights: Optional[jax.Array],
                     prompt_tokens: Optional[jax.Array]):
     """One jitted call per EPOCH: the train split lives in HBM and a
@@ -237,7 +244,7 @@ def make_epoch_scan(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
     aug_fn = (fast_train_transform if cfg.aug_impl == "fast"
               else exact_train_transform)
 
-    def loss_fn(trainable, images_u8, labels, valid, key):
+    def loss_fn(trainable, frozen, images_u8, labels, valid, key):
         params = merge_params(trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
                    flip=cfg.flip, rotation=cfg.rotation,
@@ -261,9 +268,9 @@ def make_epoch_scan(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
                                     False))
         return loss, (correct, n_valid)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(trainable, opt_state, images_all, labels_all, batch_idx,
-                 batch_valid, epoch_key, lr):
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def epoch_fn(trainable, frozen, opt_state, images_all, labels_all,
+                 batch_idx, batch_valid, epoch_key, lr):
         """batch_idx: [steps, B] int32 gather indices into images_all;
         batch_valid: [steps, B] bool (padding rows False)."""
 
@@ -274,7 +281,8 @@ def make_epoch_scan(model: CLIPModel, frozen: Dict, cfg: PEFTConfig,
             labels = jnp.take(labels_all, idx, axis=0)
             key = jax.random.fold_in(epoch_key, bi)
             (loss, (correct, n_valid)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(trainable, images, labels, valid, key)
+                loss_fn, has_aux=True)(trainable, frozen, images, labels,
+                                       valid, key)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
@@ -363,7 +371,7 @@ def finetune(
 
     use_scan = bool(cfg.device_dataset)
     if use_scan:
-        opt, epoch_fn = make_epoch_scan(model, frozen, cfg, text_weights,
+        opt, epoch_fn = make_epoch_scan(model, cfg, text_weights,
                                         prompt_tokens)
         # stage the train split in HBM once (view-relative ordering)
         images_all = jnp.asarray(
@@ -371,7 +379,7 @@ def finetune(
         labels_all = jnp.asarray(train_view.labels.astype(np.int32))
         step = None
     else:
-        opt, step = make_train_step(model, frozen, cfg, text_weights,
+        opt, step = make_train_step(model, cfg, text_weights,
                                     prompt_tokens)
     opt_state = opt.init(trainable)
 
@@ -413,7 +421,7 @@ def finetune(
         if use_scan:
             idx, valid = _epoch_batch_indices(train_view, epoch)
             trainable, opt_state, m = epoch_fn(
-                trainable, opt_state, images_all, labels_all,
+                trainable, frozen, opt_state, images_all, labels_all,
                 jnp.asarray(idx), jnp.asarray(valid), ekey, lr_e)
             run_loss = float(m["loss_sum"])
             run_batches = int(m["batches"])
@@ -427,7 +435,8 @@ def finetune(
                 with jax.profiler.StepTraceAnnotation("train_step",
                                                       step_num=bi):
                     trainable, opt_state, m = step(
-                        trainable, opt_state, jnp.asarray(batch.images),
+                        trainable, frozen, opt_state,
+                        jnp.asarray(batch.images),
                         jnp.asarray(batch.labels), jnp.asarray(batch.valid),
                         key, lr_e)
                 run_loss += float(m["loss"])

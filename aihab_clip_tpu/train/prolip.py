@@ -123,28 +123,30 @@ def _train_scan(views_d: jnp.ndarray, labels_d: jnp.ndarray,
     aug_views = views_d.shape[0]
     n = labels_d.shape[0]
 
-    def loss_fn(weight, x):
+    # cached features / labels / anchors are jit ARGUMENTS (closing over
+    # them would embed the whole cache into the compiled program)
+    def loss_fn(weight, x, labels_a, init_w, tw):
         feats = x @ weight
         if bias is not None:
             feats = feats + bias
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-        logits = 100.0 * feats @ text_weights
+        logits = 100.0 * feats @ tw
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = jnp.mean(-jnp.take_along_axis(logp, labels_d[:, None], 1)[:, 0])
-        mse = jnp.sum(jnp.square(weight - init_weight))
-        correct = jnp.sum(jnp.argmax(logits, -1) == labels_d)
+        ce = jnp.mean(-jnp.take_along_axis(logp, labels_a[:, None], 1)[:, 0])
+        mse = jnp.sum(jnp.square(weight - init_w))
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels_a)
         return ce + lam * mse, (ce, mse, correct)
 
     @jax.jit
-    def train(weight, opt_state):
+    def train(weight, opt_state, views_a, labels_a, init_w, tw):
         def body(carry, e):
             weight, opt_state = carry
             x = jax.lax.dynamic_index_in_dim(
-                views_d, (e + 1) % aug_views, axis=0, keepdims=False)
+                views_a, (e + 1) % aug_views, axis=0, keepdims=False)
             lr_e = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / epochs))
             (loss, (ce, mse, correct)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(weight, x)
+                loss_fn, has_aux=True)(weight, x, labels_a, init_w, tw)
             opt_state.hyperparams["learning_rate"] = lr_e
             updates, opt_state = opt.update(grads, opt_state, weight)
             weight = optax.apply_updates(weight, updates)
@@ -155,7 +157,9 @@ def _train_scan(views_d: jnp.ndarray, labels_d: jnp.ndarray,
         return weight, trail
 
     opt_state = opt.init(init_weight)
-    weight, (losses, ces, mses, corrects, lrs) = train(init_weight, opt_state)
+    weight, (losses, ces, mses, corrects, lrs) = train(
+        init_weight, opt_state, views_d, labels_d, init_weight,
+        jnp.asarray(text_weights, jnp.float32))
     losses, ces, mses = np.asarray(losses), np.asarray(ces), np.asarray(mses)
     corrects, lrs = np.asarray(corrects), np.asarray(lrs)
     stats: Dict = {"epochs": [
@@ -281,8 +285,10 @@ def _vmapped_grid_train(
     computation instead of 49 sequential training runs."""
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3, eps=1e-4)
     aug_views = views_d.shape[0]
+    views_arg = views_d
+    labels_arg = labels_d
 
-    def loss_fn(weight, x, lam):
+    def loss_fn(weight, x, lam, labels_d):
         feats = x @ weight
         if bias is not None:
             feats = feats + bias
@@ -293,24 +299,28 @@ def _vmapped_grid_train(
         ce = jnp.mean(-jnp.take_along_axis(logp, labels_d[:, None], 1)[:, 0])
         return ce + lam * jnp.sum(jnp.square(weight - init_weight))
 
-    def train_one(lr, lam):
-        opt_state = opt.init(init_weight)
+    @jax.jit
+    def train_all(views_d, labels_d, lrs, lams):
+        def train_one(lr, lam):
+            opt_state = opt.init(init_weight)
 
-        def epoch_body(e, carry):
-            weight, opt_state = carry
-            x = jax.lax.dynamic_index_in_dim(
-                views_d, (e + 1) % aug_views, axis=0, keepdims=False)
-            lr_e = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / epochs))
-            grads = jax.grad(loss_fn)(weight, x, lam)
-            opt_state.hyperparams["learning_rate"] = lr_e
-            updates, opt_state = opt.update(grads, opt_state, weight)
-            return optax.apply_updates(weight, updates), opt_state
+            def epoch_body(e, carry):
+                weight, opt_state = carry
+                x = jax.lax.dynamic_index_in_dim(
+                    views_d, (e + 1) % aug_views, axis=0, keepdims=False)
+                lr_e = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / epochs))
+                grads = jax.grad(loss_fn)(weight, x, lam, labels_d)
+                opt_state.hyperparams["learning_rate"] = lr_e
+                updates, opt_state = opt.update(grads, opt_state, weight)
+                return optax.apply_updates(weight, updates), opt_state
 
-        weight, _ = jax.lax.fori_loop(0, epochs, epoch_body,
-                                      (init_weight, opt_state))
-        return weight
+            weight, _ = jax.lax.fori_loop(0, epochs, epoch_body,
+                                          (init_weight, opt_state))
+            return weight
 
-    return jax.vmap(train_one)(lrs, lams)  # [K, pre, emb]
+        return jax.vmap(train_one)(lrs, lams)  # [K, pre, emb]
+
+    return train_all(views_arg, labels_arg, lrs, lams)
 
 
 def grid_search(

@@ -75,7 +75,7 @@ def _run_step(bundle, head, mesh, model_parallel):
 
     cfg = PEFTConfig(resolution=16, num_classes=20, lr=1e-3, epochs=1,
                      crop_mode="center")
-    opt, step = make_train_step(bundle.model, frozen, cfg,
+    opt, step = make_train_step(bundle.model, cfg,
                                 jnp.asarray(head["text_weights"]), None)
     opt_state = opt.init(trainable)
 
@@ -85,8 +85,8 @@ def _run_step(bundle, head, mesh, model_parallel):
     valid = np.ones(16, bool)
     images, labels, valid = shard_batch(mesh, images, labels, valid)
 
-    trainable, opt_state, m = step(trainable, opt_state, images, labels,
-                                   valid, jax.random.key(0), 1e-3)
+    trainable, opt_state, m = step(trainable, frozen, opt_state, images,
+                                   labels, valid, jax.random.key(0), 1e-3)
     return float(m["loss"]), trainable
 
 
