@@ -69,17 +69,24 @@ def write_preprojection_cache(
     aug_views: int,
     expected_n: Optional[int] = None,
     feature_dtype=np.float16,
+    shard_index: Optional[int] = None,
 ) -> Dict:
     """Write the cache: ``encode_view(v)`` returns (features [N, D] np,
     labels [N] np) for augmentation view ``v``.
+
+    Multi-host: each process encodes its own data shard (see
+    ``parallel.distributed.process_shard_indices``) and writes with its
+    ``shard_index``; the reader concatenates shards in order.
 
     Performs the reference's write-then-reload validation (shape check,
     row/label agreement, expected-count check) and records everything in
     ``manifest.json``."""
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
+    suffix = "" if shard_index is None else f".shard{shard_index}"
 
-    manifest: Dict = {"views": [], "aug_views": aug_views}
+    manifest: Dict = {"views": [], "aug_views": aug_views,
+                      "shard_index": shard_index}
     t0 = time.perf_counter()
     total_bytes = 0
     labels_ref: Optional[np.ndarray] = None
@@ -90,15 +97,16 @@ def write_preprojection_cache(
             feats = np.asarray(feats, dtype=feature_dtype)
         labels = np.asarray(labels, dtype=np.int32)
 
-        fpath = cache_dir / f"f{v}.npy"
+        fpath = cache_dir / f"f{v}{suffix}.npy"
         np.save(fpath, feats)
         total_bytes += feats.nbytes
 
         if v == 0:
             labels_ref = labels
-            np.save(cache_dir / "label.npy", labels)
+            lpath = cache_dir / f"label{suffix}.npy"
+            np.save(lpath, labels)
             total_bytes += labels.nbytes
-            print(f"[cache] labels -> {cache_dir / 'label.npy'} "
+            print(f"[cache] labels -> {lpath} "
                   f"shape={labels.shape} unique={len(np.unique(labels))}")
 
         # write-then-reload validation
@@ -124,7 +132,8 @@ def write_preprojection_cache(
         "write_seconds": dt,
         "write_gbps": total_bytes / max(dt, 1e-9) / 1e9,
     })
-    (cache_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    (cache_dir / f"manifest{suffix}.json").write_text(
+        json.dumps(manifest, indent=2))
     print("\nFeature caching complete.")
     return manifest
 
@@ -136,18 +145,45 @@ def read_preprojection_cache(
     mmap: bool = True,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Load cached views + labels.  ``max_label`` filters rows whose label
-    exceeds the class count (reference `/root/reference/methods/ProLIP.py:105-113`)."""
+    exceeds the class count (reference `/root/reference/methods/ProLIP.py:105-113`).
+
+    Reads both single-file views (``f{v}.npy``) and multi-host sharded
+    views (``f{v}.shard{k}.npy``, concatenated in shard order)."""
     cache_dir = Path(cache_dir)
-    labels = np.load(cache_dir / "label.npy")
+    labels = _load_maybe_sharded(cache_dir, "label")
     keep = (np.where(labels < max_label)[0] if max_label is not None
             else np.arange(len(labels)))
     labels = labels[keep]
     views = []
     for v in range(aug_views):
-        arr = np.load(cache_dir / f"f{v}.npy",
-                      mmap_mode="r" if mmap else None)
+        arr = _load_maybe_sharded(cache_dir, f"f{v}", mmap=mmap)
         views.append(np.asarray(arr[keep]))
     return views, labels
+
+
+def _load_maybe_sharded(cache_dir: Path, stem: str, mmap: bool = False):
+    single = cache_dir / f"{stem}.npy"
+    if single.is_file():
+        return np.load(single, mmap_mode="r" if mmap else None)
+    shards = sorted(cache_dir.glob(f"{stem}.shard*.npy"),
+                    key=lambda p: int(p.stem.split("shard")[-1]))
+    if not shards:
+        raise FileNotFoundError(f"no cache file for '{stem}' in {cache_dir}")
+    return np.concatenate([np.load(p) for p in shards], axis=0)
+
+
+def feature_cache_exists_sharded(cache_dir: Path, aug_views: int) -> bool:
+    """Like feature_cache_exists but accepts per-process shard layouts."""
+    cache_dir = Path(cache_dir)
+    try:
+        _load_maybe_sharded(cache_dir, "label")
+    except FileNotFoundError:
+        return False
+    for v in range(aug_views):
+        if not ((cache_dir / f"f{v}.npy").is_file()
+                or any(cache_dir.glob(f"f{v}.shard*.npy"))):
+            return False
+    return True
 
 
 def cache_features_from_loader(

@@ -170,3 +170,26 @@ def test_grid_search_picks_reasonable_combo(rng):
     assert lr in (1e-2, 1e-6) and lam in (0.0, 10.0)
     assert acc > 50.0
     assert lr == 1e-2  # the tiny-lr option can barely move the weights
+
+
+def test_sharded_cache_roundtrip(tmp_path, rng):
+    """Multi-host layout: per-process shard files concatenate on read."""
+    from aihab_clip_tpu.cache.feature_cache import (
+        feature_cache_exists_sharded,
+    )
+
+    parts = []
+    for k in range(3):
+        f = rng.standard_normal((10 + k, 8)).astype(np.float16)
+        l = rng.integers(0, 5, size=10 + k)
+        parts.append((f, l))
+        write_preprojection_cache(tmp_path / "c",
+                                  lambda v, f=f, l=l: (f, l), 2,
+                                  shard_index=k)
+    assert feature_cache_exists_sharded(tmp_path / "c", 2)
+    assert not feature_cache_exists(tmp_path / "c", 2)  # no single-file view
+    views, labels = read_preprojection_cache(tmp_path / "c", 2)
+    np.testing.assert_array_equal(labels,
+                                  np.concatenate([p[1] for p in parts]))
+    assert views[0].shape == (33, 8)
+    assert views[1].shape == (33, 8)
