@@ -507,6 +507,8 @@ def finetune(
         print("[test] skipped (no test split)")
 
     final_params = merge_params(trainable, frozen)
+    if timer is not None:
+        report["first_epoch_throughput"] = timer.summary()
     return {
         "val": val_metrics,
         "test": test_metrics,
