@@ -42,136 +42,136 @@ HIER_DESC_TEMPLATES: List[str] = [
     "a habitat photo of {l2}, specifically {l3}, {attrs}",
 ]
 
-# Per-class descriptive attributes (ordered attr -> phrase).  Values are the
-# exact phrases used by the reference prompt set.
-DESCRIPTIVE_L3_ATTRS: Dict[str, Dict[str, str]] = {
-    "Improved Grassland": {
-        "vegetation_height": "short to medium vegetation height",
-        "sward_texture": "very even close-cropped sward",
-        "dominant_cover": "grass-dominated",
-        "forb_richness": "few forbs",
-    },
-    "Neutral Grassland": {
-        "vegetation_height": "medium to tall vegetation height",
-        "sward_texture": "mixed uneven meadow sward",
-        "dominant_cover": "herbs-dominated",
-        "forb_richness": "moderate to high forbs",
-    },
-    "Calcareous Grassland": {
-        "vegetation_height": "short vegetation height",
-        "sward_texture": "close-cropped open turf",
-        "dominant_cover": "fine grasses and herbs dominated",
-        "forb_richness": "high forb richness",
-    },
-    "Acid Grassland": {
-        "vegetation_height": "short to medium vegetation height",
-        "sward_texture": "patchy or tussocky sward",
-        "dominant_cover": "fine grasses dominated",
-        "forb_richness": "low to moderate forbs",
-    },
-    "Bracken": {
-        "vegetation_height": "tall vegetation height",
-        "sward_texture": "dense canopy of fronds",
-        "dominant_cover": "bracken fronds",
-        "forb_richness": "low forb richness",
-    },
-    "Fen, Marsh, Swamp": {
-        "vegetation_structure": "tall emergent wetland herbs and sedges",
-        "dominant_cover": "sedges, rushes, reeds and wetland herbs",
-        "surface_texture": "dense emergent cover with wet channels or patches",
-        "water_level": "waterlogged to shallowly inundated",
-    },
-    "Bog": {
-        "vegetation_structure": "low open mossy vegetation with scattered dwarf shrubs",
-        "dominant_cover": "bog-moss and cotton-grass",
-        "surface_texture": "hummocky surface with small wet hollows",
-        "water_level": "persistently waterlogged",
-    },
-    "Dwarf Shrub Heath": {
-        "vegetation_height": "low dwarf shrubs (<1.5 m)",
-        "vegetation_structure": "dwarf-shrub dominated, low woody canopy",
-        "dominant_cover": "heather/ericoids and dwarf gorse",
-        "surface_texture": "patchy heather with moss/lichen and bare ground",
-    },
-    "Arable and Horticulture": {
-        "vegetation_structure": "regular planted rows or plots with uniform spacing",
-        "dominant_cover": "arable crops or horticultural plantings",
-        "surface_texture": "tilled or ploughed soil with furrows and stubble",
-        "management_cue": "actively cultivated or rotational fallow",
-    },
-    "Broadleaved Mixed and Yew Woodland": {
-        "canopy_structure": "tall broadleaved canopy, irregular and layered",
-        "foliage_type": "broad leaves with some evergreen yew",
-        "understory_light": "dappled light through mixed canopy",
-        "ground_cover": "leaf-littered forest floor",
-    },
-    "Coniferous Woodland": {
-        "canopy_structure": "tall conifer canopy, often uniform or plantation-like",
-        "foliage_type": "needle-leaved evergreen conifers",
-        "understory_light": "darker, more shaded understory",
-        "ground_cover": "needle litter with sparse ground vegetation or moss",
-    },
-    "Littoral Rock": {
-        "substrate_type": "exposed rock platforms or boulder shores",
-        "surface_texture": "hard, uneven rock with crevices and pools",
-        "dominant_cover": "bare rock with algal and barnacle encrustation",
-        "tidal_influence": "intertidal, regularly wetted and exposed",
-    },
-    "Littoral Sediment": {
-        "substrate_type": "sand, mud or gravel flats",
-        "surface_texture": "flat, soft sediment with ripples",
-        "dominant_cover": "mostly bare sediment with sparse algal film",
-        "tidal_influence": "intertidal flats, regularly inundated and exposed",
-    },
-    "Montane": {
-        "vegetation_structure": "low wind-clipped vegetation above treeline",
-        "dominant_cover": "dwarf shrubs with moss, lichen and short grasses",
-        "surface_texture": "rocky ground with thin soils and bare patches",
-        "exposure_cue": "open, treeless, exposed upland ridges",
-    },
-    "Standing Open Waters and Canals": {
-        "water_body_form": "open water body or straight canal",
-        "water_surface": "still or slow-moving open water",
-        "bank_structure": "defined banks or engineered canal edges",
-        "aquatic_vegetation": "floating or submerged plants with narrow fringe",
-    },
-    "Inland Rock": {
-        "substrate_type": "exposed inland rock, cliffs or scree",
-        "surface_texture": "hard rock faces with fissures and ledges",
-        "dominant_cover": "mostly bare rock with sparse crevice plants",
-        "exposure_cue": "dry, wind-exposed inland slopes",
-    },
-    "Supra-littoral Rock": {
-        "substrate_type": "coastal rock above the high-tide line",
-        "surface_texture": "rugged rock with spray-wet surfaces",
-        "dominant_cover": "salt-tolerant lichens or algae, sparse vegetation",
-        "exposure_cue": "wave-splash zone with salt spray",
-    },
-    "Supra-littoral Sediment": {
-        "substrate_type": "coastal sand, shingle or pebbles",
-        "surface_texture": "loose granular sediment with ridges",
-        "dominant_cover": "sparse salt-tolerant pioneer plants",
-        "exposure_cue": "above high tide, exposed to spray and wind",
-    },
-    "Urban": {
-        "built_form": "dense built structures, walls and roofs",
-        "surface_material": "sealed hard surfaces like concrete or asphalt",
-        "vegetation_cover": "little vegetation or small landscaped patches",
-        "infrastructure_cue": "roads, kerbs, fences or utilities",
-    },
-    "Sea": {
-        "water_body_form": "open marine water to the horizon",
-        "surface_texture": "rolling waves or choppy surface",
-        "dominant_cover": "open water with minimal vegetation",
-        "coastal_context": "distant coastline or open sea view",
-    },
+# Per-class descriptive phrases (joined in order into the prompt tail).
+# The exact phrases are the reference prompt set - accuracy-parity data.
+DESCRIPTIVE_L3_ATTRS: Dict[str, Tuple[str, ...]] = {
+    "Improved Grassland": (
+        "short to medium vegetation height",
+        "very even close-cropped sward",
+        "grass-dominated",
+        "few forbs",
+    ),
+    "Neutral Grassland": (
+        "medium to tall vegetation height",
+        "mixed uneven meadow sward",
+        "herbs-dominated",
+        "moderate to high forbs",
+    ),
+    "Calcareous Grassland": (
+        "short vegetation height",
+        "close-cropped open turf",
+        "fine grasses and herbs dominated",
+        "high forb richness",
+    ),
+    "Acid Grassland": (
+        "short to medium vegetation height",
+        "patchy or tussocky sward",
+        "fine grasses dominated",
+        "low to moderate forbs",
+    ),
+    "Bracken": (
+        "tall vegetation height",
+        "dense canopy of fronds",
+        "bracken fronds",
+        "low forb richness",
+    ),
+    "Fen, Marsh, Swamp": (
+        "tall emergent wetland herbs and sedges",
+        "sedges, rushes, reeds and wetland herbs",
+        "dense emergent cover with wet channels or patches",
+        "waterlogged to shallowly inundated",
+    ),
+    "Bog": (
+        "low open mossy vegetation with scattered dwarf shrubs",
+        "bog-moss and cotton-grass",
+        "hummocky surface with small wet hollows",
+        "persistently waterlogged",
+    ),
+    "Dwarf Shrub Heath": (
+        "low dwarf shrubs (<1.5 m)",
+        "dwarf-shrub dominated, low woody canopy",
+        "heather/ericoids and dwarf gorse",
+        "patchy heather with moss/lichen and bare ground",
+    ),
+    "Arable and Horticulture": (
+        "regular planted rows or plots with uniform spacing",
+        "arable crops or horticultural plantings",
+        "tilled or ploughed soil with furrows and stubble",
+        "actively cultivated or rotational fallow",
+    ),
+    "Broadleaved Mixed and Yew Woodland": (
+        "tall broadleaved canopy, irregular and layered",
+        "broad leaves with some evergreen yew",
+        "dappled light through mixed canopy",
+        "leaf-littered forest floor",
+    ),
+    "Coniferous Woodland": (
+        "tall conifer canopy, often uniform or plantation-like",
+        "needle-leaved evergreen conifers",
+        "darker, more shaded understory",
+        "needle litter with sparse ground vegetation or moss",
+    ),
+    "Littoral Rock": (
+        "exposed rock platforms or boulder shores",
+        "hard, uneven rock with crevices and pools",
+        "bare rock with algal and barnacle encrustation",
+        "intertidal, regularly wetted and exposed",
+    ),
+    "Littoral Sediment": (
+        "sand, mud or gravel flats",
+        "flat, soft sediment with ripples",
+        "mostly bare sediment with sparse algal film",
+        "intertidal flats, regularly inundated and exposed",
+    ),
+    "Montane": (
+        "low wind-clipped vegetation above treeline",
+        "dwarf shrubs with moss, lichen and short grasses",
+        "rocky ground with thin soils and bare patches",
+        "open, treeless, exposed upland ridges",
+    ),
+    "Standing Open Waters and Canals": (
+        "open water body or straight canal",
+        "still or slow-moving open water",
+        "defined banks or engineered canal edges",
+        "floating or submerged plants with narrow fringe",
+    ),
+    "Inland Rock": (
+        "exposed inland rock, cliffs or scree",
+        "hard rock faces with fissures and ledges",
+        "mostly bare rock with sparse crevice plants",
+        "dry, wind-exposed inland slopes",
+    ),
+    "Supra-littoral Rock": (
+        "coastal rock above the high-tide line",
+        "rugged rock with spray-wet surfaces",
+        "salt-tolerant lichens or algae, sparse vegetation",
+        "wave-splash zone with salt spray",
+    ),
+    "Supra-littoral Sediment": (
+        "coastal sand, shingle or pebbles",
+        "loose granular sediment with ridges",
+        "sparse salt-tolerant pioneer plants",
+        "above high tide, exposed to spray and wind",
+    ),
+    "Urban": (
+        "dense built structures, walls and roofs",
+        "sealed hard surfaces like concrete or asphalt",
+        "little vegetation or small landscaped patches",
+        "roads, kerbs, fences or utilities",
+    ),
+    "Sea": (
+        "open marine water to the horizon",
+        "rolling waves or choppy surface",
+        "open water with minimal vegetation",
+        "distant coastline or open sea view",
+    ),
 }
 
 _ID_NAME_L2 = {i: n for i, n in enumerate(L2_NAMES)}
 
 
-def _format_attrs(attrs: Dict[str, str]) -> str:
-    return ", ".join(attrs.values())
+def _format_attrs(attrs: Tuple[str, ...]) -> str:
+    return ", ".join(attrs)
 
 
 def gen_prompts(
