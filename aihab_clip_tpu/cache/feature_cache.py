@@ -150,14 +150,16 @@ def read_preprojection_cache(
     Reads both single-file views (``f{v}.npy``) and multi-host sharded
     views (``f{v}.shard{k}.npy``, concatenated in shard order)."""
     cache_dir = Path(cache_dir)
-    labels = _load_maybe_sharded(cache_dir, "label")
-    keep = (np.where(labels < max_label)[0] if max_label is not None
-            else np.arange(len(labels)))
-    labels = labels[keep]
+    labels = np.asarray(_load_maybe_sharded(cache_dir, "label"))
+    keep = None
+    if max_label is not None and (labels >= max_label).any():
+        keep = np.where(labels < max_label)[0]
+        labels = labels[keep]
     views = []
     for v in range(aug_views):
         arr = _load_maybe_sharded(cache_dir, f"f{v}", mmap=mmap)
-        views.append(np.asarray(arr[keep]))
+        # avoid fancy-indexing (row-gather copy) when nothing is filtered
+        views.append(np.asarray(arr) if keep is None else np.asarray(arr[keep]))
     return views, labels
 
 

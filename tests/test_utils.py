@@ -71,3 +71,34 @@ def test_device_memory_stats_shape():
     # CPU backend may not expose memory stats; both outcomes valid
     if stats is not None:
         assert "bytes_in_use" in stats
+
+
+def test_assert_finite_and_nan_debugging():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from aihab_clip_tpu.utils.debugging import (
+        assert_finite,
+        finite_or_raise,
+        nan_debugging,
+    )
+
+    assert_finite({"a": np.ones(3), "b": {"c": np.zeros(2)}})
+    with _pytest.raises(FloatingPointError, match="a.*non-finite"):
+        assert_finite({"a": np.array([1.0, np.nan])}, name="grads")
+
+    # in-jit guard
+    import jax
+
+    @jax.jit
+    def f(x):
+        return finite_or_raise(x, "x") * 2
+
+    np.testing.assert_array_equal(np.asarray(f(jnp.ones(4))), 2 * np.ones(4))
+    with _pytest.raises(Exception):
+        f(jnp.array([1.0, np.inf]))
+        jax.effects_barrier()
+
+    with nan_debugging(True):
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
