@@ -113,6 +113,7 @@ class SigLIPAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_fused: bool | None = None  # None = measured-crossover dispatch
 
     @nn.compact
     def __call__(self, q_in: jax.Array, kv_in: Optional[jax.Array] = None
@@ -127,11 +128,17 @@ class SigLIPAttention(nn.Module):
         k = dense("k_proj")(kv_in)
         v = dense("v_proj")(kv_in)
 
-        def heads(t):
-            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+        if q_in.shape[1] == kv_in.shape[1]:
+            from ..ops.attention import attention
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(*q_in.shape[:-1], width)
+            out = attention(q, k, v, self.num_heads,
+                            use_fused=self.use_fused)
+        else:  # cross-attention (MAP probe): single-query XLA path
+            def heads(t):
+                return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+
+            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+            out = out.reshape(*q_in.shape[:-1], width)
         return dense("out_proj")(out)
 
 

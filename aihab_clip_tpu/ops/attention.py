@@ -3,14 +3,15 @@
 One grid program per (image, head) computes scores, masked softmax, and
 the value contraction entirely in VMEM.
 
-Measured reality on v5e (ViT-B/16 shapes, batch 256): XLA's own attention
-is already fast here — 2.5 ms for the whole 12-head batch op vs 4.4 ms for
-this kernel (the per-(image, head) grid under-utilizes the MXU at S=197,
-D=64).  Block-time profiling attributes the tower's non-GEMM time to
-LayerNorm/residual/GELU HBM traffic *between* GEMMs, not to attention
-(see PERF_NOTES.md).  The dispatcher therefore defaults to XLA
-(``use_fused=False``); the kernel remains as working infrastructure for
-longer-sequence regimes where score materialization does dominate.
+Measured reality on v5e:
+  * ViT-B/16 shapes (S=197, batch 256): XLA wins — 2.5 ms vs 4.4 ms for
+    this kernel (the per-(image, head) grid under-utilizes the MXU at
+    D=64, and the score tensor is still small).
+  * SigLIP-384 shapes (S=729, H=16, batch 64): this kernel wins 1.75x —
+    4.53 ms vs 7.91 ms (median of 3) — because XLA materializes the
+    [B, H, S, S] scores in HBM and that traffic now dominates.
+The dispatcher therefore selects the kernel for non-causal sequences of
+>= 512 tokens on TPU and XLA below that.
 
 Backward: ``fused_attention`` carries a custom VJP whose backward pass
 recomputes through the plain XLA formulation.
@@ -115,13 +116,21 @@ def _fused_bwd(num_heads, res, g):
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+# below this sequence length XLA's attention is faster than the kernel
+# (measured crossover between 197 and 729 tokens on v5e)
+FUSED_MIN_SEQ = 512
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-              *, causal: bool = False, use_fused: bool = False) -> jax.Array:
-    """Dispatch: XLA attention by default (measured faster at ViT sequence
-    lengths — see module docstring); ``use_fused=True`` selects the Pallas
-    kernel for long-sequence regimes."""
+              *, causal: bool = False,
+              use_fused: bool | None = None) -> jax.Array:
+    """Dispatch by measured crossover: the Pallas kernel for non-causal
+    sequences >= FUSED_MIN_SEQ tokens on TPU, XLA otherwise.  Pass
+    ``use_fused`` to force either path."""
+    if use_fused is None:
+        use_fused = q.shape[1] >= FUSED_MIN_SEQ
     if (use_fused and not causal and jax.default_backend() == "tpu"
-            and q.shape[1] <= 1024):
+            and q.shape[1] <= 4096):
         return fused_attention(q, k, v, num_heads)
     b, s, w = q.shape
     head_dim = w // num_heads
