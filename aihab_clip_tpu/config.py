@@ -110,6 +110,10 @@ def coerce_value_type(replacement: Any, original: Any, full_key: str) -> Any:
             return True
         if low in ("false", "0", "no"):
             return False
+    # tri-state keys (e.g. device_dataset: true | false | 'auto') accept
+    # bool overrides over a string default
+    if isinstance(original, str) and isinstance(replacement, bool):
+        return replacement
     raise ValueError(
         f"Type mismatch ({original_type} vs. {replacement_type}) with values "
         f"({original} vs. {replacement}) for config key: {full_key}"

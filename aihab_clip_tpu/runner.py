@@ -234,6 +234,22 @@ def _maybe_restore_checkpoint(cfg, bundle) -> Optional[str]:
     return str(path)
 
 
+def _resolve_device_dataset(cfg, loaders) -> bool:
+    """device_dataset: true | false | 'auto' (stage the train split in HBM
+    and scan the epoch when it fits — measured faster than per-step
+    dispatch, PERF_NOTES.md)."""
+    setting = cfg.get("device_dataset", "auto")
+    if isinstance(setting, bool):
+        return setting
+    if str(setting).lower() != "auto":
+        return False
+    if jax.default_backend() != "tpu":
+        return False  # CPU runs keep the host loop (no dispatch latency)
+    train_bytes = (loaders.train.num_samples
+                   * int(np.prod(loaders.train.dataset.images.shape[1:])))
+    return train_bytes <= 4 * 1024 ** 3  # leave HBM room for params/activations
+
+
 def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
              ) -> Dict[str, Any]:
     """OpenCLIP-style partial-unfreeze fine-tune (reference FTOpenCLIP)."""
@@ -285,7 +301,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         compute_dtype=compute_dtype_for_backend(),
         val_interval=int(ft_cfg.get("val_interval", 0)),
         aug_impl=str(cfg.get("aug_impl", "fast")),
-        device_dataset=bool(cfg.get("device_dataset", False)),
+        device_dataset=_resolve_device_dataset(cfg, loaders),
     )
 
     out = finetune(
