@@ -464,6 +464,9 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
 def run(cfg, inspect_only: bool = False, config_file: str = "cfg",
         logger_mode: str = "auto") -> Dict[str, Any]:
     """Full pipeline entry (used by main.py and the sweep launcher)."""
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     set_seed(int(cfg.get("seed", 1)))
     backend = str(cfg.get("clip_backend", "openai")).lower()
 

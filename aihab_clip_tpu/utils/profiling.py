@@ -18,6 +18,21 @@ from typing import Dict, Optional
 import jax
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache: repeat runs skip multi-minute
+    remote compiles (no-op when the backend doesn't support it)."""
+    import os
+
+    try:
+        path = os.path.expanduser(
+            cache_dir or "~/.cache/aihab_clip_tpu/xla_cache")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def trace(log_dir: str, with_memory: bool = True):
     jax.profiler.start_trace(log_dir)
