@@ -8,6 +8,7 @@ from .feature_cache import (
     canonical_backbone_name,
     feature_cache_dir,
     feature_cache_exists,
+    feature_cache_exists_sharded,
     read_preprojection_cache,
     write_preprojection_cache,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "embedding_cache_dir",
     "feature_cache_dir",
     "feature_cache_exists",
+    "feature_cache_exists_sharded",
     "load_embedding_cache",
     "read_preprojection_cache",
     "write_preprojection_cache",

@@ -196,10 +196,26 @@ def cache_features_from_loader(
     resolution: int,
     info: Dict,
     compute_dtype=jnp.bfloat16,
+    shard_index: Optional[int] = None,
+    shard_count: Optional[int] = None,
 ) -> Dict:
     """End-to-end cache writer: run the train split through the frozen
     encoder once per augmentation view (device-side train augmentation,
     per-view PRNG key) and stream pre-projection features to the cache.
+
+    Rows are written in DETERMINISTIC split order for every view, so each
+    ``f{v}`` aligns with the single ``label`` file; augmentation variation
+    across views comes only from the per-view PRNG key.  (The reference
+    iterates its *shuffled* train loader once per view while keeping only
+    view 0's labels — `/root/reference/aihab_utils/feature_cache.py:205-224`
+    with `shuffle: True` at `/root/reference/configs/cs.yaml:16` — which
+    silently misaligns labels for views >= 1.  Deterministic order loses
+    nothing: view variation never came from sample order.)
+
+    Multi-host: when ``shard_count > 1`` (defaults to ``jax.process_count()``)
+    each process encodes a deterministic, disjoint shard of the split and
+    writes ``f{v}.shard{k}.npy``; ``read_preprojection_cache`` merges shards
+    in order.
 
     Reference flow: `/root/reference/aihab_utils/feature_cache.py:189-251`.
     """
@@ -216,9 +232,36 @@ def cache_features_from_loader(
               if str(cfg.get("aug_impl", "fast")) == "fast"
               else train_transform)
 
+    # caching always iterates in deterministic split order (see docstring)
+    from ..data.pipeline import SplitView
+
+    cache_view = SplitView(train_view.dataset, train_view.indices,
+                           train_view.batch_size, shuffle=False,
+                           use_l2_label=train_view.use_l2_label)
+
+    if shard_count is None:
+        shard_count = jax.process_count()
+    if shard_count > 1:
+        from ..parallel.distributed import process_shard_indices
+
+        if shard_index is None:
+            shard_index = jax.process_index()
+        pos = process_shard_indices(cache_view.num_samples, seed=seed,
+                                    process_index=shard_index,
+                                    process_count=shard_count)
+        cache_view = SplitView(cache_view.dataset, cache_view.indices[pos],
+                               cache_view.batch_size, shuffle=False,
+                               use_l2_label=cache_view.use_l2_label)
+        expected_n = cache_view.num_samples
+    else:
+        shard_index = None
+        expected_n = info.get("train_size")
+
     print("\n==== Feature Caching (pre-projection) ====")
     print({"cache_dir": str(cache_dir), "aug_views": aug_views,
            "expected_train_size": info.get("train_size"),
+           "shard": (None if shard_index is None
+                     else f"{shard_index}/{shard_count}"),
            "crop_mode": crop_mode})
 
     @jax.jit
@@ -236,7 +279,7 @@ def cache_features_from_loader(
     def encode_view(v: int):
         feats, labels = [], []
         base = jax.random.fold_in(jax.random.key(seed), v)
-        for bi, batch in enumerate(train_view.batches(epoch=v)):
+        for bi, batch in enumerate(cache_view.batches()):
             key = jax.random.fold_in(base, bi)
             pre = encode_batch(jnp.asarray(batch.images), key)
             feats.append(np.asarray(pre)[batch.valid])
@@ -245,4 +288,4 @@ def cache_features_from_loader(
 
     return write_preprojection_cache(
         cache_dir, encode_view, aug_views,
-        expected_n=info.get("train_size"))
+        expected_n=expected_n, shard_index=shard_index)

@@ -27,7 +27,7 @@ from .cache import (
     cache_embeddings,
     cache_features_from_loader,
     feature_cache_dir,
-    feature_cache_exists,
+    feature_cache_exists_sharded,
     read_preprojection_cache,
 )
 from .data import build_loaders
@@ -234,20 +234,28 @@ def _maybe_restore_checkpoint(cfg, bundle) -> Optional[str]:
     return str(path)
 
 
-def _resolve_device_dataset(cfg, loaders) -> bool:
-    """device_dataset: true | false | 'auto' (stage the train split in HBM
-    and scan the epoch when it fits — measured faster than per-step
-    dispatch, PERF_NOTES.md)."""
+def _resolve_device_dataset(cfg, loaders):
+    """device_dataset: true | false | 'chunked' | 'auto'.
+
+    'auto' stages the train split in HBM and scans the epoch when it fits
+    (measured faster than per-step dispatch, PERF_NOTES.md); when it does
+    NOT fit, it falls back to double-buffered HBM chunks ('chunked': the
+    next chunk's upload overlaps the current chunk's on-device scan,
+    step-for-step identical training)."""
     setting = cfg.get("device_dataset", "auto")
     if isinstance(setting, bool):
         return setting
-    if str(setting).lower() != "auto":
+    s = str(setting).lower()
+    if s == "chunked":
+        return "chunked"
+    if s != "auto":
         return False
     if jax.default_backend() != "tpu":
         return False  # CPU runs keep the host loop (no dispatch latency)
     train_bytes = (loaders.train.num_samples
                    * int(np.prod(loaders.train.dataset.images.shape[1:])))
-    return train_bytes <= 4 * 1024 ** 3  # leave HBM room for params/activations
+    # leave HBM room for params/activations; larger splits stream in chunks
+    return True if train_bytes <= 4 * 1024 ** 3 else "chunked"
 
 
 def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
@@ -346,6 +354,15 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     return out
 
 
+def _cache_shard_kwargs(cfg) -> Dict[str, Optional[int]]:
+    """Optional multi-host cache sharding overrides (default: follow
+    jax.process_index/count inside the writer)."""
+    si = cfg.get("cache_shard_index", None)
+    sc = cfg.get("cache_shard_count", None)
+    return {"shard_index": None if si is None else int(si),
+            "shard_count": None if sc is None else int(sc)}
+
+
 def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
                ) -> Dict[str, Any]:
     """ProLIP projector tuning on cached pre-projection features
@@ -364,7 +381,7 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     aug_views = int(cfg.get("aug_views", 1) or 1)
 
     cache_dir = feature_cache_dir(cfg)
-    if not feature_cache_exists(cache_dir, aug_views):
+    if not feature_cache_exists_sharded(cache_dir, aug_views):
         if cfg.get("finetune", {}).get("require_cached_features", True):
             raise FileNotFoundError(
                 f"Cached features not found in {cache_dir}; run with "
@@ -372,7 +389,8 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         print(f"[warn] Cached features missing in {cache_dir}; generating now.")
         cache_features_from_loader(cfg, model, params, loaders.train,
                                    resolution, loaders.info,
-                                   compute_dtype=compute_dtype_for_backend())
+                                   compute_dtype=compute_dtype_for_backend(),
+                                   **_cache_shard_kwargs(cfg))
 
     views, labels = read_preprojection_cache(cache_dir, aug_views,
                                              max_label=num_classes)
@@ -497,7 +515,8 @@ def run(cfg, inspect_only: bool = False, config_file: str = "cfg",
         cache_features_from_loader(
             cfg, bundle["model"], bundle["params"], loaders.train,
             bundle["resolution"], loaders.info,
-            compute_dtype=compute_dtype_for_backend())
+            compute_dtype=compute_dtype_for_backend(),
+            **_cache_shard_kwargs(cfg))
 
     do_finetune = cfg.get("finetune", {}).get("enabled", False)
     if do_finetune and backend == "openclip":
