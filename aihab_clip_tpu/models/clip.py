@@ -81,6 +81,8 @@ CLIP_ARCHS: Dict[str, CLIPConfig] = {
     "ViT-L/14@336px": CLIPConfig(768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
     # development/smoke architecture (tiny but tokenizer-compatible)
     "Tiny": CLIPConfig(32, 32, 2, 64, 8, 77, 49408, 64, 1, 2),
+    # tiny ModifiedResNet for tests (width 8 -> pool embed 256, 4 heads)
+    "TinyRN": CLIPConfig(32, 32, (1, 1, 1, 1), 8, None, 77, 49408, 64, 1, 2),
     # open_clip-scale large towers (conversion via state-dict shape
     # inference; the ViT-g family uses a 4.36x MLP)
     "ViT-H/14": CLIPConfig(1024, 224, 32, 1280, 14, 77, 49408, 1024, 16, 24),

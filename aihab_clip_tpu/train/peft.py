@@ -62,6 +62,20 @@ def _vit_group_of(path: Tuple[str, ...], num_layers: int) -> int:
     return 0
 
 
+def _rn_group_of(path: Tuple[str, ...], num_stages: int = 4) -> int:
+    """Group index of a ModifiedResNet param: 0 = stem (conv1-3 + bn1-3),
+    1..4 = residual stages (``layer{s}_{blk}``), 5 = attnpool head —
+    the same grouping open_clip's ``lock_image_tower`` uses for its
+    ResNet towers (the reference calls it at
+    `/root/reference/methods/PEFT_openclip.py:197`, ViT-only in practice;
+    RN group masks extend PEFT beyond reference parity)."""
+    if path[0].startswith("layer"):
+        return int(path[0][len("layer"):].split("_")[0])
+    if path[0] == "attnpool":
+        return num_stages + 1
+    return 0
+
+
 def _text_group_of(path: Tuple[str, ...], num_layers: int) -> int:
     """0 = embeddings, 1..L = resblocks, L+1 = head (ln_final + projection)."""
     if path[0] == "transformer":
@@ -79,22 +93,25 @@ def build_lock_mask(
     unlocked_groups: int = 0,
     tune_text: bool = False,
     unlocked_text_layers: int = 0,
+    is_vit: bool = True,
 ) -> Dict:
     """Boolean pytree: True = trainable.
 
     ``unlocked_groups`` unlocks the LAST n visual groups (0 = vision fully
-    frozen).  ``tune_text`` with ``unlocked_text_layers`` unlocks the last
-    n text groups; tune_text=False freezes the whole text tower.
-    logit_scale stays frozen (it is unused by the loss).
+    frozen).  ViT groups: stem / L resblocks / head.  RN groups: stem /
+    4 stages / attnpool.  ``tune_text`` with ``unlocked_text_layers``
+    unlocks the last n text groups; tune_text=False freezes the whole
+    text tower.  logit_scale stays frozen (it is unused by the loss).
     """
-    n_vis_groups = vision_layers + 2
+    n_vis_groups = (vision_layers + 2) if is_vit else 6
     n_txt_groups = text_layers + 2
     flat = traverse_util.flatten_dict(params)
     mask = {}
     for path in flat:
         top = path[0]
         if top == "visual":
-            g = _vit_group_of(path[1:], vision_layers)
+            g = (_vit_group_of(path[1:], vision_layers) if is_vit
+                 else _rn_group_of(path[1:]))
             mask[path] = g >= (n_vis_groups - unlocked_groups)
         elif top == "text":
             if not tune_text:
@@ -164,7 +181,13 @@ class PEFTConfig:
     compute_dtype: Any = jnp.float32
     val_interval: int = 0
     aug_impl: str = "fast"   # 'fast' = matmul-formulated warp; 'exact' = per-image gather
-    device_dataset: bool = False  # stage the train split in HBM; scan the epoch
+    # False = per-step host loop; True = stage the whole split in HBM and
+    # scan the epoch; "chunked" = double-buffered HBM chunks (datasets
+    # larger than HBM): the next chunk's host gather + upload overlaps the
+    # current chunk's on-device scan.  Chunked and full-scan training are
+    # step-for-step identical (same batch order and augmentation keys).
+    device_dataset: Any = False
+    device_chunk_bytes: int = 1 << 30  # per-chunk image budget (2 buffers live)
 
 
 def make_train_step(model: CLIPModel, cfg: PEFTConfig,
@@ -270,16 +293,20 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
 
     @partial(jax.jit, donate_argnums=(0, 2))
     def epoch_fn(trainable, frozen, opt_state, images_all, labels_all,
-                 batch_idx, batch_valid, epoch_key, lr):
+                 batch_idx, batch_valid, epoch_key, lr,
+                 step0: jax.Array | int = 0):
         """batch_idx: [steps, B] int32 gather indices into images_all;
-        batch_valid: [steps, B] bool (padding rows False)."""
+        batch_valid: [steps, B] bool (padding rows False).  ``step0`` is
+        the global step offset of this call within the epoch (nonzero for
+        chunked epochs), keeping augmentation keys identical to one
+        whole-epoch scan."""
 
         def body(carry, sb):
             trainable, opt_state = carry
             idx, valid, bi = sb
             images = jnp.take(images_all, idx, axis=0)
             labels = jnp.take(labels_all, idx, axis=0)
-            key = jax.random.fold_in(epoch_key, bi)
+            key = jax.random.fold_in(epoch_key, step0 + bi)
             (loss, (correct, n_valid)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable, frozen, images, labels,
                                        valid, key)
@@ -354,6 +381,7 @@ def finetune(
         unlocked_groups=unlocked_groups,
         tune_text=cfg.tune_text,
         unlocked_text_layers=unlocked_text_layers,
+        is_vit=ccfg.is_vit,
     )
     trainable, frozen = partition_params(params, mask)
     report = trainable_report(mask)
@@ -369,7 +397,9 @@ def finetune(
     if not cfg.tune_text and text_weights is None:
         raise ValueError("tune_text=False requires precomputed text_weights")
 
-    use_scan = bool(cfg.device_dataset)
+    use_chunked = (isinstance(cfg.device_dataset, str)
+                   and cfg.device_dataset.lower() == "chunked")
+    use_scan = bool(cfg.device_dataset) and not use_chunked
     if use_scan:
         opt, epoch_fn = make_epoch_scan(model, cfg, text_weights,
                                         prompt_tokens)
@@ -377,6 +407,15 @@ def finetune(
         images_all = jnp.asarray(
             train_view.dataset.images[train_view.indices])
         labels_all = jnp.asarray(train_view.labels.astype(np.int32))
+        step = None
+    elif use_chunked:
+        opt, epoch_fn = make_epoch_scan(model, cfg, text_weights,
+                                        prompt_tokens)
+        labels_view = train_view.labels.astype(np.int32)
+        bytes_per_sample = int(
+            np.prod(train_view.dataset.images.shape[1:]))
+        chunk_steps = max(1, int(cfg.device_chunk_bytes)
+                          // (bytes_per_sample * train_view.batch_size))
         step = None
     else:
         opt, step = make_train_step(model, cfg, text_weights,
@@ -427,6 +466,45 @@ def finetune(
             run_batches = int(m["batches"])
             correct = float(m["correct"])
             seen = float(m["n_valid"])
+            if timer is not None:
+                timer.tick(items=int(seen))
+        elif use_chunked:
+            idx, valid = _epoch_batch_indices(train_view, epoch)
+            steps = idx.shape[0]
+            n_chunks = (steps + chunk_steps - 1) // chunk_steps
+
+            def stage(c):
+                """Host-gather + async-upload chunk c's samples; the batch
+                indices become chunk-local row numbers."""
+                s0 = c * chunk_steps
+                s1 = min(s0 + chunk_steps, steps)
+                rel = idx[s0:s1].reshape(-1)           # view-relative rows
+                abs_rows = train_view.indices[rel]     # (pad rows repeat,
+                imgs = jax.device_put(                 #  masked by valid)
+                    np.ascontiguousarray(train_view.dataset.images[abs_rows]))
+                labs = jax.device_put(labels_view[rel])
+                n_local = s1 - s0
+                bidx = np.arange(n_local * train_view.batch_size,
+                                 dtype=np.int32).reshape(
+                                     n_local, train_view.batch_size)
+                return imgs, labs, jnp.asarray(bidx), \
+                    jnp.asarray(valid[s0:s1]), s0
+
+            metrics_parts = []
+            buf = stage(0)
+            for c in range(n_chunks):
+                imgs, labs, bidx, bvalid, s0 = buf
+                trainable, opt_state, m = epoch_fn(
+                    trainable, frozen, opt_state, imgs, labs, bidx, bvalid,
+                    ekey, lr_e, jnp.asarray(s0, jnp.int32))
+                # prefetch the next chunk while this one computes on device
+                if c + 1 < n_chunks:
+                    buf = stage(c + 1)
+                metrics_parts.append(m)
+            run_loss = float(sum(m["loss_sum"] for m in metrics_parts))
+            run_batches = int(sum(m["batches"] for m in metrics_parts))
+            correct = float(sum(m["correct"] for m in metrics_parts))
+            seen = float(sum(m["n_valid"] for m in metrics_parts))
             if timer is not None:
                 timer.tick(items=int(seen))
         else:

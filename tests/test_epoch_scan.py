@@ -52,11 +52,19 @@ def test_epoch_batch_indices_match_splitview(setup):
                                           batch.indices[batch.valid])
 
 
+def _fresh_params(bundle):
+    # scan/chunked paths DONATE the trainable leaves; every run needs its
+    # own copies of the shared fixture's params
+    import jax
+
+    return jax.tree.map(lambda x: np.array(x), bundle.params)
+
+
 def _run(setup, device_dataset):
     loaders, bundle, head = setup
     cfg = PEFTConfig(resolution=24, num_classes=20, lr=1e-3, epochs=2,
                      crop_mode="center", device_dataset=device_dataset)
-    return finetune(bundle.model, bundle.params, loaders.train, None,
+    return finetune(bundle.model, _fresh_params(bundle), loaders.train, None,
                     loaders.test, cfg, text_weights=head["text_weights"],
                     unlocked_groups=2, seed=0, verbose=False,
                     track_test=False)
@@ -75,3 +83,49 @@ def test_scan_equals_host_loop(setup):
                                    err_msg="/".join(k))
     assert out_scan["test"]["top1"] == pytest.approx(
         out_host["test"]["top1"], abs=1e-6)
+
+
+def test_chunked_equals_full_scan(setup):
+    """Double-buffered chunked epochs == one whole-epoch scan, step for
+    step (same batch order, same global-step augmentation keys)."""
+    loaders, _, _ = setup
+    # tiny chunk budget -> several chunks per epoch (incl. a short tail)
+    bytes_per_sample = int(np.prod(loaders.train.dataset.images.shape[1:]))
+    out_scan = _run(setup, device_dataset=True)
+    out_chunk = _run_chunked(setup, chunk_bytes=2 * 8 * bytes_per_sample)
+
+    flat_s = traverse_util.flatten_dict(out_scan["params"])
+    flat_c = traverse_util.flatten_dict(out_chunk["params"])
+    for k in flat_s:
+        np.testing.assert_allclose(np.asarray(flat_s[k]),
+                                   np.asarray(flat_c[k]),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg="/".join(k))
+    assert out_chunk["test"]["top1"] == pytest.approx(
+        out_scan["test"]["top1"], abs=1e-6)
+
+
+def _run_chunked(setup, chunk_bytes):
+    loaders, bundle, head = setup
+    cfg = PEFTConfig(resolution=24, num_classes=20, lr=1e-3, epochs=2,
+                     crop_mode="center", device_dataset="chunked",
+                     device_chunk_bytes=chunk_bytes)
+    return finetune(bundle.model, _fresh_params(bundle), loaders.train, None,
+                    loaders.test, cfg, text_weights=head["text_weights"],
+                    unlocked_groups=2, seed=0, verbose=False,
+                    track_test=False)
+
+
+def test_chunked_with_augmentation_runs(setup):
+    """Chunked path with stochastic augmentation (keys actually consumed)."""
+    loaders, bundle, head = setup
+    cfg = PEFTConfig(resolution=24, num_classes=20, lr=1e-3, epochs=1,
+                     crop_mode="random", flip=True,
+                     device_dataset="chunked",
+                     device_chunk_bytes=3 * 8 * int(
+                         np.prod(loaders.train.dataset.images.shape[1:])))
+    out = finetune(bundle.model, _fresh_params(bundle), loaders.train, None,
+                   loaders.test, cfg, text_weights=head["text_weights"],
+                   unlocked_groups=1, seed=0, verbose=False,
+                   track_test=False)
+    assert out["test"] is not None and 0.0 <= out["test"]["top1"] <= 1.0

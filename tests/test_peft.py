@@ -178,3 +178,80 @@ def test_finetune_tune_text_path(bundle, data):
     flat1 = traverse_util.flatten_dict(out["params"])
     assert not np.array_equal(np.asarray(flat0[("text", "text_projection")]),
                               np.asarray(flat1[("text", "text_projection")]))
+
+
+# ---------------------------------------------------------------------------
+# ModifiedResNet tower group masks (extends the reference, which only ever
+# PEFT-trains ViT towers; grouping mirrors open_clip's ResNet lock order:
+# stem / layer1..4 / attnpool)
+# ---------------------------------------------------------------------------
+
+RN_TINY = CLIPConfig(
+    embed_dim=32, image_resolution=32, vision_layers=(1, 1, 1, 1),
+    vision_width=8, vision_patch_size=None, context_length=77,
+    vocab_size=49408, transformer_width=64, transformer_heads=1,
+    transformer_layers=2)
+
+
+@pytest.fixture(scope="module")
+def rn_bundle():
+    return load("random:tiny-rn-peft", random_cfg=RN_TINY, seed=1)
+
+
+def _trainable_names(mask):
+    flat = traverse_util.flatten_dict(mask)
+    return {"/".join(k) for k, v in flat.items() if v}
+
+
+def test_rn_lock_mask_attnpool_only(rn_bundle):
+    mask = build_lock_mask(rn_bundle.params, 0, RN_TINY.transformer_layers,
+                           unlocked_groups=1, is_vit=False)
+    trainable = _trainable_names(mask)
+    assert trainable
+    assert all(t.startswith("visual/attnpool/") for t in trainable)
+
+
+def test_rn_lock_mask_stagewise(rn_bundle):
+    mask = build_lock_mask(rn_bundle.params, 0, RN_TINY.transformer_layers,
+                           unlocked_groups=2, is_vit=False)
+    trainable = _trainable_names(mask)
+    assert any(t.startswith("visual/layer4_") for t in trainable)
+    assert any(t.startswith("visual/attnpool/") for t in trainable)
+    assert not any(t.startswith("visual/layer3_") for t in trainable)
+    assert not any(t.startswith("visual/conv1") for t in trainable)
+    assert not any(t.startswith("visual/bn1") for t in trainable)
+
+    mask_full = build_lock_mask(rn_bundle.params, 0,
+                                RN_TINY.transformer_layers,
+                                unlocked_groups=6, is_vit=False)
+    flat = traverse_util.flatten_dict(mask_full)
+    vis = {k: v for k, v in flat.items() if k[0] == "visual"}
+    assert all(vis.values())  # full unlock trains the whole tower
+    assert not any(v for k, v in flat.items() if k[0] != "visual")
+
+
+@pytest.mark.slow
+def test_rn_peft_finetune_smoke(rn_bundle, data):
+    """One PEFT epoch through the RN tower: trainable stage/attnpool leaves
+    move, frozen ones don't, metrics come back."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(rn_bundle.model, rn_bundle.params, prompts, 20, tpc)
+    cfg = PEFTConfig(resolution=32, num_classes=20, lr=2e-3, epochs=1,
+                     crop_mode="center", tune_text=False)
+    out = finetune(
+        rn_bundle.model, rn_bundle.params, data.train, None, data.test, cfg,
+        text_weights=head["text_weights"], unlocked_groups=2, seed=0,
+        verbose=False)
+    assert out["test"] is not None and 0.0 <= out["test"]["top1"] <= 1.0
+    flat0 = traverse_util.flatten_dict(rn_bundle.params)
+    flat1 = traverse_util.flatten_dict(out["params"])
+    flat_m = traverse_util.flatten_dict(out["mask"])
+    assert any(m for m in flat_m.values())
+    for k, m in flat_m.items():
+        same = np.array_equal(np.asarray(flat0[k]), np.asarray(flat1[k]))
+        if not m:
+            assert same, f"frozen leaf changed: {k}"
+    changed = sum(not np.array_equal(np.asarray(flat0[k]),
+                                     np.asarray(flat1[k]))
+                  for k, m in flat_m.items() if m)
+    assert changed > 0

@@ -44,3 +44,26 @@ def test_sweep_run_name():
                       "finetune": {"unlocked_groups": 5}})
     name = sweep_run_name(cfg)
     assert name == "cs_s4_seed2_ViT-B-16-SigLIP_10ep_ug5"
+
+
+def test_resolve_device_dataset_tristate():
+    from aihab_clip_tpu.runner import _resolve_device_dataset
+
+    class _View:
+        num_samples = 4
+
+        class dataset:
+            import numpy as _np
+            images = _np.zeros((4, 8, 8, 3), _np.uint8)
+
+    class _Loaders:
+        train = _View()
+
+    # explicit values pass through untouched
+    for setting, want in [(True, True), (False, False),
+                          ("chunked", "chunked"), ("CHUNKED", "chunked")]:
+        cfg = ConfigNode({"device_dataset": setting})
+        assert _resolve_device_dataset(cfg, _Loaders()) == want
+    # auto on CPU -> host loop (no dispatch-latency problem to solve)
+    cfg = ConfigNode({"device_dataset": "auto"})
+    assert _resolve_device_dataset(cfg, _Loaders()) is False
