@@ -480,7 +480,8 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
 
 
 def run(cfg, inspect_only: bool = False, config_file: str = "cfg",
-        logger_mode: str = "auto") -> Dict[str, Any]:
+        logger_mode: str = "auto",
+        run_name: Optional[str] = None) -> Dict[str, Any]:
     """Full pipeline entry (used by main.py and the sweep launcher)."""
     from .utils.profiling import enable_compilation_cache
 
@@ -492,11 +493,12 @@ def run(cfg, inspect_only: bool = False, config_file: str = "cfg",
     use_logging = (cfg.get("finetune", {}).get("enabled", False)
                    and cfg.get("wandb_project", None))
     if use_logging:
-        run_name = (f"{cfg.get('dataset', 'ds')}_"
-                    f"shots{cfg.get('shots', 0)}_"
-                    f"seed{cfg.get('seed', 1)}_"
-                    f"{cfg.get('backbone', 'clip')}_"
-                    f"{cfg.get('train_epoch', 0)}eps_proj")
+        if run_name is None:
+            run_name = (f"{cfg.get('dataset', 'ds')}_"
+                        f"shots{cfg.get('shots', 0)}_"
+                        f"seed{cfg.get('seed', 1)}_"
+                        f"{cfg.get('backbone', 'clip')}_"
+                        f"{cfg.get('train_epoch', 0)}eps_proj")
         logger = RunLogger(cfg.get("wandb_project"), run_name, config=cfg,
                            mode=logger_mode)
 

@@ -84,7 +84,8 @@ def main():
     if cfg.get("wandb_project", None):
         cfg["wandb_project"] = f"{cfg['wandb_project']}_sweep"
     run(cfg, inspect_only=args.inspect_only,
-        config_file=Path(args.dataset_config).stem, logger_mode=args.logger)
+        config_file=Path(args.dataset_config).stem, logger_mode=args.logger,
+        run_name=sweep_run_name(cfg))
 
 
 if __name__ == "__main__":
