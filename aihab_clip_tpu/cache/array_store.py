@@ -1,0 +1,142 @@
+"""Cache array storage backends.
+
+Two implementations behind one small interface:
+
+* ``LocalNpyStore`` — raw ``.npy`` files on a local filesystem (mmap-able
+  zero-copy reads; this is what the feature-cache GB/s north-star
+  measures).
+* ``TensorStoreStore`` — tensorstore zarr arrays under any kvstore URI
+  (``gs://bucket/...``, ``file://...``, ``s3://...``), giving the cache
+  tree a cloud-storage root with the exact same layout.  ``file://`` URIs
+  exercise the identical code path in tests; swap in ``gs://`` on a pod.
+
+``open_store(root)`` picks the backend: anything containing ``://`` is a
+tensorstore URI, everything else a local directory.  The reference has no
+remote-storage story at all (``torch.save`` to local paths,
+`/root/reference/aihab_utils/feature_cache.py:152-153`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Union
+
+
+class LocalNpyStore:
+    """Arrays as ``<root>/<name>.npy``; JSON as plain files."""
+
+    def __init__(self, root: Union[str, Path]):
+        self.root = Path(root)
+
+    def ensure(self) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def save(self, name: str, arr) -> str:
+        import numpy as np
+
+        self.ensure()
+        path = self.root / f"{name}.npy"
+        np.save(path, arr)
+        return str(path)
+
+    def load(self, name: str, mmap: bool = False):
+        import numpy as np
+
+        return np.load(self.root / f"{name}.npy",
+                       mmap_mode="r" if mmap else None)
+
+    def exists(self, name: str) -> bool:
+        return (self.root / f"{name}.npy").is_file()
+
+    def list_arrays(self, prefix: str) -> List[str]:
+        return sorted(p.stem for p in self.root.glob(f"{prefix}*.npy"))
+
+    def write_json(self, name: str, obj) -> None:
+        self.ensure()
+        (self.root / name).write_text(json.dumps(obj, indent=2))
+
+    def read_json(self, name: str):
+        return json.loads((self.root / name).read_text())
+
+
+class TensorStoreStore:
+    """Arrays as zarr under ``<root_uri>/<name>/``; JSON via the kvstore."""
+
+    def __init__(self, root_uri: str):
+        self.root = root_uri if root_uri.endswith("/") else root_uri + "/"
+
+    def ensure(self) -> None:  # kvstores have no directories
+        pass
+
+    def _spec(self, name: str) -> dict:
+        return {"driver": "zarr", "kvstore": f"{self.root}{name}/"}
+
+    def save(self, name: str, arr) -> str:
+        import numpy as np
+        import tensorstore as ts
+
+        arr = np.asarray(arr)
+        t = ts.open(self._spec(name), create=True, delete_existing=True,
+                    dtype=arr.dtype, shape=arr.shape).result()
+        t[...] = arr
+        return f"{self.root}{name}/"
+
+    def load(self, name: str, mmap: bool = False):
+        import tensorstore as ts
+
+        t = ts.open(self._spec(name), open=True).result()
+        return t[...].read().result()
+
+    def exists(self, name: str) -> bool:
+        import tensorstore as ts
+
+        try:
+            ts.open(self._spec(name), open=True).result()
+            return True
+        except Exception:
+            return False
+
+    def list_arrays(self, prefix: str) -> List[str]:
+        import tensorstore as ts
+
+        kv = ts.KvStore.open(self.root).result()
+        names = set()
+        for key in kv.list().result():
+            key = key.decode() if isinstance(key, bytes) else key
+            if key.startswith(prefix) and key.endswith("/.zarray"):
+                names.add(key[: -len("/.zarray")])
+        return sorted(names)
+
+    def write_json(self, name: str, obj) -> None:
+        import tensorstore as ts
+
+        kv = ts.KvStore.open(self.root).result()
+        kv.write(name, json.dumps(obj, indent=2).encode()).result()
+
+    def read_json(self, name: str):
+        import tensorstore as ts
+
+        kv = ts.KvStore.open(self.root).result()
+        return json.loads(kv.read(name).result().value.decode())
+
+
+Store = Union[LocalNpyStore, TensorStoreStore]
+
+
+def is_remote_root(root: Union[str, Path]) -> bool:
+    return "://" in str(root)
+
+
+def open_store(root: Union[str, Path]) -> Store:
+    if is_remote_root(root):
+        return TensorStoreStore(str(root))
+    return LocalNpyStore(root)
+
+
+def join_cache_path(root: Union[str, Path], *parts: str):
+    """Path joining that preserves URI roots (``Path`` mangles ``//``)."""
+    if is_remote_root(root):
+        base = str(root).rstrip("/")
+        return "/".join([base, *parts])
+    return Path(root).joinpath(*parts)

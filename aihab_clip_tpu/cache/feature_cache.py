@@ -14,19 +14,27 @@ what the feature-cache GB/s north-star measures.  Each view ``v`` is one
 augmentation pass of the train split (device-side augmentation keyed by
 ``fold_in(seed, view)``), reproducing the reference's "selection once per
 seed, variation via aug_views" model with explicit PRNG keys.
+
+Remote roots: set ``root_path: gs://bucket/prefix`` (any tensorstore
+kvstore URI) and the same cache tree is written as zarr arrays through
+``cache.array_store.TensorStoreStore`` — tested against ``file://`` URIs,
+which run the identical code path.
 """
 
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from .array_store import join_cache_path, open_store
+
+CacheDir = Union[str, Path]
 
 
 def canonical_backbone_name(backbone: str) -> str:
@@ -42,8 +50,9 @@ def canonical_backbone_name(backbone: str) -> str:
     return name.replace("/", "_").replace(" ", "_").replace(":", "_")
 
 
-def feature_cache_dir(cfg) -> Path:
-    root = Path(cfg.get("root_path", "./"))
+def feature_cache_dir(cfg) -> CacheDir:
+    """Cache directory (a Path, or a URI string for remote roots)."""
+    root = cfg.get("root_path", "./")
     backend = str(cfg.get("clip_backend", "openai")).lower()
     if backend == "openclip":
         backbone_raw = cfg.get("open_clip_model", cfg.get("backbone", "RN50"))
@@ -53,18 +62,19 @@ def feature_cache_dir(cfg) -> Path:
     dataset = cfg.get("dataset", "cs")
     shots = int(cfg.get("shots", 0) or 0)
     seed = int(cfg.get("seed", 1) or 1)
-    return root / f"features_{backbone}_{dataset}" / f"{shots}_shot" / f"seed{seed}"
+    return join_cache_path(root, f"features_{backbone}_{dataset}",
+                           f"{shots}_shot", f"seed{seed}")
 
 
-def feature_cache_exists(cache_dir: Path, aug_views: int) -> bool:
-    if not (Path(cache_dir) / "label.npy").is_file():
+def feature_cache_exists(cache_dir: CacheDir, aug_views: int) -> bool:
+    store = open_store(cache_dir)
+    if not store.exists("label"):
         return False
-    return all((Path(cache_dir) / f"f{v}.npy").is_file()
-               for v in range(aug_views))
+    return all(store.exists(f"f{v}") for v in range(aug_views))
 
 
 def write_preprojection_cache(
-    cache_dir: Path,
+    cache_dir: CacheDir,
     encode_view: Callable[[int], Tuple[np.ndarray, np.ndarray]],
     aug_views: int,
     expected_n: Optional[int] = None,
@@ -81,8 +91,8 @@ def write_preprojection_cache(
     Performs the reference's write-then-reload validation (shape check,
     row/label agreement, expected-count check) and records everything in
     ``manifest.json``."""
-    cache_dir = Path(cache_dir)
-    cache_dir.mkdir(parents=True, exist_ok=True)
+    store = open_store(cache_dir)
+    store.ensure()
     suffix = "" if shard_index is None else f".shard{shard_index}"
 
     manifest: Dict = {"views": [], "aug_views": aug_views,
@@ -97,20 +107,18 @@ def write_preprojection_cache(
             feats = np.asarray(feats, dtype=feature_dtype)
         labels = np.asarray(labels, dtype=np.int32)
 
-        fpath = cache_dir / f"f{v}{suffix}.npy"
-        np.save(fpath, feats)
+        fpath = store.save(f"f{v}{suffix}", feats)
         total_bytes += feats.nbytes
 
         if v == 0:
             labels_ref = labels
-            lpath = cache_dir / f"label{suffix}.npy"
-            np.save(lpath, labels)
+            lpath = store.save(f"label{suffix}", labels)
             total_bytes += labels.nbytes
             print(f"[cache] labels -> {lpath} "
                   f"shape={labels.shape} unique={len(np.unique(labels))}")
 
         # write-then-reload validation
-        loaded = np.load(fpath, mmap_mode="r")
+        loaded = store.load(f"f{v}{suffix}", mmap=True)
         ok_shape = loaded.shape == feats.shape
         ok_count = feats.shape[0] == labels_ref.shape[0]
         ok_expected = expected_n is None or feats.shape[0] == expected_n
@@ -121,7 +129,7 @@ def write_preprojection_cache(
             raise RuntimeError(f"Feature cache validation failed for view {v}")
 
         manifest["views"].append({
-            "file": fpath.name, "shape": list(feats.shape),
+            "file": f"f{v}{suffix}", "shape": list(feats.shape),
             "dtype": str(feats.dtype),
         })
 
@@ -132,14 +140,13 @@ def write_preprojection_cache(
         "write_seconds": dt,
         "write_gbps": total_bytes / max(dt, 1e-9) / 1e9,
     })
-    (cache_dir / f"manifest{suffix}.json").write_text(
-        json.dumps(manifest, indent=2))
+    store.write_json(f"manifest{suffix}.json", manifest)
     print("\nFeature caching complete.")
     return manifest
 
 
 def read_preprojection_cache(
-    cache_dir: Path,
+    cache_dir: CacheDir,
     aug_views: int,
     max_label: Optional[int] = None,
     mmap: bool = True,
@@ -147,43 +154,44 @@ def read_preprojection_cache(
     """Load cached views + labels.  ``max_label`` filters rows whose label
     exceeds the class count (reference `/root/reference/methods/ProLIP.py:105-113`).
 
-    Reads both single-file views (``f{v}.npy``) and multi-host sharded
-    views (``f{v}.shard{k}.npy``, concatenated in shard order)."""
-    cache_dir = Path(cache_dir)
-    labels = np.asarray(_load_maybe_sharded(cache_dir, "label"))
+    Reads both single-file views (``f{v}``) and multi-host sharded views
+    (``f{v}.shard{k}``, concatenated in shard order)."""
+    store = open_store(cache_dir)
+    labels = np.asarray(_load_maybe_sharded(store, "label"))
     keep = None
     if max_label is not None and (labels >= max_label).any():
         keep = np.where(labels < max_label)[0]
         labels = labels[keep]
     views = []
     for v in range(aug_views):
-        arr = _load_maybe_sharded(cache_dir, f"f{v}", mmap=mmap)
+        arr = _load_maybe_sharded(store, f"f{v}", mmap=mmap)
         # avoid fancy-indexing (row-gather copy) when nothing is filtered
         views.append(np.asarray(arr) if keep is None else np.asarray(arr[keep]))
     return views, labels
 
 
-def _load_maybe_sharded(cache_dir: Path, stem: str, mmap: bool = False):
-    single = cache_dir / f"{stem}.npy"
-    if single.is_file():
-        return np.load(single, mmap_mode="r" if mmap else None)
-    shards = sorted(cache_dir.glob(f"{stem}.shard*.npy"),
-                    key=lambda p: int(p.stem.split("shard")[-1]))
+def _shard_names(store, stem: str) -> List[str]:
+    names = [n for n in store.list_arrays(f"{stem}.shard")
+             if n.startswith(f"{stem}.shard")]
+    return sorted(names, key=lambda n: int(n.split("shard")[-1]))
+
+
+def _load_maybe_sharded(store, stem: str, mmap: bool = False):
+    if store.exists(stem):
+        return store.load(stem, mmap=mmap)
+    shards = _shard_names(store, stem)
     if not shards:
-        raise FileNotFoundError(f"no cache file for '{stem}' in {cache_dir}")
-    return np.concatenate([np.load(p) for p in shards], axis=0)
+        raise FileNotFoundError(f"no cache array '{stem}' in {store.root}")
+    return np.concatenate([store.load(n) for n in shards], axis=0)
 
 
-def feature_cache_exists_sharded(cache_dir: Path, aug_views: int) -> bool:
+def feature_cache_exists_sharded(cache_dir: CacheDir, aug_views: int) -> bool:
     """Like feature_cache_exists but accepts per-process shard layouts."""
-    cache_dir = Path(cache_dir)
-    try:
-        _load_maybe_sharded(cache_dir, "label")
-    except FileNotFoundError:
+    store = open_store(cache_dir)
+    if not (store.exists("label") or _shard_names(store, "label")):
         return False
     for v in range(aug_views):
-        if not ((cache_dir / f"f{v}.npy").is_file()
-                or any(cache_dir.glob(f"f{v}.shard*.npy"))):
+        if not (store.exists(f"f{v}") or _shard_names(store, f"f{v}")):
             return False
     return True
 
