@@ -52,12 +52,18 @@ class LocalNpyStore:
     def list_arrays(self, prefix: str) -> List[str]:
         return sorted(p.stem for p in self.root.glob(f"{prefix}*.npy"))
 
-    def write_json(self, name: str, obj) -> None:
+    def write_text(self, name: str, text: str) -> None:
         self.ensure()
-        (self.root / name).write_text(json.dumps(obj, indent=2))
+        (self.root / name).write_text(text)
+
+    def read_text(self, name: str) -> str:
+        return (self.root / name).read_text()
+
+    def write_json(self, name: str, obj) -> None:
+        self.write_text(name, json.dumps(obj, indent=2))
 
     def read_json(self, name: str):
-        return json.loads((self.root / name).read_text())
+        return json.loads(self.read_text(name))
 
 
 class TensorStoreStore:
@@ -108,17 +114,23 @@ class TensorStoreStore:
                 names.add(key[: -len("/.zarray")])
         return sorted(names)
 
-    def write_json(self, name: str, obj) -> None:
+    def write_text(self, name: str, text: str) -> None:
         import tensorstore as ts
 
         kv = ts.KvStore.open(self.root).result()
-        kv.write(name, json.dumps(obj, indent=2).encode()).result()
+        kv.write(name, text.encode()).result()
+
+    def read_text(self, name: str) -> str:
+        import tensorstore as ts
+
+        kv = ts.KvStore.open(self.root).result()
+        return kv.read(name).result().value.decode()
+
+    def write_json(self, name: str, obj) -> None:
+        self.write_text(name, json.dumps(obj, indent=2))
 
     def read_json(self, name: str):
-        import tensorstore as ts
-
-        kv = ts.KvStore.open(self.root).result()
-        return json.loads(kv.read(name).result().value.decode())
+        return json.loads(self.read_text(name))
 
 
 Store = Union[LocalNpyStore, TensorStoreStore]

@@ -8,21 +8,28 @@ Layout contract mirrors the reference
         labels.npy       [N] int32
         metadata.csv     file_name, ground-truth L3 num/word label, L2 label
         meta.json        timestamp, split, dims, normalization, checkpoint
+
+Like the feature cache, the root may be a tensorstore URI
+(``gs://bucket/...``); arrays are then zarr and the CSV/JSON ride the
+kvstore.
 """
 
 from __future__ import annotations
 
-import json
+import io
 from datetime import datetime
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict, Optional, Union
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+from .array_store import is_remote_root, join_cache_path, open_store
 from .feature_cache import canonical_backbone_name
+
+CacheDir = Union[str, Path]
 
 METADATA_COLUMNS = [
     "file_name",
@@ -32,12 +39,16 @@ METADATA_COLUMNS = [
 ]
 
 
-def embedding_cache_dir(cfg, split: str) -> Path:
-    root = Path(cfg.get("root_path", "./"))
+def embedding_cache_dir(cfg, split: str) -> CacheDir:
+    root = cfg.get("root_path", "./")
     ft_cfg = cfg.get("finetune", {})
-    out_root = Path(ft_cfg.get("cache_embeddings_dir", "feat_cache_vis"))
-    if not out_root.is_absolute():
-        out_root = root / out_root
+    out_root = ft_cfg.get("cache_embeddings_dir", "feat_cache_vis")
+    if is_remote_root(out_root):
+        pass  # absolute URI wins
+    elif is_remote_root(root):
+        out_root = join_cache_path(root, str(out_root))
+    elif not Path(out_root).is_absolute():
+        out_root = Path(root) / out_root
 
     backend = str(cfg.get("clip_backend", "openai")).lower()
     if backend == "openclip":
@@ -47,7 +58,8 @@ def embedding_cache_dir(cfg, split: str) -> Path:
     backbone = canonical_backbone_name(backbone_raw)
     dataset = cfg.get("dataset", "cs")
     seed = int(cfg.get("seed", 1) or 1)
-    return out_root / f"{backbone}_{dataset}" / str(split).lower() / f"seed{seed}"
+    return join_cache_path(out_root, f"{backbone}_{dataset}",
+                           str(split).lower(), f"seed{seed}")
 
 
 def cache_embeddings(
@@ -69,7 +81,8 @@ def cache_embeddings(
     ft_cfg = cfg.get("finetune", {})
     do_normalize = bool(ft_cfg.get("cache_embeddings_normalize", True))
     cache_dir = embedding_cache_dir(cfg, split)
-    cache_dir.mkdir(parents=True, exist_ok=True)
+    store = open_store(cache_dir)
+    store.ensure()
 
     @jax.jit
     def encode(images_u8):
@@ -99,10 +112,11 @@ def cache_embeddings(
     feats_all = np.concatenate(feats, 0).astype(np.float32)
     labels_all = np.concatenate(labels, 0).astype(np.int32)
 
-    np.save(cache_dir / "embeddings.npy", feats_all)
-    np.save(cache_dir / "labels.npy", labels_all)
-    pd.DataFrame(rows).reindex(columns=METADATA_COLUMNS).to_csv(
-        cache_dir / "metadata.csv", index=False)
+    store.save("embeddings", feats_all)
+    store.save("labels", labels_all)
+    store.write_text("metadata.csv",
+                     pd.DataFrame(rows).reindex(columns=METADATA_COLUMNS)
+                     .to_csv(index=False))
 
     info = {
         "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
@@ -113,23 +127,23 @@ def cache_embeddings(
         "checkpoint_path": str(checkpoint_path) if checkpoint_path else None,
         "cache_dir": str(cache_dir),
     }
-    (cache_dir / "meta.json").write_text(json.dumps(info, indent=2))
+    store.write_json("meta.json", info)
 
     print("\n==== Embedding Cache ====")
     print({k: info[k] for k in ("cache_dir", "num_samples", "dim", "normalized")})
     return cache_dir
 
 
-def load_embedding_cache(cache_dir: Path) -> Dict:
+def load_embedding_cache(cache_dir: CacheDir) -> Dict:
     """Strict load with row/label cross-checks (the contract the outlier
     tools rely on; reference `/root/reference/tools/outlier_cleaning.py:128-173`)."""
     import pandas as pd
 
-    cache_dir = Path(cache_dir)
-    emb = np.load(cache_dir / "embeddings.npy")
-    labels = np.load(cache_dir / "labels.npy")
-    meta = pd.read_csv(cache_dir / "metadata.csv")
-    info = json.loads((cache_dir / "meta.json").read_text())
+    store = open_store(cache_dir)
+    emb = np.asarray(store.load("embeddings"))
+    labels = np.asarray(store.load("labels"))
+    meta = pd.read_csv(io.StringIO(store.read_text("metadata.csv")))
+    info = store.read_json("meta.json")
 
     if emb.shape[0] != labels.shape[0]:
         raise ValueError(

@@ -34,31 +34,59 @@ def _round_up(x: int, m: int) -> int:
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int,
                  head_dim: int, interpret: bool = False):
-    """Blocks: q/k/v/o [1, 1, S_pad, D] — one (image, head) per program."""
+    """Blocks: q/k/v/o [1, G, S_pad, D] — one image, G heads per program.
+
+    Matmuls run in the INPUT dtype with fp32 accumulation (the MXU's
+    native bf16 path; an all-fp32 variant measured ~2x slower at
+    SigLIP-384 shapes); the softmax stays fp32, and the probabilities are
+    cast back to the value dtype for the PV contraction — the same
+    precision scheme XLA's fused attention uses."""
+    g = q_ref.shape[1]
     s_pad = q_ref.shape[2]
-    scale = 1.0 / math.sqrt(head_dim)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [S, S]
+    scale = jnp.float32(1.0 / math.sqrt(head_dim))
     # key-padding mask: columns >= seq_len contribute -inf scores
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
-    scores = jnp.where(col < seq_len, scores, jnp.float32(-1e30))
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    key_ok = col < seq_len
+    for gi in range(g):  # unrolled; compiler reuses the score buffers
+        q = q_ref[0, gi]
+        k = k_ref[0, gi]
+        v = v_ref[0, gi]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [S, S] fp32
+        scores = jnp.where(key_ok, scores, jnp.float32(-1e30))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+        o_ref[0, gi] = out.astype(o_ref.dtype)
+
+
+def _heads_per_program(num_heads: int, s_pad: int, head_dim: int,
+                       itemsize: int) -> int:
+    """Largest head-group size whose q/k/v/o blocks stay within a VMEM
+    budget (score temporaries are reused across the unrolled heads)."""
+    budget = 4 * 1024 * 1024  # bytes for the 4 blocks, pre double-buffering
+    for g in (8, 4, 2, 1):
+        if num_heads % g:
+            continue
+        if 4 * g * s_pad * head_dim * itemsize <= budget:
+            return g
+    return 1
 
 
 def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                      num_heads: int, interpret: bool = False) -> jax.Array:
+                      num_heads: int, interpret: bool = False,
+                      heads_per_program: int | None = None) -> jax.Array:
     """q/k/v: [B, S, W] (heads packed in W). Returns [B, S, W]."""
     b, s, w = q.shape
     head_dim = w // num_heads
     s_pad = _round_up(s, 128)
+    if heads_per_program is None:
+        heads_per_program = _heads_per_program(num_heads, s_pad, head_dim,
+                                               q.dtype.itemsize)
+    g = heads_per_program
 
     def split(t):
         if s_pad != s:
@@ -71,11 +99,11 @@ def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         partial(_attn_kernel, seq_len=s, head_dim=head_dim),
         out_shape=jax.ShapeDtypeStruct((b, num_heads, s_pad, head_dim),
                                        q.dtype),
-        grid=(b, num_heads),
-        in_specs=[pl.BlockSpec((1, 1, s_pad, head_dim),
+        grid=(b, num_heads // g),
+        in_specs=[pl.BlockSpec((1, g, s_pad, head_dim),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((1, 1, s_pad, head_dim),
+        out_specs=pl.BlockSpec((1, g, s_pad, head_dim),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,

@@ -58,7 +58,7 @@ def _run_score(args) -> pd.DataFrame:
     from ..cache import load_embedding_cache
     from .outlier_cleaning import MultiPrototypeScorer, SingleCentroidScorer
 
-    cache = load_embedding_cache(Path(args.cache_dir))
+    cache = load_embedding_cache(args.cache_dir)
     if args.scorer == "single":
         scorer = SingleCentroidScorer(cache["embeddings"], cache["labels"],
                                       cache["metadata"])

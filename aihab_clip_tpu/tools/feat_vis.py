@@ -101,7 +101,7 @@ def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     from ..cache import load_embedding_cache
 
-    cache = load_embedding_cache(Path(args.cache_dir))
+    cache = load_embedding_cache(args.cache_dir)
     emb = cache["embeddings"]
     meta = cache["metadata"]
     labels = (meta[args.label_column] if args.label_column in meta.columns

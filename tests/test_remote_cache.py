@@ -86,3 +86,42 @@ def test_remote_root_cfg_paths():
                       "shots": 16, "seed": 3})
     d = feature_cache_dir(cfg)
     assert d == "gs://bucket/aihab/features_ViTB16_cs/16_shot/seed3"
+
+
+def test_remote_embedding_cache_roundtrip(tmp_path):
+    """Embedding cache on a remote root: runner-level write (PEFT path with
+    cache_embeddings) then strict load, via file:// tensorstore."""
+    from aihab_clip_tpu.cache import (
+        cache_embeddings,
+        embedding_cache_dir,
+        load_embedding_cache,
+    )
+    from aihab_clip_tpu.config import ConfigNode
+    from aihab_clip_tpu.data import build_loaders, make_synthetic_cs_dataset
+    from aihab_clip_tpu.models import load as load_model
+
+    synth = make_synthetic_cs_dataset(tmp_path, n_train_per_class=4,
+                                      n_test_per_class=2, image_size=40)
+    cfg = ConfigNode({
+        "root_path": f"file://{tmp_path}/remote",
+        "dataset": "synth", "seed": 1, "shots": 0, "subset_l3": [],
+        "clip_backend": "openai", "backbone": "random:Tiny",
+        "finetune": {"cache_embeddings_dir": "feat_cache_vis"},
+        "data": {
+            "dataset_paths": synth["dataset_paths"],
+            "index_file_names": synth["index_file_names"],
+            "batch_size": 8, "shuffle": False, "num_workers": 0,
+            "data_split": {"valid_split": 0.25, "split_seed": 42},
+            "preprocessing": {"resize": 40, "resolution": 32},
+        },
+    })
+    loaders = build_loaders(cfg)
+    bundle = load_model("random:Tiny")
+    out_dir = cache_embeddings(cfg, bundle.model, bundle.params,
+                               loaders.test, 32, split="test")
+    assert str(out_dir).startswith("file://")
+    assert out_dir == embedding_cache_dir(cfg, "test")
+    cache = load_embedding_cache(out_dir)
+    assert cache["embeddings"].shape[0] == loaders.test.num_samples
+    assert cache["metadata"].shape[0] == loaders.test.num_samples
+    assert cache["info"]["split"] == "test"
