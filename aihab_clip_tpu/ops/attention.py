@@ -7,9 +7,11 @@ Measured reality on v5e:
   * ViT-B/16 shapes (S=197, batch 256): XLA wins — 2.5 ms vs 4.4 ms for
     this kernel (the per-(image, head) grid under-utilizes the MXU at
     D=64, and the score tensor is still small).
-  * SigLIP-384 shapes (S=729, H=16, batch 64): this kernel wins 1.75x —
-    4.53 ms vs 7.91 ms (median of 3) — because XLA materializes the
-    [B, H, S, S] scores in HBM and that traffic now dominates.
+  * SigLIP-384 shapes (S=729, H=16, batch 64, bf16): this kernel wins
+    1.74x — 4.19 ms (head-batched, g=4) vs 7.29 ms for XLA — because XLA
+    materializes the [B, H, S, S] scores in HBM and that traffic
+    dominates.  GEMMs run in the input dtype (bf16 fast path) with fp32
+    accumulation; softmax stays fp32.
 The dispatcher therefore selects the kernel for non-causal sequences of
 >= 512 tokens on TPU and XLA below that.
 
@@ -65,10 +67,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int,
 
 def _heads_per_program(num_heads: int, s_pad: int, head_dim: int,
                        itemsize: int) -> int:
-    """Largest head-group size whose q/k/v/o blocks stay within a VMEM
-    budget (score temporaries are reused across the unrolled heads)."""
+    """Head-group size whose q/k/v/o blocks stay within a VMEM budget
+    (score temporaries are reused across the unrolled heads).  Measured at
+    SigLIP-384 shapes (B=64, H=16, S=729, D=72, bf16, v5e):
+    g=1: 4.72 ms, g=2: 4.45, g=4: 4.19 (best; 1.74x over XLA's 7.29),
+    g=8: 4.29 — so the search is capped at 4."""
     budget = 4 * 1024 * 1024  # bytes for the 4 blocks, pre double-buffering
-    for g in (8, 4, 2, 1):
+    for g in (4, 2, 1):
         if num_heads % g:
             continue
         if 4 * g * s_pad * head_dim * itemsize <= budget:
