@@ -266,7 +266,21 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     aug = pp.get("augmentations", {})
     tune_text = bool(ft_cfg.get("tune_text", False))
 
-    restored_from = _maybe_restore_checkpoint(cfg, bundle)
+    # resume=true: continue an interrupted run (params + optimizer state +
+    # epoch position restored INSIDE finetune, bitwise-continuous);
+    # otherwise finetune.checkpoint is a params-only warm start
+    resume_from = None
+    restored_from = None
+    if bool(ft_cfg.get("resume", False)):
+        from .utils import latest_checkpoint
+
+        ckpt = ft_cfg.get("checkpoint", None) or "latest"
+        resume_from = (latest_checkpoint(cfg) if str(ckpt) == "latest"
+                       else Path(ckpt))
+        if resume_from is None:
+            print("[resume] no checkpoint found; starting fresh")
+    else:
+        restored_from = _maybe_restore_checkpoint(cfg, bundle)
 
     if bool(ft_cfg.get("eval_only", False)):
         # evaluation-only: no training, full metric stack on the test split
@@ -310,7 +324,17 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         val_interval=int(ft_cfg.get("val_interval", 0)),
         aug_impl=str(cfg.get("aug_impl", "fast")),
         device_dataset=_resolve_device_dataset(cfg, loaders),
+        checkpoint_interval=int(ft_cfg.get("checkpoint_interval", 0)),
     )
+
+    checkpoint_fn = None
+    if pcfg.checkpoint_interval and bool(ft_cfg.get("save_model", False)):
+        def checkpoint_fn(par, opt_state, epoch):
+            try:
+                p = save_checkpoint(cfg, par, opt_state, epoch=epoch)
+                print(f"[ckpt] epoch {epoch} -> {p}")
+            except Exception as exc:
+                print(f"[ckpt] periodic save failed: {exc}")
 
     out = finetune(
         bundle["model"], bundle["params"], loaders.train, loaders.val,
@@ -322,6 +346,8 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         seed=int(cfg.get("seed", 1)),
         l2_eval_ctx=_l2_eval_ctx(cfg, bundle["num_classes"]),
         logger=logger,
+        checkpoint_fn=checkpoint_fn,
+        resume_from=resume_from,
     )
 
     # checkpoint

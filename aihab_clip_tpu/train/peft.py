@@ -188,6 +188,7 @@ class PEFTConfig:
     # step-for-step identical (same batch order and augmentation keys).
     device_dataset: Any = False
     device_chunk_bytes: int = 1 << 30  # per-chunk image budget (2 buffers live)
+    checkpoint_interval: int = 0  # save every N epochs (0 = final only)
 
 
 def make_train_step(model: CLIPModel, cfg: PEFTConfig,
@@ -370,9 +371,18 @@ def finetune(
     logger=None,
     verbose: bool = True,
     profile_dir: Optional[str] = None,
+    checkpoint_fn=None,
+    resume_from=None,
 ) -> Dict[str, Any]:
     """Run the PEFT loop.  Returns the reference's result contract:
-    {val: {...}|None, test: {...}|None, params, tracker, report}."""
+    {val: {...}|None, test: {...}|None, params, tracker, report}.
+
+    ``checkpoint_fn(params, opt_state, epoch)`` is called every
+    ``cfg.checkpoint_interval`` epochs; ``resume_from`` (a checkpoint
+    directory) restores params + optimizer state + epoch position, and
+    training continues from there — bitwise-continuous with an
+    uninterrupted run (epoch keys, shuffle order, and the cosine schedule
+    all index the ABSOLUTE epoch)."""
     ccfg = model.config
     mask = build_lock_mask(
         params,
@@ -422,6 +432,22 @@ def finetune(
                                     prompt_tokens)
     opt_state = opt.init(trainable)
 
+    start_epoch = 0
+    if resume_from is not None:
+        from pathlib import Path
+
+        from ..utils import load_checkpoint
+
+        restored = load_checkpoint(Path(resume_from), params, opt_state)
+        trainable, frozen = partition_params(restored["params"], mask)
+        if "opt_state" in restored:
+            opt_state = restored["opt_state"]
+        start_epoch = int(restored["meta"].get("epoch", 0))
+        if verbose:
+            print(f"[resume] restored epoch {start_epoch} "
+                  f"(params{' + opt state' if 'opt_state' in restored else ''})"
+                  f" from {resume_from}")
+
     def current_text_weights(par) -> jax.Array:
         if cfg.tune_text:
             return compute_text_weights(model, par, prompt_tokens,
@@ -443,16 +469,17 @@ def finetune(
     timer = None
     if verbose:
         print("\nStart Training procedure")
-    for epoch in range(cfg.epochs):
+    first_epoch = start_epoch
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         lr_e = cosine_lr(cfg.lr, epoch, cfg.epochs)
         run_loss, run_batches, correct, seen = 0.0, 0, 0.0, 0.0
         ekey = jax.random.fold_in(base_key, epoch)
 
-        profiling = profile_dir is not None and epoch == 0
+        profiling = profile_dir is not None and epoch == first_epoch
         if profiling:
             jax.profiler.start_trace(profile_dir)
-        if epoch == 0:
+        if epoch == first_epoch:
             from ..utils.profiling import StepTimer
 
             timer = StepTimer()
@@ -564,6 +591,12 @@ def finetune(
                                 if isinstance(v, (int, float))})
             elif verbose:
                 print(f"[val epoch {epoch + 1}] skipped (no val split)")
+
+        if (checkpoint_fn is not None and cfg.checkpoint_interval
+                and (epoch + 1) % cfg.checkpoint_interval == 0
+                and (epoch + 1) < cfg.epochs):
+            checkpoint_fn(merge_params(trainable, frozen), opt_state,
+                          epoch + 1)
 
     # final test
     test_metrics = None

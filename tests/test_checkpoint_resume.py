@@ -109,3 +109,81 @@ def test_peft_save_then_eval_only_restore(synth, tmp_path):
     for k in flat_trained:
         np.testing.assert_allclose(np.asarray(flat_trained[k]),
                                    np.asarray(flat_restored[k]), atol=1e-6)
+
+
+def test_periodic_checkpoint_and_resume_continuity(synth, tmp_path):
+    """Interrupted-then-resumed training equals uninterrupted training
+    exactly: epoch keys, shuffle order, and the cosine schedule all index
+    the absolute epoch, and the optimizer state round-trips."""
+    import jax.numpy as jnp
+
+    from aihab_clip_tpu.data import build_loaders
+    from aihab_clip_tpu.models import build_text_head, load
+    from aihab_clip_tpu.templates import gen_prompts
+    from aihab_clip_tpu.train.peft import PEFTConfig, finetune
+
+    cfg = _cfg(synth, tmp_path)
+    loaders = build_loaders(cfg)
+    bundle = load("random:Tiny")
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+
+    def fresh():
+        import jax
+
+        return jax.tree.map(np.array, bundle.params)
+
+    def pcfg(epochs, interval=0):
+        return PEFTConfig(resolution=32, num_classes=20, lr=2e-3,
+                          epochs=epochs, crop_mode="random", flip=True,
+                          checkpoint_interval=interval)
+
+    # uninterrupted 4 epochs
+    out_full = finetune(bundle.model, fresh(), loaders.train, None, None,
+                        pcfg(4), text_weights=head["text_weights"],
+                        unlocked_groups=2, seed=0, verbose=False,
+                        track_test=False)
+
+    # 4 epochs with a mid-run save at epoch 2 (simulated interruption)
+    saved = {}
+
+    def ckpt_fn(par, opt_state, epoch):
+        saved["path"] = save_checkpoint(cfg, par, opt_state, epoch=epoch)
+
+    finetune(bundle.model, fresh(), loaders.train, None, None,
+             pcfg(4, interval=2), text_weights=head["text_weights"],
+             unlocked_groups=2, seed=0, verbose=False, track_test=False,
+             checkpoint_fn=ckpt_fn)
+    assert "path" in saved
+    meta = saved["path"] / "meta.json"
+    assert meta.is_file()
+
+    # resume from epoch 2 and finish
+    out_resumed = finetune(bundle.model, fresh(), loaders.train, None, None,
+                           pcfg(4), text_weights=head["text_weights"],
+                           unlocked_groups=2, seed=0, verbose=False,
+                           track_test=False, resume_from=saved["path"])
+
+    flat_a = traverse_util.flatten_dict(out_full["params"])
+    flat_b = traverse_util.flatten_dict(out_resumed["params"])
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]),
+                                      err_msg="/".join(k))
+
+
+def test_runner_resume_flag(synth, tmp_path):
+    """finetune.resume=true through the runner: first run saves periodic
+    checkpoints, a second run picks up the latest and completes."""
+    cfg = _cfg(synth, tmp_path, train_epoch=3)
+    cfg.finetune["checkpoint_interval"] = 1
+    run(cfg, inspect_only=False)
+    found = latest_checkpoint(cfg)
+    assert found is not None
+
+    cfg2 = _cfg(synth, tmp_path, train_epoch=3)
+    cfg2.finetune["resume"] = True
+    cfg2.finetune["save_model"] = False
+    result = run(cfg2, inspect_only=False)
+    t = result["peft"]["test"]
+    assert t is not None and 0.0 <= t["top1"] <= 1.0
