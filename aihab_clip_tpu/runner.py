@@ -295,7 +295,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
             compute_dtype=compute_dtype_for_backend(),
             return_confusion_matrix=True,
             l2_eval_ctx=_l2_eval_ctx(cfg, bundle["num_classes"]),
-            tracker=tracker)
+            tracker=tracker, mesh=_build_mesh(cfg))
         print(f"[eval_only] top1={test['top1']:.4f} top3={test['top3']:.4f} "
               f"f1={test['f1']:.4f} mcc={test['mcc']:.4f}")
         if bool(ft_cfg.get("cache_embeddings", False)):
@@ -348,6 +348,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         logger=logger,
         checkpoint_fn=checkpoint_fn,
         resume_from=resume_from,
+        mesh=_build_mesh(cfg),
     )
 
     # checkpoint
@@ -378,6 +379,24 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
             and logger is not None):
         logger.log_confusion_matrix(out["test"]["cm"], CS_CLASSNAMES)
     return out
+
+
+def _build_mesh(cfg):
+    """(data, model) mesh for the PEFT/eval paths.
+
+    parallel.enabled: true | false | 'auto' (use a mesh when >1 device);
+    parallel.model_parallel: TP degree (1 = pure DP)."""
+    par = cfg.get("parallel", {}) or {}
+    enabled = par.get("enabled", "auto")
+    n = len(jax.devices())
+    use = enabled if isinstance(enabled, bool) else n > 1
+    if not use:
+        return None
+    from .parallel import make_mesh
+
+    mesh = make_mesh(model_parallel=int(par.get("model_parallel", 1)))
+    print(f"[parallel] mesh {dict(mesh.shape)} over {n} devices")
+    return mesh
 
 
 def _cache_shard_kwargs(cfg) -> Dict[str, Optional[int]]:

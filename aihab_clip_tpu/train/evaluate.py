@@ -71,9 +71,14 @@ def evaluate(
     tracker: Optional[ClassificationTracker] = None,
     project: bool = True,
     eval_step=None,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Evaluate a split. Returns
-    {loss, top1, top3, f1, mcc, cm (opt), l2 (opt)}."""
+    {loss, top1, top3, f1, mcc, cm (opt), l2 (opt)}.
+
+    With ``mesh``, batches are sharded over the ``data`` axis and the
+    step runs SPMD (metric state replicates; GSPMD inserts the
+    reductions)."""
     step = eval_step or make_eval_step(
         model, resolution, num_classes, compute_dtype, project=project)
     state = M.init_metric_state(num_classes)
@@ -91,10 +96,14 @@ def evaluate(
         )
 
     for batch in view.batches():
-        state, logits = step(params, text_weights,
-                             jnp.asarray(batch.images),
-                             jnp.asarray(batch.labels),
-                             jnp.asarray(batch.valid), state)
+        imgs = jnp.asarray(batch.images)
+        labs = jnp.asarray(batch.labels)
+        val = jnp.asarray(batch.valid)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            imgs, labs, val = shard_batch(mesh, imgs, labs, val)
+        state, logits = step(params, text_weights, imgs, labs, val, state)
         if l2_acc is not None:
             l2_acc.update(logits, jnp.asarray(batch.labels),
                           valid_mask=jnp.asarray(batch.valid))

@@ -373,6 +373,7 @@ def finetune(
     profile_dir: Optional[str] = None,
     checkpoint_fn=None,
     resume_from=None,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Run the PEFT loop.  Returns the reference's result contract:
     {val: {...}|None, test: {...}|None, params, tracker, report}.
@@ -382,7 +383,13 @@ def finetune(
     directory) restores params + optimizer state + epoch position, and
     training continues from there — bitwise-continuous with an
     uninterrupted run (epoch keys, shuffle order, and the cosine schedule
-    all index the ABSOLUTE epoch)."""
+    all index the ABSOLUTE epoch).
+
+    ``mesh``: run the train/eval steps SPMD over a (data, model) mesh —
+    params placed per the TP rules (replicated when model axis is 1),
+    batches sharded over ``data``, gradient all-reduce inserted by GSPMD
+    over ICI.  The scan/chunked epoch regimes are single-device dispatch
+    optimizations and fall back to the per-step loop under a mesh."""
     ccfg = model.config
     mask = build_lock_mask(
         params,
@@ -394,6 +401,11 @@ def finetune(
         is_vit=ccfg.is_vit,
     )
     trainable, frozen = partition_params(params, mask)
+    if mesh is not None:
+        from ..parallel import shard_params
+
+        trainable = shard_params(mesh, trainable)
+        frozen = shard_params(mesh, frozen)
     report = trainable_report(mask)
     if verbose:
         print(f"Trainable params: {report['num_trainable']} "
@@ -410,6 +422,10 @@ def finetune(
     use_chunked = (isinstance(cfg.device_dataset, str)
                    and cfg.device_dataset.lower() == "chunked")
     use_scan = bool(cfg.device_dataset) and not use_chunked
+    if mesh is not None and (use_scan or use_chunked):
+        print("[peft] device_dataset disabled under a mesh "
+              "(per-step SPMD loop instead)")
+        use_scan = use_chunked = False
     if use_scan:
         opt, epoch_fn = make_epoch_scan(model, cfg, text_weights,
                                         prompt_tokens)
@@ -441,7 +457,13 @@ def finetune(
         restored = load_checkpoint(Path(resume_from), params, opt_state)
         trainable, frozen = partition_params(restored["params"], mask)
         if "opt_state" in restored:
+            # restored onto the opt.init target, so shardings carry over
             opt_state = restored["opt_state"]
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            trainable = shard_params(mesh, trainable)
+            frozen = shard_params(mesh, frozen)
         start_epoch = int(restored["meta"].get("epoch", 0))
         if verbose:
             print(f"[resume] restored epoch {start_epoch} "
@@ -462,7 +484,7 @@ def finetune(
         return evaluate(model, par, view, current_text_weights(par),
                         cfg.resolution, cfg.num_classes,
                         compute_dtype=cfg.compute_dtype, eval_step=eval_step,
-                        **kw)
+                        mesh=mesh, **kw)
 
     base_key = jax.random.key(seed)
     val_metrics = None
@@ -537,12 +559,17 @@ def finetune(
         else:
             for bi, batch in enumerate(train_view.batches(epoch=epoch)):
                 key = jax.random.fold_in(ekey, bi)
+                imgs = jnp.asarray(batch.images)
+                labs = jnp.asarray(batch.labels)
+                val = jnp.asarray(batch.valid)
+                if mesh is not None:
+                    from ..parallel import shard_batch
+
+                    imgs, labs, val = shard_batch(mesh, imgs, labs, val)
                 with jax.profiler.StepTraceAnnotation("train_step",
                                                       step_num=bi):
                     trainable, opt_state, m = step(
-                        trainable, frozen, opt_state,
-                        jnp.asarray(batch.images),
-                        jnp.asarray(batch.labels), jnp.asarray(batch.valid),
+                        trainable, frozen, opt_state, imgs, labs, val,
                         key, lr_e)
                 run_loss += float(m["loss"])
                 run_batches += 1

@@ -135,3 +135,52 @@ def test_sharded_encode_image(bundle):
     ref = bundle.model.apply({"params": bundle.params}, jnp.asarray(x),
                              method=type(bundle.model).encode_image)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_runner_peft_spmd_dp8(tmp_path):
+    """Full runner PEFT under the virtual 8-device mesh (auto-enabled) —
+    DP8 and DP4xTP2 both train and evaluate through run()."""
+    from aihab_clip_tpu.config import ConfigNode
+    from aihab_clip_tpu.data import make_synthetic_cs_dataset
+    from aihab_clip_tpu.runner import run
+
+    synth = make_synthetic_cs_dataset(tmp_path, n_train_per_class=4,
+                                      n_test_per_class=2, image_size=40)
+
+    def cfg(model_parallel):
+        return ConfigNode({
+            "root_path": str(tmp_path), "dataset": "synth", "seed": 1,
+            "shots": 0, "subset_l3": [],
+            "clip_backend": "openclip", "open_clip_model": "random:Tiny",
+            "backbone": "random:Tiny", "wandb_project": None,
+            "use_hierarchical_prompts": False,
+            "use_descriptive_prompts": False, "remat": False,
+            "train_epoch": 1, "lr_v": 0.002, "search_lr": False,
+            "save_features": False, "aug_views": 1,
+            "parallel": {"enabled": True, "model_parallel": model_parallel},
+            "finetune": {
+                "enabled": True, "tune_text": False, "unlocked_groups": 1,
+                "unlocked_layers": 1, "val_interval": 0, "eval_l2": False,
+                "require_cached_features": True, "save_model": False,
+                "cache_embeddings": False,
+            },
+            "data": {
+                "dataset_paths": synth["dataset_paths"],
+                "index_file_names": synth["index_file_names"],
+                "batch_size": 8, "shuffle": True, "num_workers": 0,
+                "data_split": {"valid_split": 0.25, "split_seed": 42},
+                "use_l2_label": False,
+                "preprocessing": {"resize": 40, "resolution": 32,
+                                  "augmentations": {"random_crop": False}},
+            },
+        })
+
+    r_dp = run(cfg(1), inspect_only=False)
+    t_dp = r_dp["peft"]["test"]
+    assert t_dp is not None and 0.0 <= t_dp["top1"] <= 1.0
+
+    r_tp = run(cfg(2), inspect_only=False)
+    t_tp = r_tp["peft"]["test"]
+    # same data, same seed: DP8 and DP4xTP2 agree on the outcome
+    assert t_tp["top1"] == pytest.approx(t_dp["top1"], abs=1e-6)
+    assert t_tp["loss"] == pytest.approx(t_dp["loss"], rel=1e-3)
