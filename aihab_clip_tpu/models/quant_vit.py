@@ -1,0 +1,168 @@
+"""int8 (W8A8 dynamic) ViT encode path for serving.
+
+A pure function over a pre-quantized version of the canonical
+``CLIPModel`` param tree.  Quantization policy is MEASURED, not uniform
+(v5e, batch 256, PERF_NOTES.md):
+
+  * patchify, QKV in_proj, attn out_proj, MLP c_fc — int8 W8A8 via the
+    fused Pallas kernel (``ops/quant_matmul.py``): ~1.5x over the bf16
+    GEMM at their K<=768 shapes;
+  * MLP c_proj (K=3072) — stays bf16: the fused int8 kernel measured
+    SLOWER there (1.77 vs 1.24 ms), so it is not quantized;
+  * LayerNorms fp32, attention bf16 XLA (optimal at these sequence
+    lengths), final ln_post/projection high-precision.
+
+``impl='xla'`` (any backend, used by the CPU tests) runs the same math
+through unfused ``quant_dense``; ``impl='auto'`` picks the Pallas kernel
+on TPU.  Same structural pattern as ``fast_vit.vit_encode_fast``
+(reference tower semantics: `/root/reference/clip/model.py:199-235`);
+accuracy is validated against the bf16 tower by cosine similarity and
+top-1 agreement tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import _xla_attention
+from ..ops.quant import quant_dense, quantize_weight
+from .clip import CLIPConfig
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
+    """Quantize the ViT tower's GEMM weights once (host/load time).
+
+    Returns a new tree holding int8 kernels + fp32 scales for the hot
+    GEMMs and passthrough references for everything else."""
+    vp = params["visual"]
+    p = config.vision_patch_size
+    width = config.vision_width
+
+    kernel = jnp.asarray(vp["conv1"]["kernel"], jnp.float32)  # HWIO
+    k8, ks = quantize_weight(kernel.reshape(p * p * 3, width))
+
+    blocks = {}
+    for i in range(config.vision_layers):
+        blk = vp["transformer"][f"resblocks_{i}"]
+        q = {}
+        for name in (("attn", "in_proj"), ("attn", "out_proj"),
+                     ("mlp", "c_fc"), ("mlp", "c_proj")):
+            w8, ws = quantize_weight(blk[name[0]][name[1]]["kernel"])
+            q[f"{name[0]}/{name[1]}"] = {
+                "w8": w8, "scale": ws,
+                "bias": jnp.asarray(blk[name[0]][name[1]]["bias"],
+                                    jnp.float32),
+            }
+        q["ln_1"] = blk["ln_1"]
+        q["ln_2"] = blk["ln_2"]
+        blocks[f"resblocks_{i}"] = q
+
+    return {
+        "conv1": {"w8": k8, "scale": ks},
+        "class_embedding": vp["class_embedding"],
+        "positional_embedding": vp["positional_embedding"],
+        "ln_pre": vp["ln_pre"],
+        "ln_post": vp["ln_post"],
+        "proj": vp["proj"],
+        "transformer": blocks,
+    }
+
+
+def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
+                    *, project: bool = False, dtype=jnp.bfloat16,
+                    impl: str = "auto"):
+    """images: [B, H, W, 3] normalized NHWC -> pre-projection CLS features
+    (or (pre, projected)).  ``qparams`` from ``quantize_vit_params``.
+    ``impl``: 'auto' (Pallas kernel on TPU), 'pallas', or 'xla'."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ..ops.quant_matmul import quant_matmul_fused
+
+        def qmm(x, q, act=None, residual=None, ln=None):
+            return quant_matmul_fused(x, q["w8"], q["scale"],
+                                      q.get("bias", jnp.zeros(
+                                          q["w8"].shape[1], jnp.float32)),
+                                      act=act or "none", residual=residual,
+                                      ln_scale=None if ln is None else ln[0],
+                                      ln_bias=None if ln is None else ln[1])
+    else:
+        def qmm(x, q, act=None, residual=None, ln=None):
+            if ln is not None:
+                x = _ln(x, ln[0], ln[1])
+            out = quant_dense(x, q["w8"], q["scale"], q.get("bias"),
+                              act=act)
+            return out if residual is None else out + residual
+
+    p = config.vision_patch_size
+    width = config.vision_width
+    heads = config.vision_heads
+
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b * gh * gw, p * p * c)
+    x = qmm(patches, qparams["conv1"]).reshape(b, gh * gw, width)
+
+    cls = jnp.broadcast_to(
+        jnp.asarray(qparams["class_embedding"], dtype)[None, None, :],
+        (b, 1, width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + jnp.asarray(qparams["positional_embedding"], dtype)
+    x = _ln(x, qparams["ln_pre"]["scale"], qparams["ln_pre"]["bias"])
+
+    s = x.shape[1]
+    x2 = x.reshape(b * s, width)
+    for i in range(config.vision_layers):
+        blk = qparams["transformer"][f"resblocks_{i}"]
+        if impl == "pallas":
+            # LN prologues fused into the quant kernels: the normalized
+            # activations never round-trip through HBM
+            qkv = qmm(x2, blk["attn/in_proj"],
+                      ln=(blk["ln_1"]["scale"], blk["ln_1"]["bias"]))
+        else:
+            ln1 = _ln(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+            qkv = qmm(ln1, blk["attn/in_proj"])
+        q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
+        attn = _xla_attention(q, k, v, heads).reshape(b * s, width)
+        x2 = qmm(attn, blk["attn/out_proj"], residual=x2)
+        fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
+        if impl == "pallas":
+            # fully-int8 MLP chain: LN+c_fc+GELU emits already-quantized
+            # int8 (+ row scales) — the widest activation tensor moves at
+            # 1 byte/elem — and c_proj consumes it with no quantize pass
+            from ..ops.quant_matmul import (
+                quant_matmul_fused_qout,
+                quant_matmul_q8in,
+            )
+
+            hdn8, hsc = quant_matmul_fused_qout(
+                x2, fc["w8"], fc["scale"], fc["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+            x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
+                                   pr["bias"], residual=x2)
+        else:
+            ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+            hdn = qmm(ln2, fc, act="quick_gelu")
+            x2 = qmm(hdn, pr, residual=x2)
+
+    cls_tok = x2.reshape(b, s, width)[:, 0, :]
+    pre = _ln(cls_tok, qparams["ln_post"]["scale"], qparams["ln_post"]["bias"])
+    if not project:
+        return pre
+    projected = pre @ jnp.asarray(qparams["proj"], pre.dtype)
+    return pre, projected

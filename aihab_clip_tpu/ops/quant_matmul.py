@@ -1,0 +1,230 @@
+"""Fused W8A8 quantized matmul (Pallas TPU kernel).
+
+Motivation (measured, v5e, [50432, 768] x [768, 3072]):
+  * bf16 dense + bias:            0.95 ms
+  * unfused quant_dense (XLA):    1.22 ms  — the separate activation
+    quantize pass (0.44 ms of pure extra HBM traffic) costs more than
+    the int8 MXU rate (~2.1x bf16) saves.
+This kernel removes that pass: each grid program loads one M-tile of the
+bf16 activations into VMEM ONCE, computes per-row amax / quantizes in
+VMEM, runs the int8 x int8 -> int32 GEMM against the VMEM-resident int8
+weights (int8 halves their footprint — a whole ViT-B c_fc is 2.25 MB),
+and applies dequant + bias + activation (+ optional residual) in the
+epilogue before writing bf16 out.  HBM traffic is identical to the bf16
+dense; the GEMM runs at the int8 rate.
+
+Backward: not provided — this is a serving/encode path (quantized
+inference); training stays bf16.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w8_ref, ws_ref, b_ref, o_ref, *, act: str,
+            has_residual: bool, r_ref=None,
+            ln_scale_ref=None, ln_bias_ref=None):
+    x = x_ref[:].astype(jnp.float32)                     # [TM, K]
+    if ln_scale_ref is not None:                         # fused LN prologue
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        x = x * ln_scale_ref[:][None, :] + ln_bias_ref[:][None, :]
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)   # [TM, 1]
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot(x8, w8_ref[:],
+                      preferred_element_type=jnp.int32)  # [TM, N]
+    y = acc.astype(jnp.float32) * (sx * ws_ref[:][None, :])
+    y = y + b_ref[:][None, :]
+    if act == "quick_gelu":
+        y = y * jax.nn.sigmoid(1.702 * y)
+    if has_residual:
+        y = y + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _pick_tile(m: int, k: int, n: int) -> int:
+    """M-tile size: keep x-tile + int32 acc + out within ~12 MB VMEM
+    alongside the resident weights."""
+    for tm in (512, 256, 128):
+        vmem = (tm * k * 2          # x tile bf16
+                + tm * n * 4        # int32 acc
+                + tm * n * 2        # out bf16
+                + k * n             # w8 resident
+                + tm * k)           # x8
+        if vmem <= 12 * 1024 * 1024 and m % tm == 0:
+            return tm
+    return 128
+
+
+def _kernel_qout(x_ref, w8_ref, ws_ref, b_ref, ln_s_ref, ln_b_ref,
+                 o8_ref, os_ref, *, act: str):
+    """Like _kernel with LN prologue, but the epilogue REQUANTIZES the
+    activated output to int8 + per-row scales (for a following int8-input
+    GEMM): the widest activation tensor is written at 1 byte/elem."""
+    x = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    x = x * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot(x8, w8_ref[:], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * ws_ref[:][None, :])
+    y = y + b_ref[:][None, :]
+    if act == "quick_gelu":
+        y = y * jax.nn.sigmoid(1.702 * y)
+    oamax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    osx = jnp.maximum(oamax, 1e-12) * (1.0 / 127.0)
+    o8_ref[:] = jnp.clip(jnp.round(y / osx), -127, 127).astype(jnp.int8)
+    os_ref[:] = osx
+
+
+def _kernel_q8in(x8_ref, sx_ref, w8_ref, ws_ref, b_ref, r_ref, o_ref):
+    """int8-input GEMM: x already quantized (e.g. by _kernel_qout) — no
+    quantize pass, 1-byte reads of the wide activation."""
+    acc = jax.lax.dot(x8_ref[:], w8_ref[:],
+                      preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx_ref[:] * ws_ref[:][None, :])
+    y = y + b_ref[:][None, :]
+    y = y + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def quant_matmul_fused_qout(x, w8, w_scale, bias, ln_scale, ln_bias,
+                            act: str = "quick_gelu",
+                            interpret: bool = False):
+    """LN -> W8A8 GEMM -> act -> requantize: returns (y8 [M, N] int8,
+    y_scale [M, 1] f32)."""
+    m, k = x.shape
+    n = w8.shape[1]
+    tm = _pick_tile(m, k, n)
+    m_pad = ((m + tm - 1) // tm) * tm
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    y8, ys = pl.pallas_call(
+        partial(_kernel_qout, act=act),
+        out_shape=(jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
+                   jax.ShapeDtypeStruct((m_pad, 1), jnp.float32)),
+        grid=(m_pad // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, w8, jnp.asarray(w_scale, jnp.float32),
+      jnp.asarray(bias, jnp.float32),
+      jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32))
+    return y8[:m], ys[:m]
+
+
+def quant_matmul_q8in(x8, x_scale, w8, w_scale, bias, residual,
+                      interpret: bool = False):
+    """y = dequant(x8 @ w8) + bias + residual for pre-quantized inputs."""
+    m, k = x8.shape
+    n = w8.shape[1]
+    tm = _pick_tile(m, k, n)
+    m_pad = ((m + tm - 1) // tm) * tm
+    if m_pad != m:
+        x8 = jnp.pad(x8, ((0, m_pad - m), (0, 0)))
+        x_scale = jnp.pad(x_scale, ((0, m_pad - m), (0, 0)))
+        residual = jnp.pad(residual, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        _kernel_q8in,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), residual.dtype),
+        grid=(m_pad // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x8, jnp.asarray(x_scale, jnp.float32), w8,
+      jnp.asarray(w_scale, jnp.float32), jnp.asarray(bias, jnp.float32),
+      residual)
+    return out[:m]
+
+
+def _dispatch_kernel(*refs, act: str, has_res: bool, has_ln: bool):
+    """refs order: x, w8, ws, b, [ln_scale, ln_bias], [residual], out."""
+    it = iter(refs)
+    x_ref, w8_ref, ws_ref, b_ref = next(it), next(it), next(it), next(it)
+    ln_s = next(it) if has_ln else None
+    ln_b = next(it) if has_ln else None
+    r_ref = next(it) if has_res else None
+    o_ref = next(it)
+    _kernel(x_ref, w8_ref, ws_ref, b_ref, o_ref, act=act,
+            has_residual=has_res, r_ref=r_ref,
+            ln_scale_ref=ln_s, ln_bias_ref=ln_b)
+
+
+def quant_matmul_fused(x, w8, w_scale, bias, act: str = "none",
+                       residual=None, ln_scale=None, ln_bias=None,
+                       interpret: bool = False):
+    """y = act(dequant(q(opt_LN(x)) @ w8) + bias) [+ residual].
+
+    x [M, K] bf16/f32 (M padded to the tile size here), w8 [K, N] int8,
+    w_scale [N] f32, bias [N] f32.  ``ln_scale``/``ln_bias`` fuse a
+    LayerNorm over K into the prologue (computed fp32 in VMEM — the
+    separate LN HBM round-trip disappears).
+    """
+    m, k = x.shape
+    n = w8.shape[1]
+    tm = _pick_tile(m, k, n)
+    m_pad = ((m + tm - 1) // tm) * tm
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, m_pad - m), (0, 0)))
+
+    has_res = residual is not None
+    has_ln = ln_scale is not None
+    args = [x, w8, jnp.asarray(w_scale, jnp.float32),
+            jnp.asarray(bias, jnp.float32)]
+    in_specs = [
+        pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    if has_ln:
+        args += [jnp.asarray(ln_scale, jnp.float32),
+                 jnp.asarray(ln_bias, jnp.float32)]
+        in_specs += [pl.BlockSpec((k,), lambda i: (0,),
+                                  memory_space=pltpu.VMEM)] * 2
+    if has_res:
+        args.append(residual)
+        in_specs.append(pl.BlockSpec((tm, n), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        partial(_dispatch_kernel, act=act, has_res=has_res, has_ln=has_ln),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        grid=(m_pad // tm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out[:m]

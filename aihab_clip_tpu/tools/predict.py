@@ -35,6 +35,9 @@ def main(argv=None):
                    help="0 = model native")
     p.add_argument("--flat", action="store_true",
                    help="flat prompts (default: hierarchical descriptive)")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 = W8A8 dynamic-quantized ViT tower "
+                        "(~1.x encode speedup on TPU, see PERF_NOTES.md)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,12 +68,27 @@ def main(argv=None):
     print(f"[predict] {len(files)} images, model {args.model} "
           f"({bundle.source}), resolution {res}")
 
+    if args.quantize == "int8":
+        if not bundle.config.is_vit:
+            raise SystemExit("--quantize int8 requires a ViT backbone")
+        from ..models.quant_vit import quantize_vit_params, vit_encode_int8
+
+        weights = quantize_vit_params(params, bundle.config)
+
+        def encode(p, x):
+            return vit_encode_int8(p, x, bundle.config, project=True)[1]
+    else:
+        weights = params
+
+        def encode(p, x):
+            return model.apply({"params": p}, x,
+                               method=type(model).encode_image,
+                               project=True)[1]
+
     @jax.jit
     def classify(p, images_u8):
         x = eval_transform(images_u8, res)
-        _, feats = model.apply({"params": p}, x,
-                               method=type(model).encode_image, project=True)
-        feats = feats.astype(jnp.float32)
+        feats = encode(p, x).astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
         logits = 100.0 * feats @ tw
@@ -96,7 +114,7 @@ def main(argv=None):
             batch = np.concatenate(
                 [batch, np.zeros((bs - len(batch),) + batch.shape[1:],
                                  np.uint8)])
-        probs = np.asarray(classify(params, jnp.asarray(batch)))[:len(kept)]
+        probs = np.asarray(classify(weights, jnp.asarray(batch)))[:len(kept)]
         top = np.argsort(-probs, axis=-1)[:, :args.topk]
         for i, f in enumerate(kept):
             row = {"file_name": f,

@@ -1,0 +1,175 @@
+"""int8 (W8A8) quantized encode path: primitive error bounds, tower
+fidelity vs the bf16/fp32 canonical model, and zero-shot prediction
+agreement."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+from aihab_clip_tpu.models.quant_vit import quantize_vit_params, vit_encode_int8
+from aihab_clip_tpu.ops.quant import (
+    quant_dense,
+    quantize_activation,
+    quantize_weight,
+)
+
+TINY = CLIPConfig(
+    embed_dim=32, image_resolution=32, vision_layers=3, vision_width=128,
+    vision_patch_size=8, context_length=77, vocab_size=49408,
+    transformer_width=64, transformer_heads=1, transformer_layers=2)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return load("random:tiny-quant", random_cfg=TINY, seed=7)
+
+
+def test_weight_quant_roundtrip(rng):
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    w8, scale = quantize_weight(jnp.asarray(w))
+    w_hat = np.asarray(w8, np.float32) * np.asarray(scale)[None, :]
+    # symmetric per-channel int8: max error is half a quantization step
+    step = np.asarray(scale)[None, :]
+    assert np.all(np.abs(w_hat - w) <= 0.5 * step + 1e-7)
+
+
+def test_activation_quant_roundtrip(rng):
+    x = rng.standard_normal((8, 64)).astype(np.float32) * 3.0
+    x8, scale = quantize_activation(jnp.asarray(x))
+    x_hat = np.asarray(x8, np.float32) * np.asarray(scale)
+    assert np.all(np.abs(x_hat - x) <= 0.5 * np.asarray(scale) + 1e-7)
+
+
+def test_quant_dense_close_to_float(rng):
+    x = rng.standard_normal((16, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 64)).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    ref = x @ w + b
+    w8, ws = quantize_weight(jnp.asarray(w))
+    out = np.asarray(quant_dense(jnp.asarray(x), w8, ws, jnp.asarray(b)))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+
+def test_int8_tower_cosine_vs_canonical(bundle, rng):
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(bundle.model.apply({"params": bundle.params}, x,
+                                        method=CLIPModel.encode_image),
+                     np.float32)
+    qp = quantize_vit_params(bundle.params, TINY)
+    out = np.asarray(vit_encode_int8(qp, x, TINY, dtype=jnp.float32),
+                     np.float32)
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.99), cos
+
+
+def test_int8_projected_shapes(bundle, rng):
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    qp = quantize_vit_params(bundle.params, TINY)
+    pre, post = vit_encode_int8(qp, x, TINY, project=True,
+                                dtype=jnp.float32)
+    assert pre.shape == (2, TINY.vision_width)
+    assert post.shape == (2, TINY.embed_dim)
+
+
+def test_int8_zero_shot_agreement(bundle, rng):
+    """Predictions through a synthetic text head agree with bf16-path
+    predictions on the vast majority of inputs."""
+    n_cls, n = 20, 64
+    x = jnp.asarray(rng.standard_normal((n, 32, 32, 3)).astype(np.float32))
+    tw = jnp.asarray(rng.standard_normal((TINY.embed_dim, n_cls))
+                     .astype(np.float32))
+
+    def predict(feats):
+        f = np.asarray(feats, np.float32)
+        f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        return np.argmax(f @ np.asarray(tw), axis=-1)
+
+    _, ref_post = bundle.model.apply({"params": bundle.params}, x,
+                                     method=CLIPModel.encode_image,
+                                     project=True)
+    qp = quantize_vit_params(bundle.params, TINY)
+    _, q_post = vit_encode_int8(qp, x, TINY, project=True,
+                                dtype=jnp.float32)
+    agree = float(np.mean(predict(ref_post) == predict(q_post)))
+    assert agree >= 0.9, agree
+
+
+def test_int8_vitb_shapes():
+    b = load("random:ViT-B/16", seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 224, 224, 3)).astype(np.float32))
+    qp = quantize_vit_params(b.params, b.config)
+    out = vit_encode_int8(qp, x, b.config, dtype=jnp.float32)
+    assert out.shape == (1, 768)
+
+
+def test_fused_quant_matmul_matches_unfused(rng):
+    from aihab_clip_tpu.ops.quant_matmul import quant_matmul_fused
+
+    x = jnp.asarray(rng.standard_normal((130, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    w8, ws = quantize_weight(w)
+    ref = np.asarray(quant_dense(x, w8, ws, b))
+    out = np.asarray(quant_matmul_fused(x, w8, ws, b, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    # gelu + residual epilogue
+    r = jnp.asarray(rng.standard_normal((130, 256)).astype(np.float32))
+    ref2 = np.asarray(quant_dense(x, w8, ws, b, act="quick_gelu")) + np.asarray(r)
+    out2 = np.asarray(quant_matmul_fused(x, w8, ws, b, act="quick_gelu",
+                                         residual=r, interpret=True))
+    np.testing.assert_allclose(out2, ref2, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_quant_matmul_ln_prologue(rng):
+    from aihab_clip_tpu.models.quant_vit import _ln
+    from aihab_clip_tpu.ops.quant_matmul import quant_matmul_fused
+
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32) * 2)
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    w8, ws = quantize_weight(w)
+    ref = np.asarray(quant_dense(_ln(x, g, beta), w8, ws, b))
+    out = np.asarray(quant_matmul_fused(x, w8, ws, b, ln_scale=g,
+                                        ln_bias=beta, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_chained_int8_mlp_matches_unfused(rng):
+    """qout (LN+GEMM+GELU+requant) -> q8in (int8-input GEMM + residual)
+    equals the unfused LN -> quant_dense -> quant_dense chain."""
+    from aihab_clip_tpu.models.quant_vit import _ln
+    from aihab_clip_tpu.ops.quant_matmul import (
+        quant_matmul_fused_qout,
+        quant_matmul_q8in,
+    )
+
+    x = jnp.asarray(rng.standard_normal((70, 128)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((70, 128)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    w18, w1s = quantize_weight(w1)
+    w28, w2s = quantize_weight(w2)
+
+    hdn_ref = quant_dense(_ln(x, g, beta), w18, w1s, b1, act="quick_gelu")
+    ref = np.asarray(quant_dense(hdn_ref, w28, w2s, b2)) + np.asarray(r)
+
+    h8, hs = quant_matmul_fused_qout(x, w18, w1s, b1, g, beta,
+                                     interpret=True)
+    out = np.asarray(quant_matmul_q8in(h8, hs, w28, w2s, b2, r,
+                                       interpret=True))
+    # both sides quantize the hidden activation (different rounding of the
+    # same step); bound the relative error instead of elementwise equality
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
