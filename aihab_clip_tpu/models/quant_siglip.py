@@ -1,0 +1,165 @@
+"""int8 (W8A8 dynamic) SigLIP vision-tower encode path for serving.
+
+Applies the measured quantization recipe from ``quant_vit`` to the SigLIP
+layout (separate q/k/v projections, gelu_tanh MLP, LN eps 1e-6, MAP
+pooling head — `models/siglip.py`, which is parity-tested against HF
+``SiglipModel``):
+
+  * q/k/v are PACKED into one [W, 3W] int8 GEMM fused with the ln_1
+    prologue (one VMEM pass over the tokens instead of three);
+  * attn out_proj: fused W8A8 with residual epilogue;
+  * MLP: chained int8 — LN2 + c_fc + gelu_tanh requantizes its output
+    (the widest activation moves at 1 byte/elem) and c_proj consumes it
+    with no quantize pass;
+  * patchify conv: im2col int8 matmul + bias;
+  * ln_post and the MAP head stay high-precision (tiny, one query token);
+  * self-attention keeps the measured dispatcher (the head-batched fused
+    kernel at SigLIP's S=729).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from ..ops.quant import quant_dense
+from ..ops.quant_matmul import (
+    quant_matmul_fused,
+    quant_matmul_fused_qout,
+    quant_matmul_q8in,
+)
+from .quant_vit import _ln
+from .siglip import MAPHead, SigLIPConfig
+
+LN_EPS = 1e-6
+
+
+def quantize_siglip_params(params: Dict, config: SigLIPConfig) -> Dict:
+    """Quantize the SigLIP vision tower's GEMM weights once."""
+    from ..ops.quant import quantize_weight
+
+    vp = params["visual"]
+    p = config.patch_size
+
+    conv_kernel = jnp.asarray(vp["conv1"]["kernel"], jnp.float32)
+    k8, ks = quantize_weight(conv_kernel.reshape(p * p * 3,
+                                                 config.vision_width))
+
+    blocks = {}
+    for i in range(config.vision_layers):
+        blk = vp["transformer"][f"resblocks_{i}"]
+        q: Dict = {}
+        # pack q/k/v into one [W, 3W] GEMM (same ln_1(x) input)
+        wq = jnp.asarray(blk["attn"]["q_proj"]["kernel"], jnp.float32)
+        wk = jnp.asarray(blk["attn"]["k_proj"]["kernel"], jnp.float32)
+        wv = jnp.asarray(blk["attn"]["v_proj"]["kernel"], jnp.float32)
+        w8, ws = quantize_weight(jnp.concatenate([wq, wk, wv], axis=1))
+        q["attn/qkv"] = {
+            "w8": w8, "scale": ws,
+            "bias": jnp.concatenate([
+                jnp.asarray(blk["attn"][n]["bias"], jnp.float32)
+                for n in ("q_proj", "k_proj", "v_proj")]),
+        }
+        for mod, name in (("attn", "out_proj"), ("mlp", "c_fc"),
+                          ("mlp", "c_proj")):
+            w8, ws = quantize_weight(blk[mod][name]["kernel"])
+            q[f"{mod}/{name}"] = {
+                "w8": w8, "scale": ws,
+                "bias": jnp.asarray(blk[mod][name]["bias"], jnp.float32),
+            }
+        q["ln_1"] = blk["ln_1"]
+        q["ln_2"] = blk["ln_2"]
+        blocks[f"resblocks_{i}"] = q
+
+    return {
+        "conv1": {"w8": k8, "scale": ks,
+                  "bias": jnp.asarray(vp["conv1"]["bias"], jnp.float32)},
+        "positional_embedding": vp["positional_embedding"],
+        "ln_post": vp["ln_post"],
+        "attnpool": vp["attnpool"],
+        "transformer": blocks,
+    }
+
+
+def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
+                       config: SigLIPConfig, *, project: bool = False,
+                       dtype=jnp.bfloat16, impl: str = "auto"):
+    """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding.
+
+    ``params`` is the ORIGINAL tree (the high-precision MAP head runs
+    through the canonical Flax module); ``qparams`` from
+    ``quantize_siglip_params``.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = impl == "pallas"
+
+    p = config.patch_size
+    width = config.vision_width
+    heads = config.vision_heads
+
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b * gh * gw, p * p * c)
+    cq = qparams["conv1"]
+    if use_pallas:
+        x = quant_matmul_fused(patches, cq["w8"], cq["scale"], cq["bias"])
+    else:
+        x = quant_dense(patches, cq["w8"], cq["scale"], cq["bias"])
+    x = x.reshape(b, gh * gw, width)
+    x = x + jnp.asarray(qparams["positional_embedding"], x.dtype)
+
+    s = x.shape[1]
+    x2 = x.reshape(b * s, width)
+    for i in range(config.vision_layers):
+        blk = qparams["transformer"][f"resblocks_{i}"]
+        qkv_q = blk["attn/qkv"]
+        if use_pallas:
+            qkv = quant_matmul_fused(
+                x2, qkv_q["w8"], qkv_q["scale"], qkv_q["bias"],
+                ln_scale=blk["ln_1"]["scale"], ln_bias=blk["ln_1"]["bias"],
+                ln_eps=LN_EPS)
+        else:
+            ln1 = _ln(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                      eps=LN_EPS)
+            qkv = quant_dense(ln1, qkv_q["w8"], qkv_q["scale"],
+                              qkv_q["bias"])
+        q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
+        attn = attention(q, k, v, heads).reshape(b * s, width)
+        out_q = blk["attn/out_proj"]
+        if use_pallas:
+            x2 = quant_matmul_fused(attn, out_q["w8"], out_q["scale"],
+                                    out_q["bias"], residual=x2)
+        else:
+            x2 = x2 + quant_dense(attn, out_q["w8"], out_q["scale"],
+                                  out_q["bias"])
+        fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
+        if use_pallas:
+            hdn8, hsc = quant_matmul_fused_qout(
+                x2, fc["w8"], fc["scale"], fc["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                act="gelu_tanh", ln_eps=LN_EPS)
+            x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
+                                   pr["bias"], residual=x2)
+        else:
+            ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                      eps=LN_EPS)
+            hdn = quant_dense(ln2, fc["w8"], fc["scale"], fc["bias"],
+                              act="gelu_tanh")
+            x2 = x2 + quant_dense(hdn, pr["w8"], pr["scale"], pr["bias"])
+
+    tokens = x2.reshape(b, s, width)
+    tokens = _ln(tokens, qparams["ln_post"]["scale"],
+                 qparams["ln_post"]["bias"], eps=LN_EPS)
+    pooled = MAPHead(heads, config.vision_mlp_dim, dtype=dtype,
+                     param_dtype=jnp.float32, name=None).apply(
+        {"params": params["visual"]["attnpool"]}, tokens)
+    if project:
+        return pooled, pooled
+    return pooled

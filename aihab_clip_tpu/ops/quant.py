@@ -69,6 +69,8 @@ def quant_dense(
         y = y + jnp.asarray(bias, jnp.float32)[None, :]
     if act == "quick_gelu":
         y = quick_gelu(y)
+    elif act == "gelu_tanh":
+        y = jax.nn.gelu(y, approximate=True)
     elif act is not None:
         raise ValueError(f"unknown activation '{act}'")
     return y.astype(out_dtype)

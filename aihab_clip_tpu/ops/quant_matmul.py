@@ -27,14 +27,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _apply_act(y, act: str):
+    if act == "quick_gelu":
+        return y * jax.nn.sigmoid(1.702 * y)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(y, approximate=True)
+    if act != "none":
+        raise ValueError(f"unknown activation '{act}'")
+    return y
+
+
 def _kernel(x_ref, w8_ref, ws_ref, b_ref, o_ref, *, act: str,
             has_residual: bool, r_ref=None,
-            ln_scale_ref=None, ln_bias_ref=None):
+            ln_scale_ref=None, ln_bias_ref=None, ln_eps: float = 1e-5):
     x = x_ref[:].astype(jnp.float32)                     # [TM, K]
     if ln_scale_ref is not None:                         # fused LN prologue
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        x = (x - mean) * jax.lax.rsqrt(var + ln_eps)
         x = x * ln_scale_ref[:][None, :] + ln_bias_ref[:][None, :]
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)   # [TM, 1]
     sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
@@ -43,8 +53,7 @@ def _kernel(x_ref, w8_ref, ws_ref, b_ref, o_ref, *, act: str,
                       preferred_element_type=jnp.int32)  # [TM, N]
     y = acc.astype(jnp.float32) * (sx * ws_ref[:][None, :])
     y = y + b_ref[:][None, :]
-    if act == "quick_gelu":
-        y = y * jax.nn.sigmoid(1.702 * y)
+    y = _apply_act(y, act)
     if has_residual:
         y = y + r_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
@@ -65,14 +74,14 @@ def _pick_tile(m: int, k: int, n: int) -> int:
 
 
 def _kernel_qout(x_ref, w8_ref, ws_ref, b_ref, ln_s_ref, ln_b_ref,
-                 o8_ref, os_ref, *, act: str):
+                 o8_ref, os_ref, *, act: str, ln_eps: float = 1e-5):
     """Like _kernel with LN prologue, but the epilogue REQUANTIZES the
     activated output to int8 + per-row scales (for a following int8-input
     GEMM): the widest activation tensor is written at 1 byte/elem."""
     x = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    x = (x - mean) * jax.lax.rsqrt(var + ln_eps)
     x = x * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
@@ -80,8 +89,7 @@ def _kernel_qout(x_ref, w8_ref, ws_ref, b_ref, ln_s_ref, ln_b_ref,
     acc = jax.lax.dot(x8, w8_ref[:], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (sx * ws_ref[:][None, :])
     y = y + b_ref[:][None, :]
-    if act == "quick_gelu":
-        y = y * jax.nn.sigmoid(1.702 * y)
+    y = _apply_act(y, act)
     oamax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
     osx = jnp.maximum(oamax, 1e-12) * (1.0 / 127.0)
     o8_ref[:] = jnp.clip(jnp.round(y / osx), -127, 127).astype(jnp.int8)
@@ -100,7 +108,7 @@ def _kernel_q8in(x8_ref, sx_ref, w8_ref, ws_ref, b_ref, r_ref, o_ref):
 
 
 def quant_matmul_fused_qout(x, w8, w_scale, bias, ln_scale, ln_bias,
-                            act: str = "quick_gelu",
+                            act: str = "quick_gelu", ln_eps: float = 1e-5,
                             interpret: bool = False):
     """LN -> W8A8 GEMM -> act -> requantize: returns (y8 [M, N] int8,
     y_scale [M, 1] f32)."""
@@ -111,7 +119,7 @@ def quant_matmul_fused_qout(x, w8, w_scale, bias, ln_scale, ln_bias,
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     y8, ys = pl.pallas_call(
-        partial(_kernel_qout, act=act),
+        partial(_kernel_qout, act=act, ln_eps=ln_eps),
         out_shape=(jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
                    jax.ShapeDtypeStruct((m_pad, 1), jnp.float32)),
         grid=(m_pad // tm,),
@@ -166,7 +174,8 @@ def quant_matmul_q8in(x8, x_scale, w8, w_scale, bias, residual,
     return out[:m]
 
 
-def _dispatch_kernel(*refs, act: str, has_res: bool, has_ln: bool):
+def _dispatch_kernel(*refs, act: str, has_res: bool, has_ln: bool,
+                     ln_eps: float = 1e-5):
     """refs order: x, w8, ws, b, [ln_scale, ln_bias], [residual], out."""
     it = iter(refs)
     x_ref, w8_ref, ws_ref, b_ref = next(it), next(it), next(it), next(it)
@@ -176,12 +185,12 @@ def _dispatch_kernel(*refs, act: str, has_res: bool, has_ln: bool):
     o_ref = next(it)
     _kernel(x_ref, w8_ref, ws_ref, b_ref, o_ref, act=act,
             has_residual=has_res, r_ref=r_ref,
-            ln_scale_ref=ln_s, ln_bias_ref=ln_b)
+            ln_scale_ref=ln_s, ln_bias_ref=ln_b, ln_eps=ln_eps)
 
 
 def quant_matmul_fused(x, w8, w_scale, bias, act: str = "none",
                        residual=None, ln_scale=None, ln_bias=None,
-                       interpret: bool = False):
+                       ln_eps: float = 1e-5, interpret: bool = False):
     """y = act(dequant(q(opt_LN(x)) @ w8) + bias) [+ residual].
 
     x [M, K] bf16/f32 (M padded to the tile size here), w8 [K, N] int8,
@@ -219,7 +228,8 @@ def quant_matmul_fused(x, w8, w_scale, bias, act: str = "none",
                                      memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        partial(_dispatch_kernel, act=act, has_res=has_res, has_ln=has_ln),
+        partial(_dispatch_kernel, act=act, has_res=has_res, has_ln=has_ln,
+                ln_eps=ln_eps),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         grid=(m_pad // tm,),
         in_specs=in_specs,

@@ -69,14 +69,31 @@ def main(argv=None):
           f"({bundle.source}), resolution {res}")
 
     if args.quantize == "int8":
-        if not bundle.config.is_vit:
-            raise SystemExit("--quantize int8 requires a ViT backbone")
-        from ..models.quant_vit import quantize_vit_params, vit_encode_int8
+        from ..models.siglip import SigLIPConfig
 
-        weights = quantize_vit_params(params, bundle.config)
+        if isinstance(bundle.config, SigLIPConfig):
+            from ..models.quant_siglip import (
+                quantize_siglip_params,
+                siglip_encode_int8,
+            )
 
-        def encode(p, x):
-            return vit_encode_int8(p, x, bundle.config, project=True)[1]
+            weights = (quantize_siglip_params(params, bundle.config), params)
+
+            def encode(p, x):
+                return siglip_encode_int8(p[0], p[1], x, bundle.config,
+                                          project=True)[1]
+        elif bundle.config.is_vit:
+            from ..models.quant_vit import (
+                quantize_vit_params,
+                vit_encode_int8,
+            )
+
+            weights = quantize_vit_params(params, bundle.config)
+
+            def encode(p, x):
+                return vit_encode_int8(p, x, bundle.config, project=True)[1]
+        else:
+            raise SystemExit("--quantize int8 requires a ViT/SigLIP backbone")
     else:
         weights = params
 

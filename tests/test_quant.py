@@ -173,3 +173,29 @@ def test_chained_int8_mlp_matches_unfused(rng):
     # same step); bound the relative error instead of elementwise equality
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 0.02, rel
+
+
+# ---------------------------------------------------------------------------
+# SigLIP tower quantization
+# ---------------------------------------------------------------------------
+
+
+def test_siglip_int8_cosine_vs_canonical(rng):
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.quant_siglip import (
+        quantize_siglip_params,
+        siglip_encode_int8,
+    )
+
+    b = load("random:SigLIP-Tiny", seed=3)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(
+        b.model.apply({"params": b.params}, x,
+                      method=type(b.model).encode_image), np.float32)
+    qp = quantize_siglip_params(b.params, b.config)
+    out = np.asarray(siglip_encode_int8(qp, b.params, x, b.config,
+                                        dtype=jnp.float32), np.float32)
+    assert out.shape == ref.shape
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.99), cos
