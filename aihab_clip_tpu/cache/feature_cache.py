@@ -272,14 +272,16 @@ def cache_features_from_loader(
                      else f"{shard_index}/{shard_count}"),
            "crop_mode": crop_mode})
 
+    from ..models.fast_vit import encode_image_fastest
+
     @jax.jit
     def encode_batch(images_u8, key):
         x = aug_fn(images_u8, key, resolution, crop_mode=crop_mode,
                    flip=bool(aug.get("flip", False)),
                    rotation=bool(aug.get("rotation", False)),
                    dtype=compute_dtype)
-        pre = model.apply({"params": params}, x,
-                          method=type(model).encode_image)
+        pre = encode_image_fastest(model, params, x,
+                                   getattr(model, "config", None))
         # cast to the on-disk dtype ON DEVICE: numpy's fp32->fp16 convert is
         # ~0.25 GB/s and would bottleneck the cache writer
         return pre.astype(jnp.float16)

@@ -96,3 +96,79 @@ def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
         return pre
     projected = pre @ jnp.asarray(vp["proj"], pre.dtype)
     return pre, projected
+
+
+def encode_image_fastest(model, params, x: jax.Array, config, *,
+                         project: bool = False):
+    """Fastest parity-tested image encode for the current backend.
+
+    TPU + CLIP-ViT towers take the whole-block fused Pallas path
+    (forward-only; 1.44x end-to-end over the canonical XLA tower,
+    PERF_NOTES.md); everything else (CPU, RN, SigLIP, training steps that
+    need gradients) uses the canonical Flax module."""
+    if (jax.default_backend() == "tpu" and isinstance(config, CLIPConfig)
+            and config.is_vit):
+        return vit_encode_block_fused(params, x, config, project=project,
+                                      dtype=x.dtype)
+    return model.apply({"params": params}, x,
+                       method=type(model).encode_image, project=project)
+
+
+def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
+                           *, project: bool = False, dtype=jnp.bfloat16,
+                           interpret: bool = False):
+    """Whole-block fused encode: the measured-fastest ViT forward on TPU.
+
+    Two Pallas calls per transformer block (``ops/block_kernel.py``):
+    LN1+QKV+attention+out-proj+residual with one grid program per image,
+    and LN2+MLP+residual row-tiled — activations cross HBM once per half
+    block instead of per op.  Measured 67.8 ms vs 107.4 ms for the 12
+    ViT-B/16 blocks at batch 256 (1.58x; PERF_NOTES.md).  Forward-only
+    (encode/serving); training uses the canonical Flax module."""
+    from ..ops.block_kernel import attn_block_fused, mlp_block_fused
+
+    vp = params["visual"]
+    p = config.vision_patch_size
+    width = config.vision_width
+
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, gh * gw, p * p * c)
+    kernel2d = jnp.asarray(vp["conv1"]["kernel"], dtype).reshape(
+        p * p * c, width)
+    x = patches @ kernel2d
+
+    cls = jnp.broadcast_to(
+        jnp.asarray(vp["class_embedding"], dtype)[None, None, :],
+        (b, 1, width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + jnp.asarray(vp["positional_embedding"], dtype)
+    x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
+
+    for i in range(config.vision_layers):
+        blk = vp["transformer"][f"resblocks_{i}"]
+        x = attn_block_fused(
+            x, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+            jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
+            blk["attn"]["in_proj"]["bias"],
+            jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
+            blk["attn"]["out_proj"]["bias"],
+            config.vision_heads, interpret=interpret)
+        s = x.shape[1]
+        x = mlp_block_fused(
+            x.reshape(b * s, width),
+            blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+            jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+            blk["mlp"]["c_fc"]["bias"],
+            jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+            blk["mlp"]["c_proj"]["bias"],
+            interpret=interpret).reshape(b, s, width)
+
+    cls_tok = x[:, 0, :]
+    pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if not project:
+        return pre
+    projected = pre @ jnp.asarray(vp["proj"], pre.dtype)
+    return pre, projected

@@ -441,12 +441,13 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
                                              max_label=num_classes)
     init_spec = ProjectorSpec.from_clip_params(params, model.config.is_vit)
 
+    from .models.fast_vit import encode_image_fastest
+
     @jax.jit
     def encode_pre(images_u8):
         x = eval_transform(images_u8, resolution,
                            dtype=compute_dtype_for_backend())
-        return model.apply({"params": params}, x,
-                           method=CLIPModel.encode_image)
+        return encode_image_fastest(model, params, x, model.config)
 
     def encode_split(view) -> tuple:
         feats, labs = [], []

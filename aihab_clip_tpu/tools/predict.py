@@ -95,12 +95,13 @@ def main(argv=None):
         else:
             raise SystemExit("--quantize int8 requires a ViT/SigLIP backbone")
     else:
+        from ..models.fast_vit import encode_image_fastest
+
         weights = params
 
         def encode(p, x):
-            return model.apply({"params": p}, x,
-                               method=type(model).encode_image,
-                               project=True)[1]
+            return encode_image_fastest(model, p, x, bundle.config,
+                                        project=True)[1]
 
     @jax.jit
     def classify(p, images_u8):

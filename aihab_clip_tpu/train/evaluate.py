@@ -27,16 +27,29 @@ from .tracker import ClassificationTracker
 
 
 def make_eval_step(model, resolution: int, num_classes: int,
-                   compute_dtype=jnp.float32, ks=(1, 3), project: bool = True):
-    """Build the jitted (params, text_weights, batch, state) -> state step."""
+                   compute_dtype=jnp.float32, ks=(1, 3), project: bool = True,
+                   mesh=None):
+    """Build the jitted (params, text_weights, batch, state) -> state step.
+
+    Single-device steps dispatch to the whole-block fused encode (Pallas
+    does not partition under GSPMD, so mesh-sharded steps keep the
+    canonical XLA tower)."""
+
+    from ..models.fast_vit import encode_image_fastest
+
+    def encode_proj(params, x):
+        if mesh is not None:
+            return model.apply({"params": params}, x,
+                               method=type(model).encode_image, project=True)
+        return encode_image_fastest(model, params, x,
+                                    getattr(model, "config", None),
+                                    project=True)
 
     @jax.jit
     def step(params, text_weights, images_u8, targets, valid, state):
         x = eval_transform(images_u8, resolution, dtype=compute_dtype)
         if project:
-            _, feats = model.apply({"params": params}, x,
-                                   method=type(model).encode_image,
-                                   project=True)
+            _, feats = encode_proj(params, x)
         else:
             feats = model.apply({"params": params}, x,
                                 method=type(model).encode_image)
@@ -80,7 +93,8 @@ def evaluate(
     step runs SPMD (metric state replicates; GSPMD inserts the
     reductions)."""
     step = eval_step or make_eval_step(
-        model, resolution, num_classes, compute_dtype, project=project)
+        model, resolution, num_classes, compute_dtype, project=project,
+        mesh=mesh)
     state = M.init_metric_state(num_classes)
 
     l2_acc = None

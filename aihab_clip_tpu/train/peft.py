@@ -477,7 +477,7 @@ def finetune(
         return text_weights
 
     eval_step = make_eval_step(model, cfg.resolution, cfg.num_classes,
-                               cfg.compute_dtype, project=True)
+                               cfg.compute_dtype, project=True, mesh=mesh)
 
     def run_eval(view, **kw):
         par = merge_params(trainable, frozen)

@@ -67,6 +67,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from aihab_clip_tpu.models import CLIPModel, load
+    from aihab_clip_tpu.models.fast_vit import vit_encode_block_fused
     from aihab_clip_tpu.ops.preprocess import eval_transform
 
     dev = jax.devices()[0]
@@ -77,15 +78,22 @@ def main() -> None:
                   param_dtype=jnp.bfloat16, seed=0)
     model, params = bundle.model, bundle.params
     res = bundle.config.image_resolution
+    config = bundle.config
 
     @partial(jax.jit, static_argnames=("n",))
     def bench_n(params, images_u8, n):
         def body(i, acc):
             imgs = images_u8 ^ i.astype(jnp.uint8)  # defeat hoisting/caching
             x = eval_transform(imgs, res, dtype=jnp.bfloat16)
-            _, feats = model.apply({"params": params}, x,
-                                   method=CLIPModel.encode_image,
-                                   project=True)
+            if on_tpu:
+                # whole-block fused Pallas encode (parity-tested; measured
+                # 1.44x over the canonical XLA tower — PERF_NOTES.md)
+                _, feats = vit_encode_block_fused(params, x, config,
+                                                  project=True)
+            else:
+                _, feats = model.apply({"params": params}, x,
+                                       method=CLIPModel.encode_image,
+                                       project=True)
             return acc + jnp.sum(feats.astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 

@@ -31,6 +31,9 @@ def _assert_cpu_backend():
     assert len(jax.devices()) == 8
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same fresh stream, so test data
+    # never depends on suite composition or execution order (a session-
+    # scoped generator made thresholds drift as tests were added)
     return np.random.default_rng(0)

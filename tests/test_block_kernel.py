@@ -1,0 +1,81 @@
+"""Whole-block fused kernels == unfused reference math (interpret mode)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from aihab_clip_tpu.ops.attention import _xla_attention
+from aihab_clip_tpu.ops.block_kernel import attn_block_fused, mlp_block_fused
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias).astype(
+        x.dtype)
+
+
+def test_attn_block_fused_matches_reference(rng):
+    b, s, w, heads = 2, 50, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray(rng.standard_normal(3 * w).astype(np.float32) * 0.1)
+    wout = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    bout = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    ln1 = _ln(x, g, beta)
+    qkv = ln1.reshape(b * s, w) @ wqkv + bqkv
+    q, k, v = jnp.split(qkv.reshape(b, s, 3 * w), 3, axis=-1)
+    attn = _xla_attention(q, k, v, heads)
+    ref = x + (attn.reshape(b * s, w) @ wout + bout).reshape(b, s, w)
+
+    out = attn_block_fused(x, g, beta, wqkv, bqkv, wout, bout, heads,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_mlp_block_fused_matches_reference(rng):
+    m, w, hidden = 70, 64, 256
+    x = jnp.asarray(rng.standard_normal((m, w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wfc = jnp.asarray((rng.standard_normal((w, hidden)) * 0.1).astype(np.float32))
+    bfc = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    wpr = jnp.asarray((rng.standard_normal((hidden, w)) * 0.1).astype(np.float32))
+    bpr = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    ln2 = _ln(x, g, beta)
+    h = ln2 @ wfc + bfc
+    h = h * jax.nn.sigmoid(1.702 * h)
+    ref = x + (h @ wpr + bpr)
+
+    out = mlp_block_fused(x, g, beta, wfc, bfc, wpr, bpr, interpret=True,
+                          tile_m=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_block_fused_encode_matches_canonical(rng):
+    from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+    from aihab_clip_tpu.models.fast_vit import vit_encode_block_fused
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=3, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2)
+    b = load("random:tiny-blockfused", random_cfg=tiny, seed=11)
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
+    ref_pre, ref_post = b.model.apply({"params": b.params}, x,
+                                      method=CLIPModel.encode_image,
+                                      project=True)
+    pre, post = vit_encode_block_fused(b.params, x, tiny, project=True,
+                                       dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(ref_pre),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(post), np.asarray(ref_post),
+                               atol=5e-4, rtol=5e-4)
