@@ -29,6 +29,9 @@ from ..ops.attention import _xla_attention
 from ..ops.fused_linear import ln_matmul, matmul_residual
 from .clip import CLIPConfig
 
+# combined c_fc+c_proj VMEM budget for the one-kernel MLP path
+MLP_WHOLE_KERNEL_MAX_BYTES = 11 * 2 ** 20
+
 
 def _ln(x, scale, bias, eps=1e-5):
     xf = x.astype(jnp.float32)
@@ -147,6 +150,12 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     x = x + jnp.asarray(vp["positional_embedding"], dtype)
     x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
 
+    # one-kernel MLP only when BOTH weights fit VMEM next to the tiles
+    # (ViT-B: 9.4 MB bf16 -> yes; ViT-L: 16.8 MB -> split kernels)
+    hidden = config.vision_mlp_dim or 4 * width
+    mlp_whole = (2 * (width * hidden * jnp.dtype(dtype).itemsize)
+                 <= MLP_WHOLE_KERNEL_MAX_BYTES)
+
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         x = attn_block_fused(
@@ -157,14 +166,24 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
             blk["attn"]["out_proj"]["bias"],
             config.vision_heads, interpret=interpret)
         s = x.shape[1]
-        x = mlp_block_fused(
-            x.reshape(b * s, width),
-            blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-            jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
-            blk["mlp"]["c_fc"]["bias"],
-            jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
-            blk["mlp"]["c_proj"]["bias"],
-            interpret=interpret).reshape(b, s, width)
+        x2 = x.reshape(b * s, width)
+        if mlp_whole:
+            x2 = mlp_block_fused(
+                x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+                blk["mlp"]["c_fc"]["bias"],
+                jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+                blk["mlp"]["c_proj"]["bias"],
+                interpret=interpret)
+        else:
+            hdn = ln_matmul(
+                x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+                blk["mlp"]["c_fc"]["bias"], "quick_gelu")
+            x2 = matmul_residual(
+                hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+                blk["mlp"]["c_proj"]["bias"], x2)
+        x = x2.reshape(b, s, width)
 
     cls_tok = x[:, 0, :]
     pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])

@@ -79,3 +79,24 @@ def test_block_fused_encode_matches_canonical(rng):
                                atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(post), np.asarray(ref_post),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_block_fused_encode_split_mlp_path(rng, monkeypatch):
+    """Towers whose MLP weights exceed the whole-kernel VMEM budget fall
+    back to the split LN+GEMM / GEMM+residual kernels — same numerics."""
+    from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+    from aihab_clip_tpu.models import fast_vit
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2)
+    b = load("random:tiny-blocksplit", random_cfg=tiny, seed=12)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=CLIPModel.encode_image)
+    monkeypatch.setattr(fast_vit, "MLP_WHOLE_KERNEL_MAX_BYTES", 0)
+    out = fast_vit.vit_encode_block_fused(b.params, x, tiny,
+                                          dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
