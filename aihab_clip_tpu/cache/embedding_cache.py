@@ -85,7 +85,8 @@ def cache_embeddings(
     store.ensure()
 
     @jax.jit
-    def encode(images_u8):
+    def encode(params, images_u8):
+        # params as an argument, never a closure constant (DEV_NOTES.md)
         x = eval_transform(images_u8, resolution, dtype=compute_dtype)
         _, post = model.apply({"params": params}, x,
                               method=type(model).encode_image, project=True)
@@ -97,7 +98,8 @@ def cache_embeddings(
 
     feats, labels, rows = [], [], []
     for batch in view.batches():
-        emb = np.asarray(encode(jnp.asarray(batch.images)))[batch.valid]
+        emb = np.asarray(encode(params,
+                                jnp.asarray(batch.images)))[batch.valid]
         feats.append(emb)
         labels.append(batch.labels[batch.valid])
         for meta, lbl in zip(view.metadata_rows(batch.indices),

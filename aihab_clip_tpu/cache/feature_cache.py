@@ -275,7 +275,9 @@ def cache_features_from_loader(
     from ..models.fast_vit import encode_image_fastest
 
     @jax.jit
-    def encode_batch(images_u8, key):
+    def encode_batch(params, images_u8, key):
+        # params is an ARGUMENT, not a closure constant (closing over a
+        # real tower embeds hundreds of MB into the compiled program)
         x = aug_fn(images_u8, key, resolution, crop_mode=crop_mode,
                    flip=bool(aug.get("flip", False)),
                    rotation=bool(aug.get("rotation", False)),
@@ -291,7 +293,7 @@ def cache_features_from_loader(
         base = jax.random.fold_in(jax.random.key(seed), v)
         for bi, batch in enumerate(cache_view.batches()):
             key = jax.random.fold_in(base, bi)
-            pre = encode_batch(jnp.asarray(batch.images), key)
+            pre = encode_batch(params, jnp.asarray(batch.images), key)
             feats.append(np.asarray(pre)[batch.valid])
             labels.append(batch.labels[batch.valid])
         return np.concatenate(feats, 0), np.concatenate(labels, 0)

@@ -108,7 +108,11 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
     TPU + CLIP-ViT towers take the whole-block fused Pallas path
     (forward-only; 1.44x end-to-end over the canonical XLA tower,
     PERF_NOTES.md); everything else (CPU, RN, SigLIP, training steps that
-    need gradients) uses the canonical Flax module."""
+    need gradients) uses the canonical Flax module.  (A per-op fused
+    SigLIP path exists — ``models/fast_siglip.py`` — but measured SLOWER
+    than the canonical XLA tower at SO400M shapes, so it is not
+    dispatched; SigLIP's fast serving path is int8,
+    ``models/quant_siglip.py``.)"""
     if (jax.default_backend() == "tpu" and isinstance(config, CLIPConfig)
             and config.is_vit):
         return vit_encode_block_fused(params, x, config, project=project,

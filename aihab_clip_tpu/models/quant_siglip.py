@@ -141,6 +141,9 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
                                   out_q["bias"])
         fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
         if use_pallas:
+            # chained int8 MLP: measured FASTER in-tower than the
+            # whole-block kernel (283 vs 294 ms e2e) even though the
+            # whole-block kernel wins in isolation — see PERF_NOTES.md
             hdn8, hsc = quant_matmul_fused_qout(
                 x2, fc["w8"], fc["scale"], fc["bias"],
                 blk["ln_2"]["scale"], blk["ln_2"]["bias"],

@@ -4,11 +4,12 @@ A pure function over a pre-quantized version of the canonical
 ``CLIPModel`` param tree.  Quantization policy is MEASURED, not uniform
 (v5e, batch 256, PERF_NOTES.md):
 
-  * patchify, QKV in_proj, attn out_proj, MLP c_fc — int8 W8A8 via the
-    fused Pallas kernel (``ops/quant_matmul.py``): ~1.5x over the bf16
-    GEMM at their K<=768 shapes;
-  * MLP c_proj (K=3072) — stays bf16: the fused int8 kernel measured
-    SLOWER there (1.77 vs 1.24 ms), so it is not quantized;
+  * patchify, QKV in_proj, attn out_proj — int8 W8A8 via the fused
+    Pallas kernel (``ops/quant_matmul.py``): ~1.5x over the bf16 GEMM at
+    their K<=768 shapes;
+  * the MLP as a chained pair: LN2 + c_fc + GELU requantizes its output
+    (the widest activation moves at 1 byte/elem) and c_proj consumes the
+    int8 directly (no quantize pass);
   * LayerNorms fp32, attention bf16 XLA (optimal at these sequence
     lengths), final ln_post/projection high-precision.
 
@@ -144,7 +145,10 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
         if impl == "pallas":
             # fully-int8 MLP chain: LN+c_fc+GELU emits already-quantized
             # int8 (+ row scales) — the widest activation tensor moves at
-            # 1 byte/elem — and c_proj consumes it with no quantize pass
+            # 1 byte/elem — and c_proj consumes it with no quantize pass.
+            # (A whole-block single-kernel variant exists —
+            # ``quant_mlp_block_fused`` — and wins in isolation but
+            # measured SLOWER in-tower; PERF_NOTES.md.)
             from ..ops.quant_matmul import (
                 quant_matmul_fused_qout,
                 quant_matmul_q8in,

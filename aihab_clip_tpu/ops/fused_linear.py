@@ -43,6 +43,16 @@ def _quick_gelu_f32(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _act_f32(x, activation: Optional[str]):
+    if activation == "quick_gelu":
+        return _quick_gelu_f32(x)
+    if activation == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if activation is not None:
+        raise ValueError(f"unknown activation '{activation}'")
+    return x
+
+
 def _ln_rows(x_f32, scale, bias, eps=1e-5):
     mean = jnp.mean(x_f32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x_f32 - mean), axis=-1, keepdims=True)
@@ -55,21 +65,21 @@ def _ln_rows(x_f32, scale, bias, eps=1e-5):
 
 
 def _ln_matmul_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref, o_ref,
-                      ln_scratch, *, activation: Optional[str]):
+                      ln_scratch, *, activation: Optional[str],
+                      eps: float = 1e-5):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         x = x_ref[:].astype(jnp.float32)
         ln = _ln_rows(x, ls_ref[:].astype(jnp.float32),
-                      lb_ref[:].astype(jnp.float32))
+                      lb_ref[:].astype(jnp.float32), eps=eps)
         ln_scratch[:] = ln.astype(ln_scratch.dtype)
 
     out = jnp.dot(ln_scratch[:], w_ref[:],
                   preferred_element_type=jnp.float32)
     out = out + b_ref[:].astype(jnp.float32)
-    if activation == "quick_gelu":
-        out = _quick_gelu_f32(out)
+    out = _act_f32(out, activation)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -81,16 +91,16 @@ def _matmul_residual_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
 
 
 def _ln_matmul_fulln_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref, o_ref,
-                            *, activation: Optional[str]):
+                            *, activation: Optional[str],
+                            eps: float = 1e-5):
     """Grid over M only; W resident in VMEM (constant block index)."""
     x = x_ref[:].astype(jnp.float32)
     ln = _ln_rows(x, ls_ref[:].astype(jnp.float32),
-                  lb_ref[:].astype(jnp.float32))
+                  lb_ref[:].astype(jnp.float32), eps=eps)
     out = jnp.dot(ln.astype(w_ref.dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
     out = out + b_ref[:].astype(jnp.float32)
-    if activation == "quick_gelu":
-        out = _quick_gelu_f32(out)
+    out = _act_f32(out, activation)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -130,6 +140,7 @@ def _pad_cols(w, b, bn):
 
 def _ln_matmul_pallas(x, ln_scale, ln_bias, w, b,
                       activation: Optional[str] = None,
+                      eps: float = 1e-5,
                       interpret: bool = False):
     x, m = _pad_rows(x, BM)
     w, b, n = _pad_cols(w, b, 128)
@@ -138,7 +149,7 @@ def _ln_matmul_pallas(x, ln_scale, ln_bias, w, b,
 
     if k * np_ * x.dtype.itemsize <= _FULLN_WEIGHT_BYTES:
         out = pl.pallas_call(
-            partial(_ln_matmul_fulln_kernel, activation=activation),
+            partial(_ln_matmul_fulln_kernel, activation=activation, eps=eps),
             out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
             grid=(mp // BM,),
             in_specs=[
@@ -167,7 +178,7 @@ def _ln_matmul_pallas(x, ln_scale, ln_bias, w, b,
     w, b, _ = _pad_cols(w, b.reshape(-1), BN)
     np_ = w.shape[1]
     out = pl.pallas_call(
-        partial(_ln_matmul_kernel, activation=activation),
+        partial(_ln_matmul_kernel, activation=activation, eps=eps),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
         grid=(mp // BM, np_ // BN),
         in_specs=[
@@ -263,12 +274,12 @@ def _matmul_residual_pallas(x, w, b, res, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _ln_matmul_xla(x, ln_scale, ln_bias, w, b, activation=None):
+def _ln_matmul_xla(x, ln_scale, ln_bias, w, b, activation=None, eps=1e-5):
     ln = _ln_rows(x.astype(jnp.float32), ln_scale.astype(jnp.float32),
-                  ln_bias.astype(jnp.float32)).astype(x.dtype)
+                  ln_bias.astype(jnp.float32), eps=eps).astype(x.dtype)
     out = ln @ w + b.astype(x.dtype)
-    if activation == "quick_gelu":
-        out = (_quick_gelu_f32(out.astype(jnp.float32))).astype(x.dtype)
+    if activation is not None:
+        out = _act_f32(out.astype(jnp.float32), activation).astype(x.dtype)
     return out
 
 
@@ -276,23 +287,23 @@ def _matmul_residual_xla(x, w, b, res):
     return (x @ w + b.astype(x.dtype) + res).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def ln_matmul(x, ln_scale, ln_bias, w, b, activation=None):
-    """LN(x) @ w + b (+ optional QuickGELU) — fused on TPU."""
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ln_matmul(x, ln_scale, ln_bias, w, b, activation=None, eps=1e-5):
+    """LN(x) @ w + b (+ optional QuickGELU / tanh-GELU) — fused on TPU."""
     if jax.default_backend() == "tpu":
-        return _ln_matmul_pallas(x, ln_scale, ln_bias, w, b, activation)
-    return _ln_matmul_xla(x, ln_scale, ln_bias, w, b, activation)
+        return _ln_matmul_pallas(x, ln_scale, ln_bias, w, b, activation, eps)
+    return _ln_matmul_xla(x, ln_scale, ln_bias, w, b, activation, eps)
 
 
-def _ln_matmul_fwd(x, ln_scale, ln_bias, w, b, activation):
-    return ln_matmul(x, ln_scale, ln_bias, w, b, activation), (
+def _ln_matmul_fwd(x, ln_scale, ln_bias, w, b, activation, eps):
+    return ln_matmul(x, ln_scale, ln_bias, w, b, activation, eps), (
         x, ln_scale, ln_bias, w, b)
 
 
-def _ln_matmul_bwd(activation, res, g):
+def _ln_matmul_bwd(activation, eps, res, g):
     x, ln_scale, ln_bias, w, b = res
-    _, vjp = jax.vjp(lambda *a: _ln_matmul_xla(*a, activation), x, ln_scale,
-                     ln_bias, w, b)
+    _, vjp = jax.vjp(lambda *a: _ln_matmul_xla(*a, activation, eps), x,
+                     ln_scale, ln_bias, w, b)
     return vjp(g)
 
 

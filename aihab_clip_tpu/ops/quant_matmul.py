@@ -174,6 +174,98 @@ def quant_matmul_q8in(x8, x_scale, w8, w_scale, bias, residual,
     return out[:m]
 
 
+def _mlp_block_kernel_int8(x_ref, ln_s_ref, ln_b_ref, w1_ref, s1_ref,
+                           b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *,
+                           act: str, ln_eps: float):
+    """Whole-block int8 MLP: LN -> W8A8 c_fc -> act -> requantize (in
+    VMEM) -> W8A8 c_proj -> +residual, one program per row tile.
+
+    Versus the qout->q8in pair this removes the int8 hidden tensor's HBM
+    round-trip entirely — at SigLIP SO400M shapes (batch 64, S=729,
+    hidden 4304) that tensor is ~200 MB per direction per block.
+
+    MEASURED VERDICT (v5e): wins in ISOLATION at every production shape
+    (SO400M 3.69 vs 4.37 ms; ViT-L 2.42 vs 2.51; ViT-B 1.93 vs 1.98,
+    128-row tiles) but measured SLOWER IN-TOWER (SigLIP e2e 294 vs 283 ms
+    same-session A/B) — holding both weight matrices plus the f32 hidden
+    tile keeps VMEM near capacity, which in a real tower (alternating
+    with the attention kernels) degrades pipelining in a way the
+    single-kernel fori_loop microbenchmark does not reproduce.  The int8
+    towers therefore dispatch the chained pair; this kernel is kept
+    (tested) for shapes with more VMEM headroom."""
+    x = x_ref[:].astype(jnp.float32)                     # [TM, W]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ln = (x - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = ln * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
+    amax = jnp.max(jnp.abs(ln), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(ln / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot(x8, w1_ref[:],
+                      preferred_element_type=jnp.int32)  # [TM, H]
+    h = acc.astype(jnp.float32) * (sx * s1_ref[:][None, :])
+    h = _apply_act(h + b1_ref[:][None, :], act)
+    hmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    hs = jnp.maximum(hmax, 1e-12) * (1.0 / 127.0)
+    h8 = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot(h8, w2_ref[:],
+                       preferred_element_type=jnp.int32)  # [TM, W]
+    y = acc2.astype(jnp.float32) * (hs * s2_ref[:][None, :])
+    y = y + b2_ref[:][None, :] + x                        # residual = pre-LN x
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def quant_mlp_block_fused(x, w1_8, w1_scale, b1, w2_8, w2_scale, b2,
+                          ln_scale, ln_bias, act: str = "quick_gelu",
+                          ln_eps: float = 1e-5, tile_m: int = 0,
+                          interpret: bool = False):
+    """x [M, W] -> x + int8_c_proj(act(int8_c_fc(LN(x)))) in one kernel.
+
+    Both int8 weight matrices stay VMEM-resident across the grid — int8
+    halves their footprint, which is what makes the whole-block MLP fit
+    where the bf16 variant cannot (SigLIP SO400M: 9.9 MB int8 vs 19.8 MB
+    bf16; ViT-L: 8.4 vs 16.8)."""
+    m, w = x.shape
+    hidden = w1_8.shape[1]
+    if not tile_m:
+        # 128-row tiles measured fastest at every production shape (SigLIP
+        # 3.69 vs 4.09 ms at 64 rows; ViT-L 2.42 vs 3.49 — PERF_NOTES.md)
+        # and fit even SO400M's 9.9 MB int8 weight pair: Mosaic's real
+        # buffer liveness is well under the naive all-live estimate, so
+        # only fall back for hypothetical wider-than-SO400M models.
+        weights = w * hidden + hidden * w
+        bufs128 = 128 * (w * 13 + hidden * 9)
+        tile_m = 128 if weights + bufs128 <= int(17 * 1024 * 1024) else 64
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        partial(_mlp_block_kernel_int8, act=act, ln_eps=ln_eps),
+        out_shape=jax.ShapeDtypeStruct((m_pad, w), x.dtype),
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
+      w1_8, jnp.asarray(w1_scale, jnp.float32), jnp.asarray(b1, jnp.float32),
+      w2_8, jnp.asarray(w2_scale, jnp.float32), jnp.asarray(b2, jnp.float32))
+    return out[:m]
+
+
 def _dispatch_kernel(*refs, act: str, has_res: bool, has_ln: bool,
                      ln_eps: float = 1e-5):
     """refs order: x, w8, ws, b, [ln_scale, ln_bias], [residual], out."""

@@ -444,7 +444,10 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     from .models.fast_vit import encode_image_fastest
 
     @jax.jit
-    def encode_pre(images_u8):
+    def encode_pre(params, images_u8):
+        # params is an ARGUMENT, not a closure constant (closing over a
+        # real tower embeds hundreds of MB into the compiled program —
+        # see DEV_NOTES.md / make_train_step)
         x = eval_transform(images_u8, resolution,
                            dtype=compute_dtype_for_backend())
         return encode_image_fastest(model, params, x, model.config)
@@ -452,7 +455,7 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     def encode_split(view) -> tuple:
         feats, labs = [], []
         for batch in view.batches():
-            pre = np.asarray(encode_pre(jnp.asarray(batch.images)),
+            pre = np.asarray(encode_pre(params, jnp.asarray(batch.images)),
                              np.float32)[batch.valid]
             feats.append(pre)
             labs.append(batch.labels[batch.valid])

@@ -34,9 +34,10 @@ def test_ln_matmul_variants(rng, shape, full_n, monkeypatch):
     monkeypatch.setattr(fl, "_FULLN_WEIGHT_BYTES",
                         10 * 1024 * 1024 if full_n else 0)
     x, w, b, ls, lb, _ = _case(rng, *shape)
-    for act in (None, "quick_gelu"):
-        out = _ln_matmul_pallas(x, ls, lb, w, b, act, interpret=True)
-        ref = _ln_matmul_xla(x, ls, lb, w, b, act)
+    for act, eps in ((None, 1e-5), ("quick_gelu", 1e-5),
+                     ("gelu_tanh", 1e-6)):
+        out = _ln_matmul_pallas(x, ls, lb, w, b, act, eps, interpret=True)
+        ref = _ln_matmul_xla(x, ls, lb, w, b, act, eps)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
 

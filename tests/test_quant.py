@@ -175,6 +175,36 @@ def test_chained_int8_mlp_matches_unfused(rng):
     assert rel < 0.02, rel
 
 
+def test_whole_block_int8_mlp_matches_chained(rng):
+    """One-kernel LN->c_fc->act->requant->c_proj->+residual equals the
+    qout->q8in pair (same math, no HBM hop for the int8 hidden)."""
+    from aihab_clip_tpu.ops.quant_matmul import (
+        quant_matmul_fused_qout,
+        quant_matmul_q8in,
+        quant_mlp_block_fused,
+    )
+
+    for act, eps in (("quick_gelu", 1e-5), ("gelu_tanh", 1e-6)):
+        x = jnp.asarray(rng.standard_normal((70, 128)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+        beta = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+        b1 = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+        w2 = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+        b2 = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+        w18, w1s = quantize_weight(w1)
+        w28, w2s = quantize_weight(w2)
+
+        h8, hs = quant_matmul_fused_qout(x, w18, w1s, b1, g, beta, act=act,
+                                         ln_eps=eps, interpret=True)
+        ref = np.asarray(quant_matmul_q8in(h8, hs, w28, w2s, b2, x,
+                                           interpret=True))
+        out = np.asarray(quant_mlp_block_fused(
+            x, w18, w1s, b1, w28, w2s, b2, g, beta, act=act, ln_eps=eps,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # SigLIP tower quantization
 # ---------------------------------------------------------------------------

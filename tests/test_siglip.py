@@ -139,3 +139,28 @@ def test_zoo_hf_hub_name_resolves_offline():
         w.simplefilter("ignore")
         b = load("hf-hub:timm/ViT-B-16-SigLIP-224")
     assert b.config == SIGLIP_ARCHS["ViT-B-16-SigLIP-224"] or b.source == "hf-local"
+
+
+def test_fast_siglip_encode_parity(rng):
+    """The fused-kernel SigLIP encode path (packed QKV + per-op fused
+    kernels) matches the canonical Flax tower."""
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import (
+        pack_siglip_fast_params,
+        siglip_encode_fast,
+    )
+
+    b = load("random:SigLIP-Tiny", seed=3)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(b.model.apply({"params": b.params}, x,
+                                   method=type(b.model).encode_image),
+                     np.float32)
+    packed = pack_siglip_fast_params(b.params, b.config, jnp.float32)
+    out = np.asarray(siglip_encode_fast(b.params, x, b.config,
+                                        dtype=jnp.float32, packed=packed),
+                     np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    pre, post = siglip_encode_fast(b.params, x, b.config, project=True,
+                                   dtype=jnp.float32)
+    assert pre.shape == post.shape == ref.shape
