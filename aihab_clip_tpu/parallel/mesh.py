@@ -57,6 +57,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 _TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*attn/in_proj/kernel$", P(None, MODEL_AXIS)),
     (r".*attn/in_proj/bias$", P(MODEL_AXIS)),
+    # SigLIP layout: separate q/k/v projections (each column-parallel —
+    # output dim = heads x head_dim, so heads split across the model axis
+    # exactly like the fused in_proj)
+    (r".*attn/(q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
+    (r".*attn/(q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
     (r".*attn/out_proj/kernel$", P(MODEL_AXIS, None)),
     (r".*mlp/c_fc/kernel$", P(None, MODEL_AXIS)),
     (r".*mlp/c_fc/bias$", P(MODEL_AXIS)),

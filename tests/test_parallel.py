@@ -184,3 +184,35 @@ def test_runner_peft_spmd_dp8(tmp_path):
     # same data, same seed: DP8 and DP4xTP2 agree on the outcome
     assert t_tp["top1"] == pytest.approx(t_dp["top1"], abs=1e-6)
     assert t_tp["loss"] == pytest.approx(t_dp["loss"], rel=1e-3)
+
+
+def test_siglip_tp_rules_and_sharded_encode():
+    """SigLIP's separate q/k/v projections get column-parallel placement
+    and the sharded tower matches unsharded execution (DP and DP4xTP2)."""
+    b = load("random:SigLIP-Tiny", seed=5)
+    mesh = make_mesh(model_parallel=2)
+    sh = param_shardings(mesh, b.params)
+    blk = sh["visual"]["transformer"]["resblocks_0"]
+    for name in ("q_proj", "k_proj", "v_proj"):
+        assert blk["attn"][name]["kernel"].spec == P(None, MODEL_AXIS)
+        assert blk["attn"][name]["bias"].spec == P(MODEL_AXIS)
+    assert blk["attn"]["out_proj"]["kernel"].spec == P(MODEL_AXIS, None)
+    assert blk["mlp"]["c_fc"]["kernel"].spec == P(None, MODEL_AXIS)
+
+    x = np.random.default_rng(0).standard_normal((8, 32, 32, 3)).astype(
+        np.float32)
+    ref = np.asarray(b.model.apply({"params": b.params}, jnp.asarray(x),
+                                   method=type(b.model).encode_image))
+
+    @jax.jit
+    def encode(p, xs):
+        return b.model.apply({"params": p}, xs,
+                             method=type(b.model).encode_image)
+
+    for mp in (1, 2):
+        mesh = make_mesh(model_parallel=mp)
+        params = shard_params(mesh, b.params)
+        xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        with jax.set_mesh(mesh):
+            out = np.asarray(encode(params, xs))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
