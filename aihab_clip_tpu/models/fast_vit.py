@@ -121,6 +121,85 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
                        method=type(model).encode_image, project=project)
 
 
+def vit_encode_train(params, images: jax.Array, config: CLIPConfig,
+                     *, project: bool = False, dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """DIFFERENTIABLE fast encode for training steps (TPU, CLIP-ViT).
+
+    The attention half stays the canonical XLA graph (its backward is
+    XLA-generated); the MLP half — 2/3 of the block FLOPs — runs through
+    ``ops/block_kernel.mlp_block_train``: a fused whole-block forward
+    (emitting the c_fc pre-activation) and a fused backward for the dx
+    chain, with weight grads as plain XLA GEMMs over the emitted
+    tensors.  Gradients match the canonical formulation (tested to
+    1e-4); numerics contract (fp32 LN, bf16 GEMMs w/ fp32 accum)
+    preserved.  Only dispatched when the MLP weight pair fits the
+    one-kernel VMEM budget (ViT-B class)."""
+    from ..ops.attention import _xla_attention
+    from ..ops.block_kernel import mlp_block_train
+
+    vp = params["visual"]
+    p = config.vision_patch_size
+    width = config.vision_width
+    heads = config.vision_heads
+
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, gh * gw, p * p * c)
+    kernel2d = jnp.asarray(vp["conv1"]["kernel"], dtype).reshape(
+        p * p * c, width)
+    x = patches @ kernel2d
+
+    cls = jnp.broadcast_to(
+        jnp.asarray(vp["class_embedding"], dtype)[None, None, :],
+        (b, 1, width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + jnp.asarray(vp["positional_embedding"], dtype)
+    x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
+
+    s = x.shape[1]
+    for i in range(config.vision_layers):
+        blk = vp["transformer"][f"resblocks_{i}"]
+        # attention half: canonical XLA (differentiable as-is)
+        ln1 = _ln(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+        qkv = ln1 @ jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype)
+        qkv = qkv + jnp.asarray(blk["attn"]["in_proj"]["bias"], dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = _xla_attention(q, k, v, heads)
+        out = attn @ jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype)
+        x = x + out + jnp.asarray(blk["attn"]["out_proj"]["bias"], dtype)
+        # MLP half: fused fwd+bwd whole-block kernel
+        x2 = mlp_block_train(
+            x.reshape(b * s, width),
+            blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+            jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+            blk["mlp"]["c_fc"]["bias"],
+            jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+            blk["mlp"]["c_proj"]["bias"], interpret=interpret)
+        x = x2.reshape(b, s, width)
+
+    cls_tok = x[:, 0, :]
+    pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if not project:
+        return pre
+    projected = pre @ jnp.asarray(vp["proj"], pre.dtype)
+    return pre, projected
+
+
+def use_fused_train_encode(model, config, mesh=None) -> bool:
+    """Fused-training-tower dispatch gate: TPU, CLIP-ViT, no GSPMD mesh
+    (Pallas does not partition), MLP weight pair within the one-kernel
+    VMEM budget."""
+    if mesh is not None or jax.default_backend() != "tpu":
+        return False
+    if not (isinstance(config, CLIPConfig) and config.is_vit):
+        return False
+    hidden = config.vision_mlp_dim or 4 * config.vision_width
+    return 2 * config.vision_width * hidden * 2 <= MLP_WHOLE_KERNEL_MAX_BYTES
+
+
 def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                            *, project: bool = False, dtype=jnp.bfloat16,
                            interpret: bool = False):

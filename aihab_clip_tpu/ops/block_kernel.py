@@ -104,6 +104,208 @@ def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
     return out[:, :s, :]
 
 
+# ---------------------------------------------------------------------------
+# Differentiable whole-block MLP (training): fused forward emitting the
+# pre-activation, fused backward for the dx chain
+# ---------------------------------------------------------------------------
+
+
+def _mlp_fwd_train_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
+                          wpr_ref, bpr_ref, o_ref, hpre_ref):
+    """Forward with residuals for backward: also writes h_pre (the c_fc
+    pre-activation) so the backward pass needs NO GEMM recompute."""
+    x = x_ref[:].astype(jnp.float32)
+    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:])
+    h_pre = jax.lax.dot(ln2.astype(o_ref.dtype), wfc_ref[:],
+                        preferred_element_type=jnp.float32)
+    h_pre = h_pre + bfc_ref[:][None, :]
+    hpre_ref[:] = h_pre.astype(hpre_ref.dtype)
+    h = h_pre * jax.nn.sigmoid(1.702 * h_pre)
+    out = jax.lax.dot(h.astype(o_ref.dtype), wpr_ref[:],
+                      preferred_element_type=jnp.float32)
+    o_ref[:] = (out + bpr_ref[:][None, :] + x).astype(o_ref.dtype)
+
+
+def _quick_gelu_grad_f32(h_pre):
+    s = jax.nn.sigmoid(1.702 * h_pre)
+    return s * (1.0 + 1.702 * h_pre * (1.0 - s))
+
+
+def _mlp_bwd_train_kernel(x_ref, hpre_ref, dy_ref, ln_s_ref, ln_b_ref,
+                          wfc_ref, wpr_ref, dx_ref, dhpre_ref, dln_ref,
+                          *, eps: float = 1e-5):
+    """dx chain of the MLP block in ONE program (both weights resident):
+
+      dh     = dy @ W2^T
+      dh_pre = dh * quick_gelu'(h_pre)        -> emitted (for dW1/db1)
+      dln    = dh_pre @ W1^T                  -> emitted (for dgamma/dbeta)
+      dx     = dy + LN_bwd(dln; x, gamma)
+
+    Weight/bias/LN-param grads are LEFT to XLA GEMMs/reductions over the
+    emitted tensors — they are MXU-shaped contractions XLA runs at rate,
+    and keeping them out of this kernel keeps dW work DCE-able for frozen
+    blocks (PEFT)."""
+    x = x_ref[:].astype(jnp.float32)                    # [TM, W]
+    dy = dy_ref[:].astype(jnp.float32)
+    h_pre = hpre_ref[:].astype(jnp.float32)             # [TM, H]
+
+    # dy @ W2^T as a (1,1) contraction — no transpose materialized
+    dh = jax.lax.dot_general(dy.astype(dy_ref.dtype), wpr_ref[:],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh_pre = dh * _quick_gelu_grad_f32(h_pre)
+    dhpre_ref[:] = dh_pre.astype(dhpre_ref.dtype)
+    dln = jax.lax.dot_general(dh_pre.astype(dy_ref.dtype), wfc_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dln_ref[:] = dln.astype(dln_ref.dtype)
+
+    # LayerNorm backward (recompute mu/sigma from x — elementwise)
+    w = x.shape[-1]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    dxhat = dln * ln_s_ref[:][None, :]
+    dx_ln = (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+             - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)) * rstd
+    del w
+    dx_ref[:] = (dy + dx_ln).astype(dx_ref.dtype)
+
+
+def mlp_block_train(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                    *, interpret: bool = False, tile_m: int = 128):
+    """Differentiable whole-block MLP: x + c_proj(QuickGELU(c_fc(LN(x)))).
+
+    Forward = one fused kernel (also emits h_pre); backward = one fused
+    kernel for the dx chain + XLA GEMMs for dW1/dW2/db/dgamma/dbeta over
+    the emitted h_pre/dh_pre/dln.  Gradients match the canonical XLA
+    formulation (tested); fp32 LN/accum numerics contract preserved."""
+    return _mlp_block_train(x, ln_scale, ln_bias, w_fc, b_fc, w_proj,
+                            b_proj, interpret, tile_m)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _mlp_block_train(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                     interpret, tile_m):
+    y, _ = _mlp_train_fwd_call(x, ln_scale, ln_bias, w_fc, b_fc, w_proj,
+                               b_proj, interpret, tile_m)
+    return y
+
+
+def _mlp_train_fwd_call(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                        interpret, tile_m):
+    m, w = x.shape
+    hidden = w_fc.shape[1]
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+    xp = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
+    y, h_pre = pl.pallas_call(
+        _mlp_fwd_train_kernel,
+        out_shape=(jax.ShapeDtypeStruct((m_pad, w), x.dtype),
+                   jax.ShapeDtypeStruct((m_pad, hidden), x.dtype)),
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xp, jnp.asarray(ln_scale, jnp.float32),
+      jnp.asarray(ln_bias, jnp.float32),
+      w_fc, jnp.asarray(b_fc, jnp.float32),
+      w_proj, jnp.asarray(b_proj, jnp.float32))
+    return y[:m], h_pre[:m]
+
+
+def _mlp_train_fwd(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                   interpret, tile_m):
+    y, h_pre = _mlp_train_fwd_call(x, ln_scale, ln_bias, w_fc, b_fc,
+                                   w_proj, b_proj, interpret, tile_m)
+    # b_fc/b_proj ride along only to give the bias grads their primal
+    # dtypes (custom_vjp requires exact aval agreement)
+    return y, (x, ln_scale, ln_bias, w_fc, w_proj, h_pre, b_fc, b_proj)
+
+
+def _mlp_train_bwd(interpret, tile_m, res, dy):
+    x, ln_scale, ln_bias, w_fc, w_proj, h_pre, b_fc, b_proj = res
+    bfc_dt, bpr_dt = b_fc.dtype, b_proj.dtype
+    m, w = x.shape
+    hidden = w_fc.shape[1]
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+    pad = lambda t: (jnp.pad(t, ((0, m_pad - m), (0, 0)))  # noqa: E731
+                     if m_pad != m else t)
+    dx, dh_pre, dln = pl.pallas_call(
+        _mlp_bwd_train_kernel,
+        out_shape=(jax.ShapeDtypeStruct((m_pad, w), x.dtype),
+                   jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((m_pad, w), x.dtype)),
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pad(x), pad(h_pre), pad(dy),
+      jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
+      w_fc, w_proj)
+    dx, dh_pre, dln = dx[:m], dh_pre[:m], dln[:m]
+
+    # weight/bias/LN-param grads: plain XLA contractions over the emitted
+    # tensors (DCE-able when the block is frozen in PEFT)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    ln2 = xhat * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    dln_f = dln.astype(jnp.float32)
+    d_gamma = jnp.sum(dln_f * xhat, axis=0).astype(ln_scale.dtype)
+    d_beta = jnp.sum(dln_f, axis=0).astype(ln_bias.dtype)
+    dw_fc = jax.lax.dot(ln2.astype(x.dtype).T, dh_pre,
+                        preferred_element_type=jnp.float32).astype(w_fc.dtype)
+    db_fc = jnp.sum(dh_pre.astype(jnp.float32), axis=0).astype(bfc_dt)
+    h_pre_f = h_pre.astype(jnp.float32)
+    h = (h_pre_f * jax.nn.sigmoid(1.702 * h_pre_f)).astype(x.dtype)
+    dw_proj = jax.lax.dot(h.T, dy,
+                          preferred_element_type=jnp.float32
+                          ).astype(w_proj.dtype)
+    db_proj = jnp.sum(dy.astype(jnp.float32), axis=0).astype(bpr_dt)
+    return (dx, d_gamma, d_beta, dw_fc, db_fc, dw_proj, db_proj)
+
+
+_mlp_block_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
+
+
 def _mlp_block_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
                       wpr_ref, bpr_ref, o_ref):
     x = x_ref[:].astype(jnp.float32)                       # [TM, W]

@@ -100,3 +100,76 @@ def test_block_fused_encode_split_mlp_path(rng, monkeypatch):
                                           dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_mlp_block_train_grad_parity(rng):
+    """Differentiable whole-block MLP: forward AND all seven gradients
+    match the canonical XLA formulation."""
+    from aihab_clip_tpu.ops.block_kernel import mlp_block_train
+
+    m, w, hidden = 70, 128, 256
+    x = jnp.asarray(rng.standard_normal((m, w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wfc = jnp.asarray((rng.standard_normal((w, hidden)) * 0.05).astype(np.float32))
+    bfc = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    wpr = jnp.asarray((rng.standard_normal((hidden, w)) * 0.05).astype(np.float32))
+    bpr = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    def canonical(x, g, beta, wfc, bfc, wpr, bpr):
+        ln2 = _ln(x, g, beta)
+        h = ln2 @ wfc + bfc
+        h = h * jax.nn.sigmoid(1.702 * h)
+        return x + (h @ wpr + bpr)
+
+    args = (x, g, beta, wfc, bfc, wpr, bpr)
+    out_c = canonical(*args)
+    out_f = mlp_block_train(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               atol=1e-4, rtol=1e-4)
+
+    gc = jax.grad(lambda *a: jnp.sum(jnp.sin(canonical(*a))),
+                  argnums=tuple(range(7)))(*args)
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(mlp_block_train(
+        *a, interpret=True))), argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(("dx", "dgamma", "dbeta", "dwfc", "dbfc", "dwpr",
+                           "dbpr"), gf, gc):
+        rel = (np.linalg.norm(np.asarray(a) - np.asarray(b))
+               / (np.linalg.norm(np.asarray(b)) + 1e-12))
+        assert rel < 1e-4, (name, rel)
+
+
+def test_vit_encode_train_grad_parity(rng):
+    """Full train tower (canonical attention half + fused MLP half):
+    loss and every param gradient match the canonical Flax model."""
+    from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+    from aihab_clip_tpu.models.fast_vit import vit_encode_train
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=3, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=2, transformer_layers=2)
+    b = load("random:tiny-trainfused", random_cfg=tiny, seed=11)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    tw = jnp.asarray(rng.standard_normal((tiny.embed_dim, 5)).astype(np.float32))
+
+    def loss_canon(params):
+        _, f = b.model.apply({"params": params}, x,
+                             method=CLIPModel.encode_image, project=True)
+        return jnp.sum(jnp.sin(100.0 * f @ tw))
+
+    def loss_fast(params):
+        _, f = vit_encode_train(params, x, tiny, project=True,
+                                dtype=jnp.float32, interpret=True)
+        return jnp.sum(jnp.sin(100.0 * f @ tw))
+
+    l1, g1 = jax.value_and_grad(loss_canon)(b.params)
+    l2, g2 = jax.value_and_grad(loss_fast)(b.params)
+    assert abs(float(l1) - float(l2)) / abs(float(l1)) < 1e-5
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for k, v1 in jax.tree_util.tree_leaves_with_path(g1):
+        v2 = flat2[jax.tree_util.keystr(k)]
+        rel = (np.linalg.norm(np.asarray(v1) - np.asarray(v2))
+               / (np.linalg.norm(np.asarray(v1)) + 1e-12))
+        assert rel < 5e-5, (jax.tree_util.keystr(k), rel)
