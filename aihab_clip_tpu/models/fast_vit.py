@@ -208,10 +208,15 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     Two Pallas calls per transformer block (``ops/block_kernel.py``):
     LN1+QKV+attention+out-proj+residual with one grid program per image,
     and LN2+MLP+residual row-tiled — activations cross HBM once per half
-    block instead of per op.  Measured 67.8 ms vs 107.4 ms for the 12
-    ViT-B/16 blocks at batch 256 (1.58x; PERF_NOTES.md).  Forward-only
+    block instead of per op.  Measured 62.5 ms vs 107.4 ms for the 12
+    ViT-B/16 blocks at batch 256 (1.7x; PERF_NOTES.md).  Towers whose MLP
+    weight pair exceeds the one-kernel VMEM budget (ViT-L: 16.8 MB) split
+    the hidden dim across sequential whole-block kernels instead of
+    falling back to per-op kernels — the [M, hidden] activation never
+    crosses HBM (8.15 -> 6.96 ms/block at ViT-L shapes).  Forward-only
     (encode/serving); training uses the canonical Flax module."""
-    from ..ops.block_kernel import attn_block_fused, mlp_block_fused
+    from ..ops.block_kernel import (attn_block_fused, mlp_block_fused,
+                                    mlp_block_split)
 
     vp = params["visual"]
     p = config.vision_patch_size
@@ -234,10 +239,18 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
 
     # one-kernel MLP only when BOTH weights fit VMEM next to the tiles
-    # (ViT-B: 9.4 MB bf16 -> yes; ViT-L: 16.8 MB -> split kernels)
+    # (ViT-B: 9.4 MB bf16 -> yes); otherwise split the hidden dim across
+    # the fewest sequential whole-block kernels whose chunk pair fits
+    # (ViT-L: 16.8 MB -> 2 chunks); per-op kernels only as a last resort
     hidden = config.vision_mlp_dim or 4 * width
-    mlp_whole = (2 * (width * hidden * jnp.dtype(dtype).itemsize)
-                 <= MLP_WHOLE_KERNEL_MAX_BYTES)
+    pair_bytes = 2 * (width * hidden * jnp.dtype(dtype).itemsize)
+    mlp_whole = pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
+    mlp_chunks = 0
+    if not mlp_whole and MLP_WHOLE_KERNEL_MAX_BYTES > 0:
+        for n in (2, 3, 4):
+            if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES:
+                mlp_chunks = n
+                break
 
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
@@ -258,6 +271,14 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                 jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"],
                 interpret=interpret)
+        elif mlp_chunks:
+            x2 = mlp_block_split(
+                x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+                blk["mlp"]["c_fc"]["bias"],
+                jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+                blk["mlp"]["c_proj"]["bias"],
+                n_chunks=mlp_chunks, interpret=interpret)
         else:
             hdn = ln_matmul(
                 x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],

@@ -87,7 +87,10 @@ def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """q/k/v: [B, S, W] (heads packed in W). Returns [B, S, W]."""
     b, s, w = q.shape
     head_dim = w // num_heads
-    s_pad = _round_up(s, 128)
+    # 16-multiple (bf16 sublane) padding, not 128: Mosaic handles non-128
+    # minor dims, and 729->736 instead of 768 measured 4.14 vs 4.67 ms at
+    # SigLIP-384 shapes (PERF_NOTES.md)
+    s_pad = _round_up(s, 16)
     if heads_per_program is None:
         heads_per_program = _heads_per_program(num_heads, s_pad, head_dim,
                                                q.dtype.itemsize)

@@ -75,9 +75,15 @@ def _attn_block_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref,
 
 def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                      heads: int, interpret: bool = False):
-    """x: [B, S, W] -> x + out_proj(MHA(LN(x))).  One program per image."""
+    """x: [B, S, W] -> x + out_proj(MHA(LN(x))).  One program per image.
+
+    S pads to a multiple of 16 (bf16 sublane), NOT 128: the score matrix
+    and QKV/out GEMM row counts scale with s_pad, and 197->208 instead of
+    197->256 measured 5.21 vs 5.73 ms/block for the full ViT-B block
+    (Mosaic handles non-128 lane dims; pad-to-8 measured slightly worse,
+    PERF_NOTES.md)."""
     b, s, w = x.shape
-    s_pad = ((s + 127) // 128) * 128
+    s_pad = ((s + 15) // 16) * 16
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     out = pl.pallas_call(
@@ -304,6 +310,92 @@ def _mlp_train_bwd(interpret, tile_m, res, dy):
 
 
 _mlp_block_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
+
+
+def _act_f32(h, act: str):
+    if act == "quick_gelu":
+        return h * jax.nn.sigmoid(1.702 * h)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(h, approximate=True)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _mlp_split_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
+                      wpr_ref, bpr_ref, acc_ref, o_ref, *, first: bool,
+                      act: str):
+    """One hidden-dim chunk of the MLP block: out = acc + act(LN(x) @
+    Wfc_chunk + bfc_chunk) @ Wpr_chunk  (+ x + b_proj on the first chunk).
+
+    LN(x) is recomputed per chunk (cheap VPU work) so only x and the
+    [TM, W] partial cross HBM between chunks — never the [TM, hidden]
+    activation."""
+    x = x_ref[:].astype(jnp.float32)                       # [TM, W]
+    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:])
+    h = jax.lax.dot(ln2.astype(o_ref.dtype), wfc_ref[:],
+                    preferred_element_type=jnp.float32)
+    h = _act_f32(h + bfc_ref[:][None, :], act)
+    part = jax.lax.dot(h.astype(o_ref.dtype), wpr_ref[:],
+                       preferred_element_type=jnp.float32)
+    if first:
+        part = part + bpr_ref[:][None, :] + x
+    else:
+        part = part + acc_ref[:].astype(jnp.float32)
+    o_ref[:] = part.astype(o_ref.dtype)
+
+
+def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                    *, n_chunks: int = 2, act: str = "quick_gelu",
+                    interpret: bool = False, tile_m: int = 0):
+    """x: [M, W] -> x + c_proj(act(c_fc(LN(x)))), hidden dim split across
+    ``n_chunks`` sequential kernels so each chunk's weight pair fits VMEM
+    (towers whose full MLP pair exceeds the one-kernel budget: ViT-L,
+    SigLIP SO400M).  Versus the per-op split path this never materializes
+    the [M, hidden] activation in HBM — only the [M, W] running partial."""
+    m, w = x.shape
+    hidden = w_fc.shape[1]
+    assert hidden % n_chunks == 0, (hidden, n_chunks)
+    ch = hidden // n_chunks
+    if not tile_m:
+        # 14 MiB: measured safe in-tower at ViT-L (tile 256 edged out 128,
+        # 6.96 vs 6.99 ms/block); the one-kernel path keeps its stricter
+        # 13 MiB budget
+        budget = 14 * 1024 * 1024 - 2 * (w * ch + ch * w)
+        tile_m = 256 if 256 * (ch * 4 + w * 10) <= budget else 128
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+    xp = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
+
+    ln_scale = jnp.asarray(ln_scale, jnp.float32)
+    ln_bias = jnp.asarray(ln_bias, jnp.float32)
+    b_fc = jnp.asarray(b_fc, jnp.float32)
+    b_proj = jnp.asarray(b_proj, jnp.float32)
+
+    acc = xp  # placeholder input for the first chunk (unread)
+    for k in range(n_chunks):
+        acc = pl.pallas_call(
+            partial(_mlp_split_kernel, first=(k == 0), act=act),
+            out_shape=jax.ShapeDtypeStruct((m_pad, w), x.dtype),
+            grid=(m_pad // tile_m,),
+            in_specs=[
+                pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, ch), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xp, ln_scale, ln_bias,
+          w_fc[:, k * ch:(k + 1) * ch], b_fc[k * ch:(k + 1) * ch],
+          w_proj[k * ch:(k + 1) * ch, :], b_proj, acc)
+    return acc[:m]
 
 
 def _mlp_block_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,

@@ -60,6 +60,39 @@ def test_mlp_block_fused_matches_reference(rng):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_mlp_block_split_matches_fused(rng):
+    """Hidden-dim-split MLP kernel (for towers whose full weight pair
+    exceeds the one-kernel VMEM budget) == the one-kernel formulation,
+    for both activations and odd row counts."""
+    from aihab_clip_tpu.ops.block_kernel import mlp_block_split
+
+    m, w, hidden = 70, 64, 256
+    x = jnp.asarray(rng.standard_normal((m, w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wfc = jnp.asarray((rng.standard_normal((w, hidden)) * 0.1).astype(np.float32))
+    bfc = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    wpr = jnp.asarray((rng.standard_normal((hidden, w)) * 0.1).astype(np.float32))
+    bpr = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    ref = mlp_block_fused(x, g, beta, wfc, bfc, wpr, bpr, interpret=True,
+                          tile_m=64)
+    for n_chunks in (2, 4):
+        out = mlp_block_split(x, g, beta, wfc, bfc, wpr, bpr,
+                              n_chunks=n_chunks, interpret=True, tile_m=64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    # gelu_tanh (SigLIP) against plain jnp math
+    ln2 = _ln(x, g, beta)
+    h = jax.nn.gelu(ln2 @ wfc + bfc, approximate=True)
+    ref_tanh = x + (h @ wpr + bpr)
+    out = mlp_block_split(x, g, beta, wfc, bfc, wpr, bpr, n_chunks=2,
+                          act="gelu_tanh", interpret=True, tile_m=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_tanh),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_block_fused_encode_matches_canonical(rng):
     from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
     from aihab_clip_tpu.models.fast_vit import vit_encode_block_fused
@@ -96,6 +129,28 @@ def test_block_fused_encode_split_mlp_path(rng, monkeypatch):
     ref = b.model.apply({"params": b.params}, x,
                         method=CLIPModel.encode_image)
     monkeypatch.setattr(fast_vit, "MLP_WHOLE_KERNEL_MAX_BYTES", 0)
+    out = fast_vit.vit_encode_block_fused(b.params, x, tiny,
+                                          dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_block_fused_encode_split_chunks_path(rng, monkeypatch):
+    """Budget below the full pair but above half: hidden-dim-split kernels
+    dispatch (the ViT-L case) — same numerics as the canonical tower."""
+    from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+    from aihab_clip_tpu.models import fast_vit
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2)
+    b = load("random:tiny-blockchunks", random_cfg=tiny, seed=13)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=CLIPModel.encode_image)
+    pair = 2 * 128 * 512 * 4  # fp32 c_fc+c_proj bytes for this tiny tower
+    monkeypatch.setattr(fast_vit, "MLP_WHOLE_KERNEL_MAX_BYTES", pair // 2)
     out = fast_vit.vit_encode_block_fused(b.params, x, tiny,
                                           dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
