@@ -102,23 +102,53 @@ def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
 
 
 def encode_image_fastest(model, params, x: jax.Array, config, *,
-                         project: bool = False):
+                         project: bool = False, mesh=None):
     """Fastest parity-tested image encode for the current backend.
 
     TPU + CLIP-ViT towers take the whole-block fused Pallas path
-    (forward-only; 1.44x end-to-end over the canonical XLA tower,
-    PERF_NOTES.md); everything else (CPU, RN, SigLIP, training steps that
-    need gradients) uses the canonical Flax module.  (A per-op fused
-    SigLIP path exists — ``models/fast_siglip.py`` — but measured SLOWER
-    than the canonical XLA tower at SO400M shapes, so it is not
-    dispatched; SigLIP's fast serving path is int8,
+    (forward-only; 1.55x end-to-end over the canonical XLA tower,
+    PERF_NOTES.md).  Under a data-parallel mesh the same kernels run per
+    shard via ``shard_map`` (GSPMD cannot partition a ``pallas_call``,
+    but manual sharding composes fine — each device encodes its batch
+    shard with replicated weights).  Everything else (CPU, RN, SigLIP,
+    tensor-parallel meshes where the weights themselves are sharded,
+    training steps that need gradients) uses the canonical Flax module.
+    (A per-op fused SigLIP path exists — ``models/fast_siglip.py`` — but
+    measured SLOWER than the canonical XLA tower at SO400M shapes, so it
+    is not dispatched; SigLIP's fast serving path is int8,
     ``models/quant_siglip.py``.)"""
     if (jax.default_backend() == "tpu" and isinstance(config, CLIPConfig)
             and config.is_vit):
-        return vit_encode_block_fused(params, x, config, project=project,
-                                      dtype=x.dtype)
+        if mesh is None:
+            return vit_encode_block_fused(params, x, config, project=project,
+                                          dtype=x.dtype)
+        if (dict(mesh.shape).get("model", 1) == 1
+                and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
+            return vit_encode_block_fused_sharded(
+                params, x, config, mesh, project=project, dtype=x.dtype)
     return model.apply({"params": params}, x,
                        method=type(model).encode_image, project=project)
+
+
+def vit_encode_block_fused_sharded(params, x: jax.Array, config, mesh, *,
+                                   project: bool = False,
+                                   dtype=jnp.bfloat16,
+                                   interpret: bool = False):
+    """Whole-block fused encode under a GSPMD mesh: ``shard_map`` over the
+    ``data`` axis — each device runs the Pallas kernels on its batch
+    shard with replicated params.  Requires replicated weights (no
+    ``model``-axis sharding) and a batch divisible by the data axis."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_encode(p, xs):
+        return vit_encode_block_fused(p, xs, config, project=project,
+                                      dtype=dtype, interpret=interpret)
+
+    out_specs = (P("data"), P("data")) if project else P("data")
+    fn = shard_map(local_encode, mesh=mesh, in_specs=(P(), P("data")),
+                   out_specs=out_specs, check_rep=False)
+    return fn(params, x)
 
 
 def vit_encode_train(params, images: jax.Array, config: CLIPConfig,

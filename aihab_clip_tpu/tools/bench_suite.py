@@ -52,7 +52,8 @@ def bench_cache_io(tmp_dir: Path, n: int = 20000, dim: int = 768,
 
 
 def bench_prolip_step(n: int = 4096, pre: int = 768, emb: int = 512,
-                      classes: int = 20, steps: int = 50) -> dict:
+                      classes: int = 20, steps_short: int = 50,
+                      steps_long: int = 250) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -66,15 +67,23 @@ def bench_prolip_step(n: int = 4096, pre: int = 768, emb: int = 512,
     init = ProjectorSpec(weight=jnp.asarray(
         rng.standard_normal((pre, emb)).astype(np.float32) * 0.02), bias=None)
 
-    # warm (compile)
-    train_projector([feats], labels, jnp.asarray(tw), init, 1e-3, 0.1, 2,
-                    verbose=False)
+    def run(steps):
+        train_projector([feats], labels, jnp.asarray(tw), init, 1e-3, 0.1,
+                        steps, verbose=False)
+
+    # compile BOTH chain lengths first (an epoch-count change recompiles
+    # the scan), then difference two warm runs to drop dispatch overhead
+    run(steps_short)
+    run(steps_long)
     t0 = time.perf_counter()
-    train_projector([feats], labels, jnp.asarray(tw), init, 1e-3, 0.1, steps,
-                    verbose=False)
-    dt = time.perf_counter() - t0
-    return {"full_batch_steps_per_sec": steps / dt,
-            "samples_per_sec": steps * n / dt}
+    run(steps_short)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(steps_long)
+    t_long = time.perf_counter() - t0
+    per = (t_long - t_short) / (steps_long - steps_short)
+    return {"full_batch_steps_per_sec": 1.0 / per,
+            "samples_per_sec": n / per}
 
 
 def bench_augmentation(batch: int = 256, src: int = 439, out: int = 224,
@@ -138,6 +147,9 @@ def bench_tokenizer(repeats: int = 30) -> dict:
 
 
 def main(out_path: str = "BENCHMARKS.md"):
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import tempfile
 
     import jax

@@ -86,6 +86,9 @@ def _run_score(args) -> pd.DataFrame:
 
 
 def main(argv=None) -> None:
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_argparser().parse_args(argv)
     if args.command == "score":
         _run_score(args)

@@ -98,6 +98,9 @@ def plot_scatter(coords: np.ndarray, labels, out_html: Path,
 
 
 def main(argv=None) -> None:
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_argparser().parse_args(argv)
     from ..cache import load_embedding_cache
 

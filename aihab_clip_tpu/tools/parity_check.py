@@ -196,6 +196,9 @@ def run_parity(backbone: str = "ViT-B/32", use_random: bool = True,
 
 
 def main():
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--backbone", default="ViT-B/32")
     p.add_argument("--random", action="store_true",

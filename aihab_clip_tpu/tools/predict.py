@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", required=True, help="folder of images")
     p.add_argument("--model", default="ViT-B/16",

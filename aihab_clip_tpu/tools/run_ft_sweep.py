@@ -75,6 +75,9 @@ def sweep_run_name(cfg) -> str:
 
 
 def main():
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args, unknown = parse_known()
     overrides = parse_overrides(unknown)
     cfg = load_cfg_with_overrides(args, overrides)

@@ -95,6 +95,9 @@ def run_grid(sweep_path: str, base_config: str, dataset_config: str,
 
 
 def main():
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sweep", required=True)
     p.add_argument("--base_config", default="configs/base.yaml")

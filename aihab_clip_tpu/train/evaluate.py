@@ -31,19 +31,17 @@ def make_eval_step(model, resolution: int, num_classes: int,
                    mesh=None):
     """Build the jitted (params, text_weights, batch, state) -> state step.
 
-    Single-device steps dispatch to the whole-block fused encode (Pallas
-    does not partition under GSPMD, so mesh-sharded steps keep the
-    canonical XLA tower)."""
+    Single-device steps dispatch to the whole-block fused encode; under a
+    data-parallel mesh the same kernels run per shard via shard_map
+    (tensor-parallel meshes, whose weights are sharded, keep the
+    canonical XLA tower — see ``encode_image_fastest``)."""
 
     from ..models.fast_vit import encode_image_fastest
 
     def encode_proj(params, x):
-        if mesh is not None:
-            return model.apply({"params": params}, x,
-                               method=type(model).encode_image, project=True)
         return encode_image_fastest(model, params, x,
                                     getattr(model, "config", None),
-                                    project=True)
+                                    project=True, mesh=mesh)
 
     @jax.jit
     def step(params, text_weights, images_u8, targets, valid, state):

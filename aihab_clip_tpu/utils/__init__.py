@@ -11,6 +11,7 @@ from .profiling import StepTimer, annotate, device_memory_stats, trace
 
 __all__ = [
     "RunLogger",
+    "honor_jax_platforms_env",
     "StepTimer",
     "annotate",
     "checkpoint_path",
@@ -22,3 +23,17 @@ __all__ = [
     "save_projector",
     "trace",
 ]
+
+
+def honor_jax_platforms_env() -> None:
+    """Make the JAX_PLATFORMS env var authoritative for CLI runs.
+
+    Some environments pre-register a backend from sitecustomize, which
+    silently overrides the env var; the explicit config update wins
+    (DEV_NOTES.md "TPU notes")."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

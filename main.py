@@ -9,7 +9,16 @@ Usage (same surface as the reference runner `/root/reference/main.py:27-33`):
 """
 
 import argparse
+import os
 from pathlib import Path
+
+# Honor JAX_PLATFORMS even where a sitecustomize pre-registers another
+# backend (the env var alone is overridden there; the config update is
+# authoritative — see DEV_NOTES.md "TPU notes").
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from aihab_clip_tpu.config import load_configs
 from aihab_clip_tpu.runner import run
