@@ -97,10 +97,13 @@ def cache_embeddings(
         return post
 
     feats, labels, rows = [], [], []
+    pending = None  # lag-1 fetch: overlap host gather with device encode
     for batch in view.batches():
-        emb = np.asarray(encode(params,
-                                jnp.asarray(batch.images)))[batch.valid]
-        feats.append(emb)
+        emb_dev = encode(params, jnp.asarray(batch.images))
+        if pending is not None:
+            p_emb, p_valid = pending
+            feats.append(np.asarray(p_emb)[p_valid])
+        pending = (emb_dev, batch.valid)
         labels.append(batch.labels[batch.valid])
         for meta, lbl in zip(view.metadata_rows(batch.indices),
                              batch.labels[batch.valid]):
@@ -110,6 +113,9 @@ def cache_embeddings(
                 "ground_truth_word_label": meta.get("plot_word_label", ""),
                 "ground_truth_L2_num_label": meta.get("l2_label", -1),
             })
+    if pending is not None:
+        p_emb, p_valid = pending
+        feats.append(np.asarray(p_emb)[p_valid])
 
     feats_all = np.concatenate(feats, 0).astype(np.float32)
     labels_all = np.concatenate(labels, 0).astype(np.int32)

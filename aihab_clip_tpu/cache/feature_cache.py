@@ -291,11 +291,20 @@ def cache_features_from_loader(
     def encode_view(v: int):
         feats, labels = [], []
         base = jax.random.fold_in(jax.random.key(seed), v)
+        pending = None  # lag-1 fetch: device computes batch i while the
+        # host gathers/uploads batch i+1 (fetching immediately would
+        # serialize host prep behind every device step)
         for bi, batch in enumerate(cache_view.batches()):
             key = jax.random.fold_in(base, bi)
             pre = encode_batch(params, jnp.asarray(batch.images), key)
-            feats.append(np.asarray(pre)[batch.valid])
+            if pending is not None:
+                p_pre, p_valid = pending
+                feats.append(np.asarray(p_pre)[p_valid])
+            pending = (pre, batch.valid)
             labels.append(batch.labels[batch.valid])
+        if pending is not None:
+            p_pre, p_valid = pending
+            feats.append(np.asarray(p_pre)[p_valid])
         return np.concatenate(feats, 0), np.concatenate(labels, 0)
 
     return write_preprojection_cache(

@@ -418,8 +418,11 @@ def mlp_block_fused(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     m, w = x.shape
     hidden = w_fc.shape[1]
     if not tile_m:
-        # keep x + f32 hidden + out + both weights within ~13 MB
-        budget = 13 * 1024 * 1024 - 2 * (w * hidden + hidden * w)
+        # keep x + f32 hidden + out + both weights within ~14.5 MB
+        # (256-row tiles measured faster than 128 at ViT-B — 5.20 vs 5.27
+        # ms/block — and Mosaic's real liveness is below this naive
+        # estimate; 384 measured slower, PERF_NOTES.md)
+        budget = int(14.5 * 1024 * 1024) - 2 * (w * hidden + hidden * w)
         tile_m = 256 if 256 * (hidden * 4 + w * 8) <= budget else 128
     m_pad = ((m + tile_m - 1) // tile_m) * tile_m
     if m_pad != m:

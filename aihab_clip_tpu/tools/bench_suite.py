@@ -52,8 +52,11 @@ def bench_cache_io(tmp_dir: Path, n: int = 20000, dim: int = 768,
 
 
 def bench_prolip_step(n: int = 4096, pre: int = 768, emb: int = 512,
-                      classes: int = 20, steps_short: int = 50,
-                      steps_long: int = 250) -> dict:
+                      classes: int = 20, steps_short: int = 500,
+                      steps_long: int = 5500) -> dict:
+    # the chain delta (5000 full-batch steps) must dwarf the per-call
+    # upload + dispatch cost (~seconds through the axon tunnel), or the
+    # differenced rate is noise
     import jax
     import jax.numpy as jnp
 

@@ -119,6 +119,23 @@ def main(argv=None):
     bs = args.batch_size
     rows = []
     t0 = time.perf_counter()
+
+    def emit(kept, probs_dev):
+        probs = np.asarray(probs_dev)[:len(kept)]
+        top = np.argsort(-probs, axis=-1)[:, :args.topk]
+        for i, f in enumerate(kept):
+            row = {"file_name": f,
+                   "predicted_label": int(top[i, 0]),
+                   "predicted_word_label":
+                       REASSIGN_LABEL_NAME_L3[int(top[i, 0])]}
+            for j in range(args.topk):
+                row[f"top{j + 1}_label"] = int(top[i, j])
+                row[f"top{j + 1}_name"] = REASSIGN_LABEL_NAME_L3[int(top[i, j])]
+                row[f"top{j + 1}_prob"] = float(probs[i, top[i, j]])
+            rows.append(row)
+
+    pending = None  # lag-1 fetch: decode batch i+1 while the device
+    # classifies batch i
     for start in range(0, len(files), bs):
         chunk = files[start:start + bs]
         imgs = []
@@ -135,18 +152,12 @@ def main(argv=None):
             batch = np.concatenate(
                 [batch, np.zeros((bs - len(batch),) + batch.shape[1:],
                                  np.uint8)])
-        probs = np.asarray(classify(weights, jnp.asarray(batch)))[:len(kept)]
-        top = np.argsort(-probs, axis=-1)[:, :args.topk]
-        for i, f in enumerate(kept):
-            row = {"file_name": f,
-                   "predicted_label": int(top[i, 0]),
-                   "predicted_word_label":
-                       REASSIGN_LABEL_NAME_L3[int(top[i, 0])]}
-            for j in range(args.topk):
-                row[f"top{j + 1}_label"] = int(top[i, j])
-                row[f"top{j + 1}_name"] = REASSIGN_LABEL_NAME_L3[int(top[i, j])]
-                row[f"top{j + 1}_prob"] = float(probs[i, top[i, j]])
-            rows.append(row)
+        probs_dev = classify(weights, jnp.asarray(batch))
+        if pending is not None:
+            emit(*pending)
+        pending = (kept, probs_dev)
+    if pending is not None:
+        emit(*pending)
     dt = time.perf_counter() - t0
 
     df = pd.DataFrame(rows)
