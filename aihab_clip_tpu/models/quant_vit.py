@@ -83,13 +83,14 @@ def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
 
 def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
                     *, project: bool = False, dtype=jnp.bfloat16,
-                    impl: str = "auto"):
+                    impl: str = "auto", interpret: bool = False):
     """images: [B, H, W, 3] normalized NHWC -> pre-projection CLS features
     (or (pre, projected)).  ``qparams`` from ``quantize_vit_params``.
-    ``impl``: 'auto' (Pallas kernel on TPU), 'pallas', or 'xla'."""
+    ``impl``: 'auto' (whole-block Pallas kernels on TPU), 'pallas'
+    (whole-block), 'chained' (per-GEMM fused kernels), or 'xla'."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+    if impl in ("pallas", "chained"):
         from ..ops.quant_matmul import quant_matmul_fused
 
         def qmm(x, q, act=None, residual=None, ln=None):
@@ -98,7 +99,8 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
                                           q["w8"].shape[1], jnp.float32)),
                                       act=act or "none", residual=residual,
                                       ln_scale=None if ln is None else ln[0],
-                                      ln_bias=None if ln is None else ln[1])
+                                      ln_bias=None if ln is None else ln[1],
+                                      interpret=interpret)
     else:
         def qmm(x, q, act=None, residual=None, ln=None):
             if ln is not None:
@@ -127,42 +129,71 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
     x = _ln(x, qparams["ln_pre"]["scale"], qparams["ln_pre"]["bias"])
 
     s = x.shape[1]
-    x2 = x.reshape(b * s, width)
-    for i in range(config.vision_layers):
-        blk = qparams["transformer"][f"resblocks_{i}"]
-        if impl == "pallas":
-            # LN prologues fused into the quant kernels: the normalized
-            # activations never round-trip through HBM
-            qkv = qmm(x2, blk["attn/in_proj"],
-                      ln=(blk["ln_1"]["scale"], blk["ln_1"]["bias"]))
-        else:
-            ln1 = _ln(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
-            qkv = qmm(ln1, blk["attn/in_proj"])
-        q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
-        attn = _xla_attention(q, k, v, heads).reshape(b * s, width)
-        x2 = qmm(attn, blk["attn/out_proj"], residual=x2)
-        fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
-        if impl == "pallas":
-            # fully-int8 MLP chain: LN+c_fc+GELU emits already-quantized
-            # int8 (+ row scales) — the widest activation tensor moves at
-            # 1 byte/elem — and c_proj consumes it with no quantize pass.
-            # (A whole-block single-kernel variant exists —
-            # ``quant_mlp_block_fused`` — and wins in isolation but
-            # measured SLOWER in-tower; PERF_NOTES.md.)
-            from ..ops.quant_matmul import (
-                quant_matmul_fused_qout,
-                quant_matmul_q8in,
-            )
+    if impl == "pallas":
+        # WHOLE-BLOCK int8 path (measured fastest at ViT shapes, v5e
+        # b256: 53.9 ms vs 56.8 bf16-attn hybrid vs 61.6 bf16 whole-block
+        # vs 94.6 chained int8 — PERF_NOTES.md): one program per image
+        # for LN1 + int8 QKV + MHA + int8 out-proj + residual, one
+        # row-tiled kernel for LN2 + int8 MLP + residual.  The chained
+        # per-GEMM kernels remain as impl='chained' (and serve the SigLIP
+        # tower, where the whole-block attention exceeds VMEM).
+        from ..ops.quant_matmul import (
+            quant_attn_block_fused,
+            quant_mlp_block_fused,
+        )
 
-            hdn8, hsc = quant_matmul_fused_qout(
-                x2, fc["w8"], fc["scale"], fc["bias"],
-                blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-            x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
-                                   pr["bias"], residual=x2)
-        else:
-            ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-            hdn = qmm(ln2, fc, act="quick_gelu")
-            x2 = qmm(hdn, pr, residual=x2)
+        for i in range(config.vision_layers):
+            blk = qparams["transformer"][f"resblocks_{i}"]
+            ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
+            fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
+            x = quant_attn_block_fused(
+                x, ip["w8"], ip["scale"], ip["bias"],
+                op["w8"], op["scale"], op["bias"],
+                blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
+                interpret=interpret)
+            x2 = quant_mlp_block_fused(
+                x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
+                pr["w8"], pr["scale"], pr["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                interpret=interpret)
+            x = x2.reshape(b, s, width)
+        x2 = x.reshape(b * s, width)
+    else:
+        x2 = x.reshape(b * s, width)
+        for i in range(config.vision_layers):
+            blk = qparams["transformer"][f"resblocks_{i}"]
+            if impl == "chained":
+                # LN prologues fused into the quant kernels: the
+                # normalized activations never round-trip through HBM
+                qkv = qmm(x2, blk["attn/in_proj"],
+                          ln=(blk["ln_1"]["scale"], blk["ln_1"]["bias"]))
+            else:
+                ln1 = _ln(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+                qkv = qmm(ln1, blk["attn/in_proj"])
+            q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
+            attn = _xla_attention(q, k, v, heads).reshape(b * s, width)
+            x2 = qmm(attn, blk["attn/out_proj"], residual=x2)
+            fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
+            if impl == "chained":
+                # fully-int8 MLP chain: LN+c_fc+GELU emits
+                # already-quantized int8 (+ row scales) and c_proj
+                # consumes it with no quantize pass
+                from ..ops.quant_matmul import (
+                    quant_matmul_fused_qout,
+                    quant_matmul_q8in,
+                )
+
+                hdn8, hsc = quant_matmul_fused_qout(
+                    x2, fc["w8"], fc["scale"], fc["bias"],
+                    blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                    interpret=interpret)
+                x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
+                                       pr["bias"], residual=x2,
+                                       interpret=interpret)
+            else:
+                ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+                hdn = qmm(ln2, fc, act="quick_gelu")
+                x2 = qmm(hdn, pr, residual=x2)
 
     cls_tok = x2.reshape(b, s, width)[:, 0, :]
     pre = _ln(cls_tok, qparams["ln_post"]["scale"], qparams["ln_post"]["bias"])

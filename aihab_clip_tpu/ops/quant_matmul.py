@@ -330,3 +330,103 @@ def quant_matmul_fused(x, w8, w_scale, bias, act: str = "none",
         interpret=interpret,
     )(*args)
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Whole-block int8 attention: LN -> W8A8 QKV -> MHA -> W8A8 out-proj ->
+# +residual in one program per image
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel_int8(x_ref, ln_s_ref, ln_b_ref, wqkv8_ref, sqkv_ref,
+                            bqkv_ref, wout8_ref, sout_ref, bout_ref, o_ref,
+                            *, heads: int, seq_len: int,
+                            ln_eps: float = 1e-5):
+    """Blocks: x/o [1, S_pad, W]; int8 weights whole (QKV + out-proj
+    quantized per output channel, activations per row in VMEM).  The
+    attention core (scores/softmax/PV) runs bf16-GEMM/f32-softmax exactly
+    like the bf16 whole-block kernel — only the two big GEMMs take the
+    int8 MXU rate."""
+    import math as _math
+
+    s_pad, width = x_ref.shape[1], x_ref.shape[2]
+    head_dim = width // heads
+    x = x_ref[0].astype(jnp.float32)                     # [S, W]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ln1 = (x - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln1 = ln1 * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
+    amax = jnp.max(jnp.abs(ln1), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(ln1 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot(x8, wqkv8_ref[:],
+                      preferred_element_type=jnp.int32)  # [S, 3W]
+    qkv = acc.astype(jnp.float32) * (sx * sqkv_ref[:][None, :])
+    qkv = qkv + bqkv_ref[:][None, :]
+
+    scale = 1.0 / _math.sqrt(head_dim)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
+        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(jnp.bfloat16),
+                                k.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot(p.astype(jnp.bfloat16),
+                                v.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1)                # [S, W] f32
+    aamax = jnp.max(jnp.abs(attn), axis=-1, keepdims=True)
+    sa = jnp.maximum(aamax, 1e-12) * (1.0 / 127.0)
+    a8 = jnp.clip(jnp.round(attn / sa), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot(a8, wout8_ref[:],
+                       preferred_element_type=jnp.int32)  # [S, W]
+    out = acc2.astype(jnp.float32) * (sa * sout_ref[:][None, :])
+    out = out + bout_ref[:][None, :] + x
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def quant_attn_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
+                           b_out, ln_scale, ln_bias, heads: int,
+                           interpret: bool = False):
+    """x: [B, S, W] -> x + int8_out_proj(MHA(int8_qkv(LN(x)))).  One grid
+    program per image; S pads to the 16 sublane multiple (the bf16
+    whole-block padding finding applies unchanged)."""
+    b, s, w = x.shape
+    s_pad = ((s + 15) // 16) * 16
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    out = pl.pallas_call(
+        partial(_attn_block_kernel_int8, heads=heads, seq_len=s),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 3 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
+      wqkv8, jnp.asarray(qkv_scale, jnp.float32),
+      jnp.asarray(b_qkv, jnp.float32),
+      wout8, jnp.asarray(out_scale, jnp.float32),
+      jnp.asarray(b_out, jnp.float32))
+    return out[:, :s, :]

@@ -229,3 +229,62 @@ def test_siglip_int8_cosine_vs_canonical(rng):
     cos = np.sum(ref * out, -1) / (
         np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
     assert np.all(cos > 0.99), cos
+
+
+def test_whole_block_int8_attn_matches_bf16_block(rng):
+    """quant_attn_block_fused == the bf16 whole-block attention kernel up
+    to int8 weight/activation quantization error (cosine > 0.999)."""
+    from aihab_clip_tpu.ops.block_kernel import attn_block_fused
+    from aihab_clip_tpu.ops.quant import quantize_weight
+    from aihab_clip_tpu.ops.quant_matmul import quant_attn_block_fused
+
+    b, s, w, heads = 2, 50, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray(rng.standard_normal(3 * w).astype(np.float32) * 0.1)
+    wout = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    bout = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    ref = attn_block_fused(x, g, beta, wqkv, bqkv, wout, bout, heads,
+                           interpret=True)
+    q8, qs = quantize_weight(wqkv)
+    o8, osc = quantize_weight(wout)
+    out = quant_attn_block_fused(x, q8, qs, bqkv, o8, osc, bout, g, beta,
+                                 heads, interpret=True)
+    ref_f = np.asarray(ref, np.float32).reshape(-1)
+    out_f = np.asarray(out, np.float32).reshape(-1)
+    cos = float(ref_f @ out_f / (np.linalg.norm(ref_f)
+                                 * np.linalg.norm(out_f)))
+    assert cos > 0.999, cos
+
+
+def test_int8_whole_block_tower_matches_xla_impl(bundle, rng):
+    """impl='pallas' (whole-block kernels, interpret) tracks impl='xla'
+    to quantization-noise tolerance through the full tiny tower."""
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
+    qp = quantize_vit_params(bundle.params, TINY)
+    ref = np.asarray(vit_encode_int8(qp, x, TINY, dtype=jnp.float32,
+                                     impl="xla"), np.float32)
+    out = np.asarray(vit_encode_int8(qp, x, TINY, dtype=jnp.float32,
+                                     impl="pallas", interpret=True),
+                     np.float32)
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.995), cos
+
+
+def test_int8_chained_tower_matches_xla_impl(bundle, rng):
+    """impl='chained' (per-GEMM fused kernels, interpret) stays available
+    and tracks impl='xla'."""
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
+    qp = quantize_vit_params(bundle.params, TINY)
+    ref = np.asarray(vit_encode_int8(qp, x, TINY, dtype=jnp.float32,
+                                     impl="xla"), np.float32)
+    out = np.asarray(vit_encode_int8(qp, x, TINY, dtype=jnp.float32,
+                                     impl="chained", interpret=True),
+                     np.float32)
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.995), cos
