@@ -1,36 +1,33 @@
-"""Fast SigLIP encode path: the SigLIP vision tower over fused kernels.
+"""Fast SigLIP encode path: head-group-split whole-block attention.
 
 A pure function over the canonical ``SigLIPModel`` param tree (same
 checkpoints, same numerics contract as `models/siglip.py`, which covers
-the reference's default backbone — `/root/reference/configs/base.yaml:33`)
-that restructures the per-op XLA graph the way ``fast_vit`` does for the
-CLIP towers:
+the reference's default backbone — `/root/reference/configs/base.yaml:33`).
+
+The winning recipe (measured same-session A/B/A, v5e, SO400M-384 b64,
+eval preprocessing included — PERF_NOTES.md):
 
   * patchify as an explicit reshape + matmul (+ conv bias);
-  * q/k/v PACKED into one [W, 3W] GEMM fused with the ln_1 prologue
-    (``pack_siglip_fast_params`` concatenates the kernels once at load
-    time) — one VMEM pass over the tokens instead of three separate
-    projections;
-  * self-attention through the measured dispatcher (the head-batched
-    fused Pallas kernel wins at SigLIP's S=729 — PERF_NOTES.md);
-  * out-proj + residual, LN2 + c_fc + tanh-GELU, and c_proj + residual
-    as fused kernels (SO400M's 19.8 MB bf16 MLP weight pair exceeds the
-    one-kernel VMEM budget, so the MLP uses the split LN+GEMM /
-    GEMM+residual kernels like ViT-L);
+  * the whole attention half — LN1 + packed QKV + MHA + out-proj +
+    residual — as ONE Pallas kernel per (image, head-group)
+    (``ops/block_kernel.attn_block_split``): the unsplit whole-block
+    kernel exceeds VMEM at S=736/W=1152, so the QKV weights are
+    column-sliced per 2-head group, the out-proj row-sliced, partials
+    accumulated in f32 VMEM scratch, and LN(x) computed once per image
+    (persisted in scratch across the group iterations);
+  * the MLP half stays the canonical XLA graph — every fused-MLP variant
+    (per-op bf16, whole-block int8, hidden-split) measured SLOWER at
+    SO400M shapes (the tower is GEMM-bound there; PERF_NOTES.md);
   * ln_post + MAP pooling head stay on the canonical Flax module (one
     probe token — negligible).
 
+Measured: 238.7 ms vs 287.6/289.5 ms canonical -> 268 vs 223/221 img/s
+(+20%).  (An earlier per-op fused path — ln_matmul/matmul_residual
+chains — measured 344.5 ms, i.e. SLOWER than canonical; this file
+replaces it with the split-whole-block recipe.)
+
 Forward-only (encode/serving); training keeps the Flax module.
 Equivalence is tested against ``SigLIPModel.encode_image``.
-
-MEASURED VERDICT (v5e, SO400M-384, batch 64, eval preprocessing
-included): 344.5 ms vs 330.8 ms canonical — the per-op fused path LOSES
-at bf16, consistent with the ViT-B per-op experiments (PERF_NOTES.md):
-XLA's cross-op fusions beat per-op prologue/epilogue kernels when the
-weights are too large to keep a whole block's pair VMEM-resident.  Kept
-(tested) for the record and for shapes where the balance differs; NOT
-dispatched by ``fast_vit.encode_image_fastest``.  SigLIP's fast serving
-path is int8 (``models/quant_siglip.py``, whole-block int8 MLP).
 """
 
 from __future__ import annotations
@@ -40,8 +37,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention
-from ..ops.fused_linear import ln_matmul, matmul_residual
+from ..ops.block_kernel import attn_block_split, regroup_attn_weights_f
 from .siglip import MAPHead, SigLIPConfig
 
 LN_EPS = 1e-6
@@ -57,13 +53,17 @@ def _ln(x, scale, bias, eps=LN_EPS):
 
 
 def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
-                            dtype=jnp.bfloat16) -> Dict:
-    """One-time packing of the separate q/k/v projections into a single
-    [W, 3W] kernel (+ [3W] bias) per block, cast to the compute dtype.
+                            dtype=jnp.bfloat16,
+                            n_groups: Optional[int] = None) -> Dict:
+    """One-time regrouping of the separate q/k/v projections into
+    per-head-group tensors for the split whole-block attention kernel
+    (2 heads per group — the measured/VMEM-fitting choice at SO400M).
     Done at load time so the packing never re-runs inside the jitted
     encode."""
+    if n_groups is None:
+        n_groups = max(1, config.vision_heads // 2)
     vp = params["visual"]
-    packed = {}
+    packed: Dict = {"n_groups": n_groups}
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         w = jnp.concatenate(
@@ -72,14 +72,19 @@ def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
         b = jnp.concatenate(
             [jnp.asarray(blk["attn"][n]["bias"], jnp.float32)
              for n in ("q_proj", "k_proj", "v_proj")])
-        packed[f"resblocks_{i}"] = {"w_qkv": w, "b_qkv": b}
+        wout = jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype)
+        wg, bg, og = regroup_attn_weights_f(w, b, wout,
+                                            config.vision_heads, n_groups)
+        packed[f"resblocks_{i}"] = {"wqkv_g": wg, "b_qkv_g": bg,
+                                    "wout_g": og}
     return packed
 
 
 def siglip_encode_fast(params: Dict, images: jax.Array,
                        config: SigLIPConfig, *, project: bool = False,
                        dtype=jnp.bfloat16,
-                       packed: Optional[Dict] = None):
+                       packed: Optional[Dict] = None,
+                       interpret: bool = False):
     """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding
     (or (pooled, pooled) with project=True; SigLIP has no separate
     vision projection)."""
@@ -89,6 +94,7 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
     heads = config.vision_heads
     if packed is None:
         packed = pack_siglip_fast_params(params, config, dtype)
+    n_groups = packed["n_groups"]
 
     x = images.astype(dtype)
     b, h, w, c = x.shape
@@ -101,27 +107,23 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
     x = x + jnp.asarray(vp["positional_embedding"], dtype)
 
     s = gh * gw
-    x2 = x.reshape(b * s, width)
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         pk = packed[f"resblocks_{i}"]
-        qkv = ln_matmul(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
-                        pk["w_qkv"], pk["b_qkv"], None, LN_EPS)
-        q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
-        attn = attention(q, k, v, heads).reshape(b * s, width)
-        x2 = matmul_residual(
-            attn, jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
-            blk["attn"]["out_proj"]["bias"], x2)
-        hdn = ln_matmul(
-            x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-            jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
-            blk["mlp"]["c_fc"]["bias"], "gelu_tanh", LN_EPS)
-        x2 = matmul_residual(
-            hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
-            blk["mlp"]["c_proj"]["bias"], x2)
+        x = attn_block_split(
+            x, pk["wqkv_g"], pk["b_qkv_g"], pk["wout_g"],
+            blk["attn"]["out_proj"]["bias"],
+            blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+            heads, n_groups, ln_eps=LN_EPS, interpret=interpret)
+        ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+        hdn = ln2 @ jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype)
+        hdn = hdn + jnp.asarray(blk["mlp"]["c_fc"]["bias"], dtype)
+        hdn = jax.nn.gelu(hdn.astype(jnp.float32),
+                          approximate=True).astype(dtype)
+        x = x + hdn @ jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype) \
+            + jnp.asarray(blk["mlp"]["c_proj"]["bias"], dtype)
 
-    tokens = x2.reshape(b, s, width)
-    tokens = _ln(tokens, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    tokens = _ln(x, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     pooled = MAPHead(heads, config.vision_mlp_dim, dtype=dtype,
                      param_dtype=jnp.float32, name=None).apply(
         {"params": vp["attnpool"]}, tokens)

@@ -113,12 +113,13 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
     shard with replicated weights).  Everything else (CPU, RN, SigLIP,
     tensor-parallel meshes where the weights themselves are sharded,
     training steps that need gradients) uses the canonical Flax module.
-    (A per-op fused SigLIP path exists — ``models/fast_siglip.py`` — but
-    measured SLOWER than the canonical XLA tower at SO400M shapes, so it
-    is not dispatched; SigLIP's fast serving path is int8,
-    ``models/quant_siglip.py``.)"""
-    if (jax.default_backend() == "tpu" and isinstance(config, CLIPConfig)
-            and config.is_vit):
+    SigLIP towers take the split-whole-block-attention path
+    (``models/fast_siglip.py``: +20% at SO400M-384; the quantized
+    serving path is int8, ``models/quant_siglip.py``)."""
+    from .siglip import SigLIPConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and isinstance(config, CLIPConfig) and config.is_vit:
         if mesh is None:
             return vit_encode_block_fused(params, x, config, project=project,
                                           dtype=x.dtype)
@@ -126,6 +127,11 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
             return vit_encode_block_fused_sharded(
                 params, x, config, mesh, project=project, dtype=x.dtype)
+    if on_tpu and isinstance(config, SigLIPConfig) and mesh is None:
+        from .fast_siglip import siglip_encode_fast
+
+        return siglip_encode_fast(params, x, config, project=project,
+                                  dtype=x.dtype)
     return model.apply({"params": params}, x,
                        method=type(model).encode_image, project=project)
 

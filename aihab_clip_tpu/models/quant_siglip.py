@@ -86,16 +86,24 @@ def quantize_siglip_params(params: Dict, config: SigLIPConfig) -> Dict:
 
 def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
                        config: SigLIPConfig, *, project: bool = False,
-                       dtype=jnp.bfloat16, impl: str = "auto"):
+                       dtype=jnp.bfloat16, impl: str = "auto",
+                       attn_impl: str = "auto", interpret: bool = False):
     """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding.
 
     ``params`` is the ORIGINAL tree (the high-precision MAP head runs
     through the canonical Flax module); ``qparams`` from
-    ``quantize_siglip_params``.
-    """
+    ``quantize_siglip_params``.  ``attn_impl``: 'split' runs the
+    head-group-split whole-block int8 attention kernel (LN + int8 QKV +
+    MHA + int8 out-proj per image, 2 heads per program — the unsplit
+    whole-block kernel exceeds VMEM at SO400M shapes); 'chained' keeps
+    the per-GEMM kernels + the head-batched fused attention core; 'auto'
+    picks the measured-faster split path on TPU."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_pallas = impl == "pallas"
+    if attn_impl == "auto":
+        attn_impl = "split" if use_pallas else "chained"
+    use_split_attn = use_pallas and attn_impl == "split"
 
     p = config.patch_size
     width = config.vision_width
@@ -109,7 +117,8 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
     patches = patches.reshape(b * gh * gw, p * p * c)
     cq = qparams["conv1"]
     if use_pallas:
-        x = quant_matmul_fused(patches, cq["w8"], cq["scale"], cq["bias"])
+        x = quant_matmul_fused(patches, cq["w8"], cq["scale"], cq["bias"],
+                               interpret=interpret)
     else:
         x = quant_dense(patches, cq["w8"], cq["scale"], cq["bias"])
     x = x.reshape(b, gh * gw, width)
@@ -117,26 +126,42 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
 
     s = x.shape[1]
     x2 = x.reshape(b * s, width)
+    n_groups = max(1, heads // 2)  # 2 heads/program: the only grouping
+    # that both fits VMEM and compiles at SO400M shapes (PERF_NOTES.md)
     for i in range(config.vision_layers):
         blk = qparams["transformer"][f"resblocks_{i}"]
         qkv_q = blk["attn/qkv"]
-        if use_pallas:
+        out_q = blk["attn/out_proj"]
+        if use_split_attn:
+            from ..ops.quant_matmul import (
+                quant_attn_block_split,
+                regroup_attn_weights,
+            )
+
+            wg, sg, bg, og = regroup_attn_weights(
+                qkv_q["w8"], qkv_q["scale"], qkv_q["bias"], out_q["w8"],
+                heads, n_groups)
+            x3 = quant_attn_block_split(
+                x2.reshape(b, s, width), wg, sg, bg, og, out_q["scale"],
+                out_q["bias"], blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                heads, n_groups, ln_eps=LN_EPS, interpret=interpret)
+            x2 = x3.reshape(b * s, width)
+        elif use_pallas:
             qkv = quant_matmul_fused(
                 x2, qkv_q["w8"], qkv_q["scale"], qkv_q["bias"],
                 ln_scale=blk["ln_1"]["scale"], ln_bias=blk["ln_1"]["bias"],
                 ln_eps=LN_EPS)
+            q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
+            attn = attention(q, k, v, heads).reshape(b * s, width)
+            x2 = quant_matmul_fused(attn, out_q["w8"], out_q["scale"],
+                                    out_q["bias"], residual=x2)
         else:
             ln1 = _ln(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
                       eps=LN_EPS)
             qkv = quant_dense(ln1, qkv_q["w8"], qkv_q["scale"],
                               qkv_q["bias"])
-        q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
-        attn = attention(q, k, v, heads).reshape(b * s, width)
-        out_q = blk["attn/out_proj"]
-        if use_pallas:
-            x2 = quant_matmul_fused(attn, out_q["w8"], out_q["scale"],
-                                    out_q["bias"], residual=x2)
-        else:
+            q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
+            attn = attention(q, k, v, heads).reshape(b * s, width)
             x2 = x2 + quant_dense(attn, out_q["w8"], out_q["scale"],
                                   out_q["bias"])
         fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
@@ -147,9 +172,10 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
             hdn8, hsc = quant_matmul_fused_qout(
                 x2, fc["w8"], fc["scale"], fc["bias"],
                 blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                act="gelu_tanh", ln_eps=LN_EPS)
+                act="gelu_tanh", ln_eps=LN_EPS, interpret=interpret)
             x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
-                                   pr["bias"], residual=x2)
+                                   pr["bias"], residual=x2,
+                                   interpret=interpret)
         else:
             ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
                       eps=LN_EPS)

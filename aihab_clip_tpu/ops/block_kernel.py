@@ -450,3 +450,137 @@ def mlp_block_fused(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
       w_fc, jnp.asarray(b_fc, jnp.float32),
       w_proj, jnp.asarray(b_proj, jnp.float32))
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Head-group-SPLIT whole-block attention (bf16): for towers whose unsplit
+# whole-block attention exceeds VMEM (SigLIP SO400M: S=736, W=1152)
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_split_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref,
+                             wout_ref, bout_ref, o_ref, ln_scr, acc_scr, *,
+                             heads_per_group: int, seq_len: int,
+                             head_dim: int, n_groups: int,
+                             ln_eps: float = 1e-5):
+    """Grid (image, head_group), head_group minor.  Each program computes
+    ``heads_per_group`` heads' QKV + attention + out-proj PARTIAL into an
+    f32 VMEM scratch accumulator; the output block is written once at the
+    last group.  LN(x) is computed once per image (group 0) and persisted
+    in scratch (scratch survives grid steps on TPU).  Same structure as
+    the int8 variant (``ops/quant_matmul._attn_block_split_kernel``)
+    minus the quantize/dequant steps."""
+    hg = pl.program_id(1)
+    s_pad = x_ref.shape[1]
+    g = heads_per_group
+
+    @pl.when(hg == 0)
+    def _():
+        x = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        ln1 = (x - mean) * jax.lax.rsqrt(var + ln_eps)
+        ln1 = ln1 * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
+        ln_scr[:] = ln1.astype(ln_scr.dtype)
+
+    qkv = jax.lax.dot(ln_scr[:], wqkv_ref[0],
+                      preferred_element_type=jnp.float32)  # [S, 3*g*D]
+    qkv = qkv + bqkv_ref[0, 0][None, :]
+
+    scale = 1.0 / math.sqrt(head_dim)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+    gw = g * head_dim
+    outs = []
+    for h in range(g):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = qkv[:, gw + h * head_dim:gw + (h + 1) * head_dim]
+        v = qkv[:, 2 * gw + h * head_dim:2 * gw + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(o_ref.dtype), k.astype(o_ref.dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot(p.astype(o_ref.dtype), v.astype(o_ref.dtype),
+                                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1)                 # [S, g*D] f32
+    part = jax.lax.dot(attn.astype(o_ref.dtype), wout_ref[0],
+                       preferred_element_type=jnp.float32)  # [S, W]
+
+    @pl.when(hg == 0)
+    def _():
+        acc_scr[:] = part + bout_ref[:][None, :] + x_ref[0].astype(jnp.float32)
+
+    @pl.when(hg > 0)
+    def _():
+        acc_scr[:] = acc_scr[:] + part
+
+    @pl.when(hg == n_groups - 1)
+    def _():
+        o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+
+
+def attn_block_split(x, wqkv_g, b_qkv_g, wout_g, b_out, ln_scale, ln_bias,
+                     heads: int, n_groups: int, ln_eps: float = 1e-5,
+                     interpret: bool = False):
+    """Head-group-split whole-block attention (bf16).
+
+    ``wqkv_g`` [n_groups, W, 3*g*D], ``b_qkv_g`` [n_groups, 3*g*D],
+    ``wout_g`` [n_groups, g*D, W] — use ``regroup_attn_weights_f`` to
+    build these from a packed [W, 3W] QKV and [W, W] out-proj."""
+    b, s, w = x.shape
+    g = heads // n_groups
+    head_dim = w // heads
+    s_pad = ((s + 15) // 16) * 16
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    gcols = 3 * g * head_dim
+    out = pl.pallas_call(
+        partial(_attn_block_split_kernel, heads_per_group=g, seq_len=s,
+                head_dim=head_dim, n_groups=n_groups, ln_eps=ln_eps),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
+        grid=(b, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, gcols), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gcols), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * head_dim, w), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s_pad, w), x.dtype),
+                        pltpu.VMEM((s_pad, w), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
+      wqkv_g, jnp.asarray(b_qkv_g, jnp.float32)[:, None, :],
+      wout_g, jnp.asarray(b_out, jnp.float32))
+    return out[:, :s, :]
+
+
+def regroup_attn_weights_f(wqkv, b_qkv, wout, heads: int, n_groups: int):
+    """Packed [W, 3W] q|k|v + [W, W] out-proj -> per-head-group tensors
+    for ``attn_block_split`` (float/bf16 counterpart of the int8
+    ``quant_matmul.regroup_attn_weights``)."""
+    w = wqkv.shape[0]
+    head_dim = w // heads
+    g = heads // n_groups
+    q_sec, k_sec, v_sec = jnp.split(wqkv, 3, axis=1)
+    b_secs = jnp.split(jnp.asarray(b_qkv, jnp.float32), 3)
+    wq_pieces, b_pieces, wo_pieces = [], [], []
+    for ng in range(n_groups):
+        sl = slice(ng * g * head_dim, (ng + 1) * g * head_dim)
+        wq_pieces.append(jnp.concatenate(
+            [q_sec[:, sl], k_sec[:, sl], v_sec[:, sl]], axis=1))
+        b_pieces.append(jnp.concatenate([bs[sl] for bs in b_secs]))
+        wo_pieces.append(wout[sl, :])
+    return (jnp.stack(wq_pieces, 0), jnp.stack(b_pieces, 0),
+            jnp.stack(wo_pieces, 0))

@@ -430,3 +430,177 @@ def quant_attn_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
       wout8, jnp.asarray(out_scale, jnp.float32),
       jnp.asarray(b_out, jnp.float32))
     return out[:, :s, :]
+
+
+# ---------------------------------------------------------------------------
+# Head-group-SPLIT whole-block int8 attention: for towers whose whole-block
+# attention exceeds VMEM (SigLIP SO400M: S=736, W=1152)
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_split_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv8_ref, sqkv_ref,
+                             bqkv_ref, wout8_ref, sout_ref, bout_ref, o_ref,
+                             x8_scr, sx_scr, acc_scr, *,
+                             heads_per_group: int, seq_len: int,
+                             head_dim: int, n_groups: int,
+                             ln_eps: float = 1e-5):
+    """Grid (image, head_group), head_group minor.  Each program computes
+    ``heads_per_group`` heads' QKV + attention + out-proj PARTIAL and
+    accumulates into an f32 VMEM scratch (bf16 accumulation across
+    groups would add ~0.5% random-walk error on top of the int8 noise);
+    the output block is written once, at the last group.  The quantized
+    LN(x) is computed once per image (group 0) and persisted in scratch
+    — scratch survives grid steps on TPU."""
+    import math as _math
+
+    hg = pl.program_id(1)
+    s_pad = x_ref.shape[1]
+    g = heads_per_group
+
+    @pl.when(hg == 0)
+    def _():
+        x = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        ln1 = (x - mean) * jax.lax.rsqrt(var + ln_eps)
+        ln1 = ln1 * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
+        amax = jnp.max(jnp.abs(ln1), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        x8_scr[:] = jnp.clip(jnp.round(ln1 / sx), -127, 127).astype(jnp.int8)
+        sx_scr[:] = sx
+
+    x8 = x8_scr[:]
+    sx = sx_scr[:]
+    acc = jax.lax.dot(x8, wqkv8_ref[0],
+                      preferred_element_type=jnp.int32)   # [S, 3*g*D]
+    qkv = acc.astype(jnp.float32) * (sx * sqkv_ref[0, 0][None, :])
+    qkv = qkv + bqkv_ref[0, 0][None, :]
+
+    scale = 1.0 / _math.sqrt(head_dim)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+    gw = g * head_dim
+    outs = []
+    for h in range(g):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = qkv[:, gw + h * head_dim:gw + (h + 1) * head_dim]
+        v = qkv[:, 2 * gw + h * head_dim:2 * gw + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(jnp.bfloat16),
+                                k.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot(p.astype(jnp.bfloat16),
+                                v.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1)                 # [S, g*D] f32
+    aamax = jnp.max(jnp.abs(attn), axis=-1, keepdims=True)
+    sa = jnp.maximum(aamax, 1e-12) * (1.0 / 127.0)
+    a8 = jnp.clip(jnp.round(attn / sa), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot(a8, wout8_ref[0],
+                       preferred_element_type=jnp.int32)  # [S, W]
+    part = acc2.astype(jnp.float32) * (sa * sout_ref[:][None, :])
+
+    @pl.when(hg == 0)
+    def _():
+        acc_scr[:] = part + bout_ref[:][None, :] + x_ref[0].astype(jnp.float32)
+
+    @pl.when(hg > 0)
+    def _():
+        acc_scr[:] = acc_scr[:] + part
+
+    @pl.when(hg == n_groups - 1)
+    def _():
+        o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+
+
+def quant_attn_block_split(x, wqkv8_g, qkv_scale_g, b_qkv_g, wout8_g,
+                           out_scale, b_out, ln_scale, ln_bias, heads: int,
+                           n_groups: int, ln_eps: float = 1e-5,
+                           interpret: bool = False):
+    """Head-group-split whole-block int8 attention.
+
+    ``wqkv8_g``   [n_groups, W, 3*g*D] — per-group packed q|k|v columns
+    ``qkv_scale_g``/``b_qkv_g`` [n_groups, 3*g*D]
+    ``wout8_g``   [n_groups, g*D, W] — per-group out-proj rows
+    (use ``regroup_attn_weights`` to build these from [W, 3W]/[W, W]).
+
+    The output block accumulates in VMEM across the minor grid axis —
+    splitting drops per-program VMEM by ~n_groups on the QKV/out weights
+    and the qkv/attn temporaries, which is what lets SO400M-scale towers
+    (S=736, W=1152) run whole-block where the unsplit kernel fails to
+    compile."""
+    b, s, w = x.shape
+    g = heads // n_groups
+    head_dim = w // heads
+    s_pad = ((s + 15) // 16) * 16
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    gcols = 3 * g * head_dim
+    out = pl.pallas_call(
+        partial(_attn_block_split_kernel, heads_per_group=g, seq_len=s,
+                head_dim=head_dim, n_groups=n_groups, ln_eps=ln_eps),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
+        grid=(b, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, gcols), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # scales/biases carried [n, 1, gcols]: a (1, gcols) block has
+            # a sublane dim of 1, which Mosaic rejects unless it equals
+            # the array dim — the extra singleton axis makes it so
+            pl.BlockSpec((1, 1, gcols), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gcols), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * head_dim, w), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s_pad, w), jnp.int8),
+                        pltpu.VMEM((s_pad, 1), jnp.float32),
+                        pltpu.VMEM((s_pad, w), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
+      wqkv8_g,
+      jnp.asarray(qkv_scale_g, jnp.float32)[:, None, :],
+      jnp.asarray(b_qkv_g, jnp.float32)[:, None, :],
+      wout8_g, jnp.asarray(out_scale, jnp.float32),
+      jnp.asarray(b_out, jnp.float32))
+    return out[:, :s, :]
+
+
+def regroup_attn_weights(wqkv8, qkv_scale, b_qkv, wout8, heads: int,
+                         n_groups: int):
+    """[W, 3W] packed q|k|v (+ scales/bias) and [W, W] out-proj ->
+    per-head-group tensors for ``quant_attn_block_split``."""
+    w = wqkv8.shape[0]
+    head_dim = w // heads
+    g = heads // n_groups
+
+    def group_cols(t, axis):
+        # t[..., 3W] with q|k|v sections -> [n_groups, ..., 3*g*D]
+        sections = jnp.split(t, 3, axis=axis)  # q, k, v each [..., W]
+        pieces = []
+        for ng in range(n_groups):
+            sl = slice(ng * g * head_dim, (ng + 1) * g * head_dim)
+            idx = (slice(None),) * axis + (sl,)
+            pieces.append(jnp.concatenate([sec[idx] for sec in sections],
+                                          axis=axis))
+        return jnp.stack(pieces, axis=0)
+
+    wqkv_g = group_cols(wqkv8, 1)               # [n, W, 3gD]
+    scale_g = group_cols(qkv_scale, 0)          # [n, 3gD]
+    bias_g = group_cols(jnp.asarray(b_qkv, jnp.float32), 0)
+    wout_g = jnp.stack([wout8[ng * g * head_dim:(ng + 1) * g * head_dim, :]
+                        for ng in range(n_groups)], axis=0)  # [n, gD, W]
+    return wqkv_g, scale_g, bias_g, wout_g

@@ -288,3 +288,63 @@ def test_int8_chained_tower_matches_xla_impl(bundle, rng):
     cos = np.sum(ref * out, -1) / (
         np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
     assert np.all(cos > 0.995), cos
+
+
+def test_split_attn_block_matches_bf16_block(rng):
+    """Head-group-split whole-block int8 attention (the SigLIP dispatch)
+    == the float whole-block formulation to quantization tolerance, for
+    every group count."""
+    from aihab_clip_tpu.ops.block_kernel import attn_block_fused
+    from aihab_clip_tpu.ops.quant import quantize_weight
+    from aihab_clip_tpu.ops.quant_matmul import (
+        quant_attn_block_split,
+        regroup_attn_weights,
+    )
+
+    b, s, w, heads = 2, 50, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray(rng.standard_normal(3 * w).astype(np.float32) * 0.1)
+    wout = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    bout = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    ref = np.asarray(attn_block_fused(x, g, beta, wqkv, bqkv, wout, bout,
+                                      heads, interpret=True),
+                     np.float32).ravel()
+    q8, qs = quantize_weight(wqkv)
+    o8, osc = quantize_weight(wout)
+    for n_groups in (1, 2, 4):
+        wg, sg, bg, og = regroup_attn_weights(q8, qs, bqkv, o8, heads,
+                                              n_groups)
+        out = np.asarray(
+            quant_attn_block_split(x, wg, sg, bg, og, osc, bout, g, beta,
+                                   heads, n_groups, interpret=True),
+            np.float32).ravel()
+        cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
+        assert cos > 0.999, (n_groups, cos)
+
+
+def test_siglip_int8_split_attn_matches_xla(rng):
+    """siglip_encode_int8 attn_impl='split' (interpret) tracks the xla
+    int8 reference through the full tiny tower."""
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.quant_siglip import (
+        quantize_siglip_params,
+        siglip_encode_int8,
+    )
+
+    b = load("random:SigLIP-Tiny", seed=7)
+    qp = quantize_siglip_params(b.params, b.config)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(siglip_encode_int8(qp, b.params, x, b.config,
+                                        dtype=jnp.float32, impl="xla"),
+                     np.float32)
+    out = np.asarray(siglip_encode_int8(qp, b.params, x, b.config,
+                                        dtype=jnp.float32, impl="pallas",
+                                        attn_impl="split", interpret=True),
+                     np.float32)
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.99), cos

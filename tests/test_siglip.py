@@ -142,8 +142,8 @@ def test_zoo_hf_hub_name_resolves_offline():
 
 
 def test_fast_siglip_encode_parity(rng):
-    """The fused-kernel SigLIP encode path (packed QKV + per-op fused
-    kernels) matches the canonical Flax tower."""
+    """The split-whole-block-attention SigLIP encode path matches the
+    canonical Flax tower (interpret-mode Pallas)."""
     from aihab_clip_tpu.models import load
     from aihab_clip_tpu.models.fast_siglip import (
         pack_siglip_fast_params,
@@ -157,10 +157,11 @@ def test_fast_siglip_encode_parity(rng):
                      np.float32)
     packed = pack_siglip_fast_params(b.params, b.config, jnp.float32)
     out = np.asarray(siglip_encode_fast(b.params, x, b.config,
-                                        dtype=jnp.float32, packed=packed),
+                                        dtype=jnp.float32, packed=packed,
+                                        interpret=True),
                      np.float32)
-    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
 
     pre, post = siglip_encode_fast(b.params, x, b.config, project=True,
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32, interpret=True)
     assert pre.shape == post.shape == ref.shape
