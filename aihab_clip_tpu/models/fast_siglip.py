@@ -15,9 +15,12 @@ eval preprocessing included — PERF_NOTES.md):
     column-sliced per 2-head group, the out-proj row-sliced, partials
     accumulated in f32 VMEM scratch, and LN(x) computed once per image
     (persisted in scratch across the group iterations);
-  * the MLP half stays the canonical XLA graph — every fused-MLP variant
-    (per-op bf16, whole-block int8, hidden-split) measured SLOWER at
-    SO400M shapes (the tower is GEMM-bound there; PERF_NOTES.md);
+  * the MLP half runs the hidden-dim-split whole-block kernel
+    (``ops/block_kernel.mlp_block_split``, 2 chunks of 9.9 MB bf16 each)
+    — it LOST next to XLA-attention blocks (17.1 vs 14.8 ms/block) but
+    WINS next to the split-attention kernel (231.9 vs 237.2 ms tower,
+    same-session) — kernel verdicts are context-dependent, always re-A/B
+    after changing the adjacent kernels (PERF_NOTES.md);
   * ln_post + MAP pooling head stay on the canonical Flax module (one
     probe token — negligible).
 
@@ -37,7 +40,11 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.block_kernel import attn_block_split, regroup_attn_weights_f
+from ..ops.block_kernel import (
+    attn_block_split,
+    mlp_block_split,
+    regroup_attn_weights_f,
+)
 from .siglip import MAPHead, SigLIPConfig
 
 LN_EPS = 1e-6
@@ -115,13 +122,15 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
             blk["attn"]["out_proj"]["bias"],
             blk["ln_1"]["scale"], blk["ln_1"]["bias"],
             heads, n_groups, ln_eps=LN_EPS, interpret=interpret)
-        ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-        hdn = ln2 @ jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype)
-        hdn = hdn + jnp.asarray(blk["mlp"]["c_fc"]["bias"], dtype)
-        hdn = jax.nn.gelu(hdn.astype(jnp.float32),
-                          approximate=True).astype(dtype)
-        x = x + hdn @ jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype) \
-            + jnp.asarray(blk["mlp"]["c_proj"]["bias"], dtype)
+        x2 = mlp_block_split(
+            x.reshape(b * s, width),
+            blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+            jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+            blk["mlp"]["c_fc"]["bias"],
+            jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+            blk["mlp"]["c_proj"]["bias"],
+            n_chunks=2, act="gelu_tanh", ln_eps=LN_EPS, interpret=interpret)
+        x = x2.reshape(b, s, width)
 
     tokens = _ln(x, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     pooled = MAPHead(heads, config.vision_mlp_dim, dtype=dtype,

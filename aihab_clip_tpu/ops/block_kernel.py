@@ -322,7 +322,7 @@ def _act_f32(h, act: str):
 
 def _mlp_split_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
                       wpr_ref, bpr_ref, acc_ref, o_ref, *, first: bool,
-                      act: str):
+                      act: str, ln_eps: float = 1e-5):
     """One hidden-dim chunk of the MLP block: out = acc + act(LN(x) @
     Wfc_chunk + bfc_chunk) @ Wpr_chunk  (+ x + b_proj on the first chunk).
 
@@ -330,7 +330,7 @@ def _mlp_split_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
     [TM, W] partial cross HBM between chunks — never the [TM, hidden]
     activation."""
     x = x_ref[:].astype(jnp.float32)                       # [TM, W]
-    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:])
+    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
     h = jax.lax.dot(ln2.astype(o_ref.dtype), wfc_ref[:],
                     preferred_element_type=jnp.float32)
     h = _act_f32(h + bfc_ref[:][None, :], act)
@@ -345,7 +345,8 @@ def _mlp_split_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
 
 def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                     *, n_chunks: int = 2, act: str = "quick_gelu",
-                    interpret: bool = False, tile_m: int = 0):
+                    ln_eps: float = 1e-5, interpret: bool = False,
+                    tile_m: int = 0):
     """x: [M, W] -> x + c_proj(act(c_fc(LN(x)))), hidden dim split across
     ``n_chunks`` sequential kernels so each chunk's weight pair fits VMEM
     (towers whose full MLP pair exceeds the one-kernel budget: ViT-L,
@@ -372,7 +373,8 @@ def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     acc = xp  # placeholder input for the first chunk (unread)
     for k in range(n_chunks):
         acc = pl.pallas_call(
-            partial(_mlp_split_kernel, first=(k == 0), act=act),
+            partial(_mlp_split_kernel, first=(k == 0), act=act,
+                    ln_eps=ln_eps),
             out_shape=jax.ShapeDtypeStruct((m_pad, w), x.dtype),
             grid=(m_pad // tile_m,),
             in_specs=[
