@@ -32,6 +32,23 @@ from .clip import CLIPConfig
 # combined c_fc+c_proj VMEM budget for the one-kernel MLP path
 MLP_WHOLE_KERNEL_MAX_BYTES = 11 * 2 ** 20
 
+# per-program VMEM budget for the UNSPLIT whole-block attention kernel;
+# above this the head-group-split kernel dispatches instead (ViT-L@336's
+# S=577 towers fail to compile unsplit — measured)
+ATTN_WHOLE_KERNEL_MAX_BYTES = 15 * 2 ** 20
+
+
+def _attn_whole_vmem_bytes(seq: int, width: int, itemsize: int = 2) -> int:
+    """Rough per-program liveness of ``attn_block_fused``: resident
+    QKV/out weights + f32 qkv + f32 x/out copies + one score matrix +
+    the bf16 in/out tiles."""
+    s_pad = ((seq + 15) // 16) * 16
+    return (4 * width * width * itemsize      # w_qkv [W,3W] + w_out [W,W]
+            + s_pad * 3 * width * 4           # qkv f32
+            + 2 * s_pad * width * 4           # x f32 + out f32
+            + s_pad * s_pad * 4               # scores (reused per head)
+            + 2 * s_pad * width * itemsize)   # in/out tiles
+
 
 def _ln(x, scale, bias, eps=1e-5):
     xf = x.astype(jnp.float32)
@@ -251,8 +268,9 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     falling back to per-op kernels — the [M, hidden] activation never
     crosses HBM (8.15 -> 6.96 ms/block at ViT-L shapes).  Forward-only
     (encode/serving); training uses the canonical Flax module."""
-    from ..ops.block_kernel import (attn_block_fused, mlp_block_fused,
-                                    mlp_block_split)
+    from ..ops.block_kernel import (attn_block_fused, attn_block_split,
+                                    mlp_block_fused, mlp_block_split,
+                                    regroup_attn_weights_f)
 
     vp = params["visual"]
     p = config.vision_patch_size
@@ -288,15 +306,35 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                 mlp_chunks = n
                 break
 
+    # long-sequence towers (ViT-L@336: S=577) exceed the unsplit
+    # attention kernel's VMEM — dispatch the head-group-split variant
+    heads = config.vision_heads
+    seq = (config.image_resolution // p) ** 2 + 1
+    attn_split = (_attn_whole_vmem_bytes(seq, width,
+                                         jnp.dtype(dtype).itemsize)
+                  > ATTN_WHOLE_KERNEL_MAX_BYTES and heads % 2 == 0)
+
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
-        x = attn_block_fused(
-            x, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
-            jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
-            blk["attn"]["in_proj"]["bias"],
-            jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
-            blk["attn"]["out_proj"]["bias"],
-            config.vision_heads, interpret=interpret)
+        if attn_split:
+            n_groups = heads // 2
+            wg, bg, og = regroup_attn_weights_f(
+                jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
+                blk["attn"]["in_proj"]["bias"],
+                jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
+                heads, n_groups)
+            x = attn_block_split(
+                x, wg, bg, og, blk["attn"]["out_proj"]["bias"],
+                blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                heads, n_groups, interpret=interpret)
+        else:
+            x = attn_block_fused(
+                x, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
+                blk["attn"]["in_proj"]["bias"],
+                jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
+                blk["attn"]["out_proj"]["bias"],
+                heads, interpret=interpret)
         s = x.shape[1]
         x2 = x.reshape(b * s, width)
         if mlp_whole:

@@ -137,20 +137,42 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
         # row-tiled kernel for LN2 + int8 MLP + residual.  The chained
         # per-GEMM kernels remain as impl='chained' (and serve the SigLIP
         # tower, where the whole-block attention exceeds VMEM).
+        from ..models.fast_vit import (
+            ATTN_WHOLE_KERNEL_MAX_BYTES,
+            _attn_whole_vmem_bytes,
+        )
         from ..ops.quant_matmul import (
             quant_attn_block_fused,
+            quant_attn_block_split,
             quant_mlp_block_fused,
+            regroup_attn_weights,
         )
+
+        # long-sequence towers (ViT-L@336: S=577) exceed the unsplit
+        # kernel's VMEM — use the head-group-split variant (int8 weights
+        # are half the bf16 estimate, hence itemsize=1)
+        attn_split = (_attn_whole_vmem_bytes(s, width, 1)
+                      > ATTN_WHOLE_KERNEL_MAX_BYTES and heads % 2 == 0)
 
         for i in range(config.vision_layers):
             blk = qparams["transformer"][f"resblocks_{i}"]
             ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
             fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
-            x = quant_attn_block_fused(
-                x, ip["w8"], ip["scale"], ip["bias"],
-                op["w8"], op["scale"], op["bias"],
-                blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
-                interpret=interpret)
+            if attn_split:
+                n_groups = heads // 2
+                wg, sg, bg, og = regroup_attn_weights(
+                    ip["w8"], ip["scale"], ip["bias"], op["w8"],
+                    heads, n_groups)
+                x = quant_attn_block_split(
+                    x, wg, sg, bg, og, op["scale"], op["bias"],
+                    blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
+                    n_groups, interpret=interpret)
+            else:
+                x = quant_attn_block_fused(
+                    x, ip["w8"], ip["scale"], ip["bias"],
+                    op["w8"], op["scale"], op["bias"],
+                    blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
+                    interpret=interpret)
             x2 = quant_mlp_block_fused(
                 x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
                 pr["w8"], pr["scale"], pr["bias"],

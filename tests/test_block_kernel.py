@@ -228,3 +228,26 @@ def test_vit_encode_train_grad_parity(rng):
         rel = (np.linalg.norm(np.asarray(v1) - np.asarray(v2))
                / (np.linalg.norm(np.asarray(v1)) + 1e-12))
         assert rel < 5e-5, (jax.tree_util.keystr(k), rel)
+
+
+def test_block_fused_encode_split_attention_path(rng, monkeypatch):
+    """Long-sequence towers exceed the unsplit attention kernel's VMEM
+    (ViT-L@336 failed to compile before this fallback existed) — force
+    the head-group-split dispatch and check numerics."""
+    from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+    from aihab_clip_tpu.models import fast_vit
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2)
+    assert tiny.vision_heads % 2 == 0, "tiny config must have even heads"
+    b = load("random:tiny-attnsplit", random_cfg=tiny, seed=14)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=CLIPModel.encode_image)
+    monkeypatch.setattr(fast_vit, "ATTN_WHOLE_KERNEL_MAX_BYTES", 0)
+    out = fast_vit.vit_encode_block_fused(b.params, x, tiny,
+                                          dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
