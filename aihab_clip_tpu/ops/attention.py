@@ -165,8 +165,10 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     ``use_fused`` to force either path."""
     if use_fused is None:
         use_fused = q.shape[1] >= FUSED_MIN_SEQ
+    # upper cap: the kernel materializes one [S_pad, S_pad] f32 score
+    # matrix per program — past ~1500 tokens that alone exceeds VMEM
     if (use_fused and not causal and jax.default_backend() == "tpu"
-            and q.shape[1] <= 4096):
+            and q.shape[1] <= 1536):
         return fused_attention(q, k, v, num_heads)
     b, s, w = q.shape
     head_dim = w // num_heads

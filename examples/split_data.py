@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from aihab_clip_tpu.utils import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
 import numpy as np
 
 from aihab_clip_tpu.data import (
