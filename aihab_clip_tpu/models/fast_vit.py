@@ -144,13 +144,34 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
             return vit_encode_block_fused_sharded(
                 params, x, config, mesh, project=project, dtype=x.dtype)
-    if on_tpu and isinstance(config, SigLIPConfig) and mesh is None:
+    if on_tpu and isinstance(config, SigLIPConfig):
         from .fast_siglip import siglip_encode_fast
 
-        return siglip_encode_fast(params, x, config, project=project,
-                                  dtype=x.dtype)
+        if mesh is None:
+            return siglip_encode_fast(params, x, config, project=project,
+                                      dtype=x.dtype)
+        if (dict(mesh.shape).get("model", 1) == 1
+                and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
+            return encode_fn_sharded(
+                lambda p, xs: siglip_encode_fast(p, xs, config,
+                                                 project=project,
+                                                 dtype=xs.dtype),
+                params, x, mesh, pair_output=project)
     return model.apply({"params": params}, x,
                        method=type(model).encode_image, project=project)
+
+
+def encode_fn_sharded(encode_fn, params, x: jax.Array, mesh, *,
+                      pair_output: bool = False):
+    """Run any pure encode fn under a data-parallel mesh via shard_map:
+    each device encodes its batch shard with replicated params."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    out_specs = (P("data"), P("data")) if pair_output else P("data")
+    fn = shard_map(encode_fn, mesh=mesh, in_specs=(P(), P("data")),
+                   out_specs=out_specs, check_rep=False)
+    return fn(params, x)
 
 
 def vit_encode_block_fused_sharded(params, x: jax.Array, config, mesh, *,
@@ -161,17 +182,13 @@ def vit_encode_block_fused_sharded(params, x: jax.Array, config, mesh, *,
     ``data`` axis — each device runs the Pallas kernels on its batch
     shard with replicated params.  Requires replicated weights (no
     ``model``-axis sharding) and a batch divisible by the data axis."""
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
 
     def local_encode(p, xs):
         return vit_encode_block_fused(p, xs, config, project=project,
                                       dtype=dtype, interpret=interpret)
 
-    out_specs = (P("data"), P("data")) if project else P("data")
-    fn = shard_map(local_encode, mesh=mesh, in_specs=(P(), P("data")),
-                   out_specs=out_specs, check_rep=False)
-    return fn(params, x)
+    return encode_fn_sharded(local_encode, params, x, mesh,
+                             pair_output=project)
 
 
 def vit_encode_train(params, images: jax.Array, config: CLIPConfig,

@@ -165,3 +165,26 @@ def test_fast_siglip_encode_parity(rng):
     pre, post = siglip_encode_fast(b.params, x, b.config, project=True,
                                    dtype=jnp.float32, interpret=True)
     assert pre.shape == post.shape == ref.shape
+
+
+def test_fast_siglip_sharded_matches_canonical(rng):
+    """shard_map'd fast SigLIP encode over an 8-device data mesh ==
+    canonical tower (interpret-mode Pallas per shard)."""
+    import jax
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import siglip_encode_fast
+    from aihab_clip_tpu.models.fast_vit import encode_fn_sharded
+    from aihab_clip_tpu.parallel import make_mesh
+
+    b = load("random:SigLIP-Tiny", seed=3)
+    mesh = make_mesh(jax.devices()[:8])
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(b.model.apply({"params": b.params}, x,
+                                   method=type(b.model).encode_image),
+                     np.float32)
+    out = np.asarray(encode_fn_sharded(
+        lambda p, xs: siglip_encode_fast(p, xs, b.config,
+                                         dtype=jnp.float32, interpret=True),
+        b.params, x, mesh), np.float32)
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
