@@ -59,18 +59,23 @@ def _ln(x, scale, bias, eps=LN_EPS):
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def siglip_attn_groups(config: SigLIPConfig) -> int:
+    """2 heads/program (the measured/VMEM-fitting grouping at SO400M);
+    1 group for odd head counts (the grouping must divide heads)."""
+    heads = config.vision_heads
+    return heads // 2 if heads % 2 == 0 and heads >= 2 else 1
+
+
 def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
-                            dtype=jnp.bfloat16,
-                            n_groups: Optional[int] = None) -> Dict:
+                            dtype=jnp.bfloat16) -> Dict:
     """One-time regrouping of the separate q/k/v projections into
-    per-head-group tensors for the split whole-block attention kernel
-    (2 heads per group — the measured/VMEM-fitting choice at SO400M).
+    per-head-group tensors for the split whole-block attention kernel.
     Done at load time so the packing never re-runs inside the jitted
-    encode."""
-    if n_groups is None:
-        n_groups = max(1, config.vision_heads // 2)
+    encode; pass the result through a JIT ARGUMENT (arrays only — safe
+    to trace)."""
+    n_groups = siglip_attn_groups(config)
     vp = params["visual"]
-    packed: Dict = {"n_groups": n_groups}
+    packed: Dict = {}
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         w = jnp.concatenate(
@@ -101,7 +106,7 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
     heads = config.vision_heads
     if packed is None:
         packed = pack_siglip_fast_params(params, config, dtype)
-    n_groups = packed["n_groups"]
+    n_groups = siglip_attn_groups(config)
 
     x = images.astype(dtype)
     b, h, w, c = x.shape
@@ -112,6 +117,18 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
         p * p * c, width)
     x = patches @ kernel2d + jnp.asarray(vp["conv1"]["bias"], dtype)
     x = x + jnp.asarray(vp["positional_embedding"], dtype)
+
+    # fewest MLP hidden-dim chunks whose weight pair fits the one-kernel
+    # VMEM budget (SO400M: 19.8 MB bf16 -> 2 chunks; SigLIP-B16: 9.4 MB
+    # -> 1); the chunk count must divide the hidden dim exactly
+    from .fast_vit import MLP_WHOLE_KERNEL_MAX_BYTES
+
+    hidden = config.vision_mlp_dim
+    pair_bytes = 2 * width * hidden * jnp.dtype(dtype).itemsize
+    mlp_chunks = next(
+        (n for n in (1, 2, 3, 4)
+         if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES),
+        2 if hidden % 2 == 0 else 1)
 
     s = gh * gw
     for i in range(config.vision_layers):
@@ -129,7 +146,8 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
             blk["mlp"]["c_fc"]["bias"],
             jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
             blk["mlp"]["c_proj"]["bias"],
-            n_chunks=2, act="gelu_tanh", ln_eps=LN_EPS, interpret=interpret)
+            n_chunks=mlp_chunks, act="gelu_tanh", ln_eps=LN_EPS,
+            interpret=interpret)
         x = x2.reshape(b, s, width)
 
     tokens = _ln(x, vp["ln_post"]["scale"], vp["ln_post"]["bias"])

@@ -119,7 +119,7 @@ def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
 
 
 def encode_image_fastest(model, params, x: jax.Array, config, *,
-                         project: bool = False, mesh=None):
+                         project: bool = False, mesh=None, packed=None):
     """Fastest parity-tested image encode for the current backend.
 
     TPU + CLIP-ViT towers take the whole-block fused Pallas path
@@ -147,16 +147,22 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
     if on_tpu and isinstance(config, SigLIPConfig):
         from .fast_siglip import siglip_encode_fast
 
+        # pass `packed` (pack_siglip_fast_params at load time) through a
+        # jit argument where possible — without it the q/k/v regrouping
+        # re-runs per call (~0.3% of a SO400M encode)
         if mesh is None:
             return siglip_encode_fast(params, x, config, project=project,
-                                      dtype=x.dtype)
+                                      dtype=x.dtype, packed=packed)
         if (dict(mesh.shape).get("model", 1) == 1
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
+            # `packed` rides inside the weights operand (closing over it
+            # would embed the packed arrays as compile-time constants)
             return encode_fn_sharded(
-                lambda p, xs: siglip_encode_fast(p, xs, config,
+                lambda w, xs: siglip_encode_fast(w[0], xs, config,
                                                  project=project,
-                                                 dtype=xs.dtype),
-                params, x, mesh, pair_output=project)
+                                                 dtype=xs.dtype,
+                                                 packed=w[1]),
+                (params, packed), x, mesh, pair_output=project)
     return model.apply({"params": params}, x,
                        method=type(model).encode_image, project=project)
 
@@ -317,7 +323,7 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     pair_bytes = 2 * (width * hidden * jnp.dtype(dtype).itemsize)
     mlp_whole = pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
     mlp_chunks = 0
-    if not mlp_whole and MLP_WHOLE_KERNEL_MAX_BYTES > 0:
+    if not mlp_whole:
         for n in (2, 3, 4):
             if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES:
                 mlp_chunks = n
@@ -325,16 +331,21 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
 
     # long-sequence towers (ViT-L@336: S=577) exceed the unsplit
     # attention kernel's VMEM — dispatch the head-group-split variant
+    # (2 heads/group when heads is even; 1 head/group otherwise — the
+    # grouping must divide heads exactly)
     heads = config.vision_heads
     seq = (config.image_resolution // p) ** 2 + 1
     attn_split = (_attn_whole_vmem_bytes(seq, width,
                                          jnp.dtype(dtype).itemsize)
-                  > ATTN_WHOLE_KERNEL_MAX_BYTES and heads % 2 == 0)
+                  > ATTN_WHOLE_KERNEL_MAX_BYTES)
 
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         if attn_split:
-            n_groups = heads // 2
+            n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
+            # per-call regroup costs ~0.1% of a ViT-L@336 encode (200 MB
+            # of weight reshuffling vs a ~200 ms forward); not worth the
+            # extra packed-params plumbing on this rare path
             wg, bg, og = regroup_attn_weights_f(
                 jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
                 blk["attn"]["in_proj"]["bias"],

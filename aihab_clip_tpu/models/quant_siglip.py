@@ -126,8 +126,10 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
 
     s = x.shape[1]
     x2 = x.reshape(b * s, width)
-    n_groups = max(1, heads // 2)  # 2 heads/program: the only grouping
-    # that both fits VMEM and compiles at SO400M shapes (PERF_NOTES.md)
+    # 2 heads/program: the only grouping that both fits VMEM and compiles
+    # at SO400M shapes (PERF_NOTES.md); odd head counts keep one group
+    # (grouping must divide heads exactly or a head would be dropped)
+    n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else 1
     for i in range(config.vision_layers):
         blk = qparams["transformer"][f"resblocks_{i}"]
         qkv_q = blk["attn/qkv"]
@@ -150,11 +152,12 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
             qkv = quant_matmul_fused(
                 x2, qkv_q["w8"], qkv_q["scale"], qkv_q["bias"],
                 ln_scale=blk["ln_1"]["scale"], ln_bias=blk["ln_1"]["bias"],
-                ln_eps=LN_EPS)
+                ln_eps=LN_EPS, interpret=interpret)
             q, k, v = jnp.split(qkv.reshape(b, s, 3 * width), 3, axis=-1)
             attn = attention(q, k, v, heads).reshape(b * s, width)
             x2 = quant_matmul_fused(attn, out_q["w8"], out_q["scale"],
-                                    out_q["bias"], residual=x2)
+                                    out_q["bias"], residual=x2,
+                                    interpret=interpret)
         else:
             ln1 = _ln(x2, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
                       eps=LN_EPS)

@@ -150,16 +150,18 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
 
         # long-sequence towers (ViT-L@336: S=577) exceed the unsplit
         # kernel's VMEM — use the head-group-split variant (int8 weights
-        # are half the bf16 estimate, hence itemsize=1)
+        # are half the bf16 estimate, hence itemsize=1; 2 heads/group
+        # when heads is even, else 1/group — must divide heads exactly)
         attn_split = (_attn_whole_vmem_bytes(s, width, 1)
-                      > ATTN_WHOLE_KERNEL_MAX_BYTES and heads % 2 == 0)
+                      > ATTN_WHOLE_KERNEL_MAX_BYTES)
 
         for i in range(config.vision_layers):
             blk = qparams["transformer"][f"resblocks_{i}"]
             ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
             fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
             if attn_split:
-                n_groups = heads // 2
+                n_groups = (heads // 2 if heads % 2 == 0 and heads >= 2
+                            else heads)
                 wg, sg, bg, og = regroup_attn_weights(
                     ip["w8"], ip["scale"], ip["bias"], op["w8"],
                     heads, n_groups)

@@ -359,8 +359,10 @@ def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     if not tile_m:
         # 14 MiB: measured safe in-tower at ViT-L (tile 256 edged out 128,
         # 6.96 vs 6.99 ms/block); the one-kernel path keeps its stricter
-        # 13 MiB budget
-        budget = 14 * 1024 * 1024 - 2 * (w * ch + ch * w)
+        # 13 MiB budget.  Weight residency scales with the input dtype
+        # (f32 doubles it).
+        wbytes = jnp.dtype(x.dtype).itemsize * (w * ch + ch * w)
+        budget = 14 * 1024 * 1024 - wbytes
         tile_m = 256 if 256 * (ch * 4 + w * 10) <= budget else 128
     m_pad = ((m + tile_m - 1) // tile_m) * tile_m
     xp = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
@@ -423,8 +425,10 @@ def mlp_block_fused(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
         # keep x + f32 hidden + out + both weights within ~14.5 MB
         # (256-row tiles measured faster than 128 at ViT-B — 5.20 vs 5.27
         # ms/block — and Mosaic's real liveness is below this naive
-        # estimate; 384 measured slower, PERF_NOTES.md)
-        budget = int(14.5 * 1024 * 1024) - 2 * (w * hidden + hidden * w)
+        # estimate; 384 measured slower, PERF_NOTES.md).  Weight residency
+        # scales with the input dtype (f32 doubles it).
+        wbytes = jnp.dtype(x.dtype).itemsize * (w * hidden + hidden * w)
+        budget = int(14.5 * 1024 * 1024) - wbytes
         tile_m = 256 if 256 * (hidden * 4 + w * 8) <= budget else 128
     m_pad = ((m + tile_m - 1) // tile_m) * tile_m
     if m_pad != m:
@@ -572,6 +576,7 @@ def regroup_attn_weights_f(wqkv, b_qkv, wout, heads: int, n_groups: int):
     """Packed [W, 3W] q|k|v + [W, W] out-proj -> per-head-group tensors
     for ``attn_block_split`` (float/bf16 counterpart of the int8
     ``quant_matmul.regroup_attn_weights``)."""
+    assert heads % n_groups == 0, (heads, n_groups)
     w = wqkv.shape[0]
     head_dim = w // heads
     g = heads // n_groups

@@ -583,6 +583,7 @@ def regroup_attn_weights(wqkv8, qkv_scale, b_qkv, wout8, heads: int,
                          n_groups: int):
     """[W, 3W] packed q|k|v (+ scales/bias) and [W, W] out-proj ->
     per-head-group tensors for ``quant_attn_block_split``."""
+    assert heads % n_groups == 0, (heads, n_groups)
     w = wqkv8.shape[0]
     head_dim = w // heads
     g = heads // n_groups

@@ -53,7 +53,11 @@ def main(argv=None):
     from ..taxonomy import CS_CLASSNAMES, REASSIGN_LABEL_NAME_L3
     from ..templates import gen_prompts
 
-    bundle = load(args.model)
+    # bf16 compute on TPU (the benchmarked fast-tower configuration);
+    # f32 would double VMEM residency and halve the MXU rate
+    compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else jnp.float32)
+    bundle = load(args.model, dtype=compute_dtype)
     model, params = bundle.model, bundle.params
     res = args.resolution or bundle.config.image_resolution
 
@@ -99,16 +103,32 @@ def main(argv=None):
             raise SystemExit("--quantize int8 requires a ViT/SigLIP backbone")
     else:
         from ..models.fast_vit import encode_image_fastest
+        from ..models.siglip import SigLIPConfig
 
-        weights = params
+        if (isinstance(bundle.config, SigLIPConfig)
+                and jax.default_backend() == "tpu"):
+            # pack the q/k/v head groups once at load time and pass them
+            # through the jit ARGUMENT (repacking inside the jitted
+            # encode costs ~0.3% per call; closing over them would embed
+            # the arrays as compile-time constants)
+            from ..models.fast_siglip import pack_siglip_fast_params
 
-        def encode(p, x):
-            return encode_image_fastest(model, p, x, bundle.config,
-                                        project=True)[1]
+            weights = (params, pack_siglip_fast_params(
+                params, bundle.config, compute_dtype))
+
+            def encode(w, x):
+                return encode_image_fastest(model, w[0], x, bundle.config,
+                                            project=True, packed=w[1])[1]
+        else:
+            weights = params
+
+            def encode(p, x):
+                return encode_image_fastest(model, p, x, bundle.config,
+                                            project=True)[1]
 
     @jax.jit
     def classify(p, images_u8):
-        x = eval_transform(images_u8, res)
+        x = eval_transform(images_u8, res, dtype=compute_dtype)
         feats = encode(p, x).astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
