@@ -59,35 +59,37 @@ def _ln(x, scale, bias, eps=1e-5):
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
-                    *, project: bool = False, dtype=jnp.bfloat16):
-    """images: [B, H, W, 3] normalized NHWC -> pre-projection CLS features
-    (or (pre, projected))."""
-    vp = params["visual"]
+def _vit_embed(vp, images: jax.Array, config: CLIPConfig, dtype):
+    """Shared ViT preamble: patchify-as-matmul (a stride=kernel conv IS a
+    patch matmul), prepend class token, add positional embedding, ln_pre.
+    Returns [B, S, W] tokens."""
     p = config.vision_patch_size
     width = config.vision_width
-    heads = config.vision_heads
-
     x = images.astype(dtype)
     b, h, w, c = x.shape
     gh, gw = h // p, w // p
-
-    # patchify == reshape + matmul
     patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
     patches = patches.reshape(b, gh * gw, p * p * c)
-    kernel = jnp.asarray(vp["conv1"]["kernel"], dtype)  # [p, p, c, width] HWIO
-    kernel2d = kernel.reshape(p * p * c, width)
-    x = patches @ kernel2d
-
+    kernel = jnp.asarray(vp["conv1"]["kernel"], dtype)  # [p, p, c, W] HWIO
+    x = patches @ kernel.reshape(p * p * c, width)
     cls = jnp.broadcast_to(
         jnp.asarray(vp["class_embedding"], dtype)[None, None, :],
         (b, 1, width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + jnp.asarray(vp["positional_embedding"], dtype)
+    return _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
 
-    x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
 
-    s = x.shape[1]
+def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
+                    *, project: bool = False, dtype=jnp.bfloat16):
+    """images: [B, H, W, 3] normalized NHWC -> pre-projection CLS features
+    (or (pre, projected))."""
+    vp = params["visual"]
+    width = config.vision_width
+    heads = config.vision_heads
+
+    x = _vit_embed(vp, images, config, dtype)
+    b, s, _ = x.shape
     x2 = x.reshape(b * s, width)
     blocks = vp["transformer"]
     for i in range(config.vision_layers):
@@ -215,27 +217,11 @@ def vit_encode_train(params, images: jax.Array, config: CLIPConfig,
     from ..ops.block_kernel import mlp_block_train
 
     vp = params["visual"]
-    p = config.vision_patch_size
     width = config.vision_width
     heads = config.vision_heads
 
-    x = images.astype(dtype)
-    b, h, w, c = x.shape
-    gh, gw = h // p, w // p
-    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
-    patches = patches.reshape(b, gh * gw, p * p * c)
-    kernel2d = jnp.asarray(vp["conv1"]["kernel"], dtype).reshape(
-        p * p * c, width)
-    x = patches @ kernel2d
-
-    cls = jnp.broadcast_to(
-        jnp.asarray(vp["class_embedding"], dtype)[None, None, :],
-        (b, 1, width))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + jnp.asarray(vp["positional_embedding"], dtype)
-    x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
-
-    s = x.shape[1]
+    x = _vit_embed(vp, images, config, dtype)
+    b, s, _ = x.shape
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         # attention half: canonical XLA (differentiable as-is)
@@ -299,21 +285,8 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     p = config.vision_patch_size
     width = config.vision_width
 
-    x = images.astype(dtype)
-    b, h, w, c = x.shape
-    gh, gw = h // p, w // p
-    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
-    patches = patches.reshape(b, gh * gw, p * p * c)
-    kernel2d = jnp.asarray(vp["conv1"]["kernel"], dtype).reshape(
-        p * p * c, width)
-    x = patches @ kernel2d
-
-    cls = jnp.broadcast_to(
-        jnp.asarray(vp["class_embedding"], dtype)[None, None, :],
-        (b, 1, width))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + jnp.asarray(vp["positional_embedding"], dtype)
-    x = _ln(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
+    x = _vit_embed(vp, images, config, dtype)
+    b = x.shape[0]
 
     # one-kernel MLP only when BOTH weights fit VMEM next to the tiles
     # (ViT-B: 9.4 MB bf16 -> yes); otherwise split the hidden dim across
