@@ -37,6 +37,13 @@ MLP_WHOLE_KERNEL_MAX_BYTES = 11 * 2 ** 20
 # S=577 towers fail to compile unsplit — measured)
 ATTN_WHOLE_KERNEL_MAX_BYTES = 15 * 2 ** 20
 
+# merged attn+MLP single-program kernel: the block's FULL weight set
+# (QKV + out-proj + both MLP matrices) must stay VMEM-resident.  ViT-B's
+# 14.1 MB bf16 set compiles and measures 4.82 vs 5.12 ms/block against
+# the two-kernel dispatch (v5e b256, same-session A/B — PERF_NOTES.md);
+# ViT-L's 25.2 MB does not fit and keeps the two-kernel path.
+FULL_BLOCK_KERNEL_MAX_BYTES = 15 * 2 ** 20
+
 
 def _attn_whole_vmem_bytes(seq: int, width: int, itemsize: int = 2) -> int:
     """Rough per-program liveness of ``attn_block_fused``: resident
@@ -264,22 +271,27 @@ def use_fused_train_encode(model, config, mesh=None) -> bool:
 
 def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                            *, project: bool = False, dtype=jnp.bfloat16,
+                           merge_blocks: str = "auto",
                            interpret: bool = False):
     """Whole-block fused encode: the measured-fastest ViT forward on TPU.
 
-    Two Pallas calls per transformer block (``ops/block_kernel.py``):
-    LN1+QKV+attention+out-proj+residual with one grid program per image,
-    and LN2+MLP+residual row-tiled — activations cross HBM once per half
-    block instead of per op.  Measured 62.5 ms vs 107.4 ms for the 12
-    ViT-B/16 blocks at batch 256 (1.7x; PERF_NOTES.md).  Towers whose MLP
+    Per transformer block, either ONE merged Pallas program per image
+    (LN1+QKV+attention+out-proj+residual+LN2+MLP+residual — the residual
+    stream never touches HBM inside a block; dispatched when the block's
+    full weight set fits VMEM, e.g. ViT-B: 4.82 vs 5.12 ms/block) or two
+    Pallas calls (attention half with one program per image, MLP half
+    row-tiled) — activations cross HBM once per half block instead of
+    per op.  Measured 62.5 ms vs 107.4 ms for the 12 ViT-B/16 blocks at
+    batch 256 before the merge (1.7x; PERF_NOTES.md).  Towers whose MLP
     weight pair exceeds the one-kernel VMEM budget (ViT-L: 16.8 MB) split
     the hidden dim across sequential whole-block kernels instead of
     falling back to per-op kernels — the [M, hidden] activation never
     crosses HBM (8.15 -> 6.96 ms/block at ViT-L shapes).  Forward-only
-    (encode/serving); training uses the canonical Flax module."""
+    (encode/serving); training uses the canonical Flax module.
+    ``merge_blocks``: 'auto' (budget-gated) or 'off' (A/B control)."""
     from ..ops.block_kernel import (attn_block_fused, attn_block_split,
-                                    mlp_block_fused, mlp_block_split,
-                                    regroup_attn_weights_f)
+                                    full_block_fused, mlp_block_fused,
+                                    mlp_block_split, regroup_attn_weights_f)
 
     vp = params["visual"]
     p = config.vision_patch_size
@@ -312,8 +324,33 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                                          jnp.dtype(dtype).itemsize)
                   > ATTN_WHOLE_KERNEL_MAX_BYTES)
 
+    # merged attn+MLP single-program block: a strict upgrade of the
+    # {unsplit attention + whole-kernel MLP} regime — needs the full
+    # per-block weight set resident in VMEM
+    full_w_bytes = (4 * width * width + 2 * width * hidden) * jnp.dtype(
+        dtype).itemsize
+    merge = (merge_blocks != "off" and not attn_split and mlp_whole
+             and full_w_bytes <= FULL_BLOCK_KERNEL_MAX_BYTES)
+    # hidden chunking bounds the f32 hidden tile's liveness (chunks=2
+    # measured 57.8 vs 58.3 ms unchunked for the 12-block ViT-B tower)
+    full_chunks = 2 if hidden % 2 == 0 else 1
+
     for i in range(config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
+        if merge:
+            x = full_block_fused(
+                x, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype),
+                blk["attn"]["in_proj"]["bias"],
+                jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
+                blk["attn"]["out_proj"]["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
+                blk["mlp"]["c_fc"]["bias"],
+                jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
+                blk["mlp"]["c_proj"]["bias"],
+                heads, mlp_chunks=full_chunks, interpret=interpret)
+            continue
         if attn_split:
             n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
             # per-call regroup costs ~0.1% of a ViT-L@336 encode (200 MB

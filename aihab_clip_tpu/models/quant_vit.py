@@ -144,6 +144,7 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
         from ..ops.quant_matmul import (
             quant_attn_block_fused,
             quant_attn_block_split,
+            quant_full_block_fused,
             quant_mlp_block_fused,
             regroup_attn_weights,
         )
@@ -155,10 +156,36 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
         attn_split = (_attn_whole_vmem_bytes(s, width, 1)
                       > ATTN_WHOLE_KERNEL_MAX_BYTES)
 
+        # merged attn+MLP single-program block (int8 weight set is half
+        # the bf16 one): 4.20 vs 4.59 ms/block at ViT-B b256 same-session
+        # (PERF_NOTES.md).  Gate on estimated per-program VMEM: resident
+        # int8 weights + the f32 working set at this sequence length.
+        # chunks=1 (whole hidden) measured identical to chunks=2 at ViT-B
+        # and is bit-identical math to the two-kernel pair — prefer it
+        hidden = qparams["transformer"]["resblocks_0"]["mlp/c_fc"][
+            "w8"].shape[1]
+        s_pad16 = ((s + 15) // 16) * 16
+        est = ((4 * width * width + 2 * width * hidden)      # int8 weights
+               + s_pad16 * 3 * width * 4                     # qkv f32
+               + 3 * s_pad16 * width * 4                     # x/y1/out f32
+               + s_pad16 * hidden * 4                        # hidden f32
+               + s_pad16 * s_pad16 * 4)                      # score matrix
+        merge = not attn_split and est <= 15 * 2 ** 20
+
         for i in range(config.vision_layers):
             blk = qparams["transformer"][f"resblocks_{i}"]
             ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
             fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
+            if merge:
+                x = quant_full_block_fused(
+                    x, ip["w8"], ip["scale"], ip["bias"],
+                    op["w8"], op["scale"], op["bias"],
+                    blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                    fc["w8"], fc["scale"], fc["bias"],
+                    pr["w8"], pr["scale"], pr["bias"],
+                    blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                    heads, mlp_chunks=1, interpret=interpret)
+                continue
             if attn_split:
                 n_groups = (heads // 2 if heads % 2 == 0 and heads >= 2
                             else heads)

@@ -572,6 +572,130 @@ def attn_block_split(x, wqkv_g, b_qkv_g, wout_g, b_out, ln_scale, ln_bias,
     return out[:, :s, :]
 
 
+# ---------------------------------------------------------------------------
+# Merged FULL-block kernel: attention half + MLP half in ONE program per
+# image — the residual stream never leaves VMEM inside a block
+# ---------------------------------------------------------------------------
+
+
+def _full_block_kernel(x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
+                       wout_ref, bout_ref, ln2_s_ref, ln2_b_ref,
+                       wfc_ref, bfc_ref, wpr_ref, bpr_ref, o_ref, *,
+                       heads: int, seq_len: int, mlp_chunks: int,
+                       act: str, ln_eps: float = 1e-5):
+    """One grid program per image computes the ENTIRE transformer block:
+    LN1 -> QKV -> MHA -> out-proj -> +residual -> LN2 -> c_fc -> act ->
+    c_proj -> +residual.  Versus the two-kernel dispatch this removes the
+    inter-half [B, S, W] HBM round-trip and the pipeline drain between the
+    two pallas_calls.  The MLP hidden dim is processed in ``mlp_chunks``
+    sequential slices to bound the f32 hidden tile's VMEM liveness (the
+    weights are whole either way — residency is what it is)."""
+    s_pad, width = x_ref.shape[1], x_ref.shape[2]
+    head_dim = width // heads
+    cdt = o_ref.dtype                                     # GEMM compute dtype
+    x = x_ref[0].astype(jnp.float32)                      # [S, W]
+
+    # ---- attention half
+    ln1 = _ln_f32(x, ln1_s_ref[:], ln1_b_ref[:], eps=ln_eps)
+    qkv = jax.lax.dot(ln1.astype(cdt), wqkv_ref[:],
+                      preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:][None, :]                      # [S, 3W] f32
+
+    scale = 1.0 / math.sqrt(head_dim)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
+        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(cdt), k.astype(cdt),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot(p.astype(cdt), v.astype(cdt),
+                                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1)                 # [S, W] f32
+    y1 = jax.lax.dot(attn.astype(cdt), wout_ref[:],
+                     preferred_element_type=jnp.float32)
+    y1 = y1 + bout_ref[:][None, :] + x                    # residual stream
+
+    # ---- MLP half (hidden dim chunked to bound f32 tile liveness)
+    ln2 = _ln_f32(y1, ln2_s_ref[:], ln2_b_ref[:], eps=ln_eps)
+    hidden = wfc_ref.shape[1]
+    ch = hidden // mlp_chunks
+    acc = y1 + bpr_ref[:][None, :]
+    for c in range(mlp_chunks):
+        h = jax.lax.dot(ln2.astype(cdt), wfc_ref[:, c * ch:(c + 1) * ch],
+                        preferred_element_type=jnp.float32)
+        h = _act_f32(h + bfc_ref[c * ch:(c + 1) * ch][None, :], act)
+        acc = acc + jax.lax.dot(h.astype(cdt), wpr_ref[c * ch:(c + 1) * ch, :],
+                                preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
+                     ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj,
+                     heads: int, *, mlp_chunks: int = 2,
+                     act: str = "quick_gelu",
+                     vmem_limit_mb: int = 0, interpret: bool = False):
+    """x: [B, S, W] -> full transformer block in one Pallas program per
+    image.  All weights (~14 MB bf16 at ViT-B) stay VMEM-resident across
+    the grid — only viable where the QKV/out/MLP weight set plus the
+    per-image working set fits the chip's VMEM; caller A/Bs against the
+    two-kernel dispatch."""
+    b, s, w = x.shape
+    hidden = w_fc.shape[1]
+    assert hidden % mlp_chunks == 0, (hidden, mlp_chunks)
+    s_pad = ((s + 15) // 16) * 16
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    kwargs = {}
+    if vmem_limit_mb:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+    out = pl.pallas_call(
+        partial(_full_block_kernel, heads=heads, seq_len=s,
+                mlp_chunks=mlp_chunks, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 3 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(x, jnp.asarray(ln1_scale, jnp.float32),
+      jnp.asarray(ln1_bias, jnp.float32),
+      w_qkv, jnp.asarray(b_qkv, jnp.float32),
+      w_out, jnp.asarray(b_out, jnp.float32),
+      jnp.asarray(ln2_scale, jnp.float32),
+      jnp.asarray(ln2_bias, jnp.float32),
+      w_fc, jnp.asarray(b_fc, jnp.float32),
+      w_proj, jnp.asarray(b_proj, jnp.float32))
+    return out[:, :s, :]
+
+
 def regroup_attn_weights_f(wqkv, b_qkv, wout, heads: int, n_groups: int):
     """Packed [W, 3W] q|k|v + [W, W] out-proj -> per-head-group tensors
     for ``attn_block_split`` (float/bf16 counterpart of the int8

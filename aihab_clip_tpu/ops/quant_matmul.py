@@ -579,6 +579,156 @@ def quant_attn_block_split(x, wqkv8_g, qkv_scale_g, b_qkv_g, wout8_g,
     return out[:, :s, :]
 
 
+# ---------------------------------------------------------------------------
+# Merged FULL-block int8 kernel: attention + MLP in ONE program per image
+# ---------------------------------------------------------------------------
+
+
+def _full_block_kernel_int8(x_ref, ln1_s_ref, ln1_b_ref, wqkv8_ref, sqkv_ref,
+                            bqkv_ref, wout8_ref, sout_ref, bout_ref,
+                            ln2_s_ref, ln2_b_ref, w1_ref, s1_ref, b1_ref,
+                            w2_ref, s2_ref, b2_ref, o_ref, *, heads: int,
+                            seq_len: int, mlp_chunks: int, act: str,
+                            ln_eps: float = 1e-5):
+    """The whole transformer block — int8 attention half + int8 MLP half —
+    in one program per image.  The int8 weight set is about half the bf16
+    one (~7 MB at ViT-B), which is what makes the merged kernel fit where
+    the bf16 merge is VMEM-borderline.  Versus the two-kernel int8
+    dispatch this removes the inter-half [B, S, W] HBM round-trip and the
+    pipeline drain between the calls."""
+    import math as _math
+
+    s_pad, width = x_ref.shape[1], x_ref.shape[2]
+    head_dim = width // heads
+    x = x_ref[0].astype(jnp.float32)                     # [S, W]
+
+    # ---- attention half (per-row quantized activations, int8 GEMMs)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ln1 = (x - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln1 = ln1 * ln1_s_ref[:][None, :] + ln1_b_ref[:][None, :]
+    amax = jnp.max(jnp.abs(ln1), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(ln1 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot(x8, wqkv8_ref[:],
+                      preferred_element_type=jnp.int32)  # [S, 3W]
+    qkv = acc.astype(jnp.float32) * (sx * sqkv_ref[:][None, :])
+    qkv = qkv + bqkv_ref[:][None, :]
+
+    scale = 1.0 / _math.sqrt(head_dim)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
+        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(jnp.bfloat16),
+                                k.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot(p.astype(jnp.bfloat16),
+                                v.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1)                # [S, W] f32
+    aamax = jnp.max(jnp.abs(attn), axis=-1, keepdims=True)
+    sa = jnp.maximum(aamax, 1e-12) * (1.0 / 127.0)
+    a8 = jnp.clip(jnp.round(attn / sa), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot(a8, wout8_ref[:],
+                       preferred_element_type=jnp.int32)  # [S, W]
+    y1 = acc2.astype(jnp.float32) * (sa * sout_ref[:][None, :])
+    y1 = y1 + bout_ref[:][None, :] + x                   # residual stream
+
+    # ---- MLP half (hidden dim chunked to bound f32/int8 tile liveness)
+    mean2 = jnp.mean(y1, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(y1 - mean2), axis=-1, keepdims=True)
+    ln2 = (y1 - mean2) * jax.lax.rsqrt(var2 + ln_eps)
+    ln2 = ln2 * ln2_s_ref[:][None, :] + ln2_b_ref[:][None, :]
+    lmax = jnp.max(jnp.abs(ln2), axis=-1, keepdims=True)
+    sl = jnp.maximum(lmax, 1e-12) * (1.0 / 127.0)
+    l8 = jnp.clip(jnp.round(ln2 / sl), -127, 127).astype(jnp.int8)
+    hidden = w1_ref.shape[1]
+    ch = hidden // mlp_chunks
+    out = y1 + b2_ref[:][None, :]
+    for c in range(mlp_chunks):
+        hacc = jax.lax.dot(l8, w1_ref[:, c * ch:(c + 1) * ch],
+                           preferred_element_type=jnp.int32)  # [S, ch]
+        h = hacc.astype(jnp.float32) * (sl * s1_ref[c * ch:(c + 1) * ch][None, :])
+        h = _apply_act(h + b1_ref[c * ch:(c + 1) * ch][None, :], act)
+        hmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        hs = jnp.maximum(hmax, 1e-12) * (1.0 / 127.0)
+        h8 = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+        pacc = jax.lax.dot(h8, w2_ref[c * ch:(c + 1) * ch, :],
+                           preferred_element_type=jnp.int32)  # [S, W]
+        out = out + pacc.astype(jnp.float32) * (hs * s2_ref[:][None, :])
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def quant_full_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
+                           b_out, ln1_scale, ln1_bias, w1_8, w1_scale, b1,
+                           w2_8, w2_scale, b2, ln2_scale, ln2_bias,
+                           heads: int, *, mlp_chunks: int = 1,
+                           act: str = "quick_gelu",
+                           interpret: bool = False):
+    """x: [B, S, W] -> one full int8 transformer block per grid program.
+
+    NOTE the per-chunk hidden quantization: with ``mlp_chunks > 1`` each
+    hidden slice gets its own per-row scale, which is numerically at
+    least as accurate as the single-scale whole-hidden path."""
+    b, s, w = x.shape
+    hidden = w1_8.shape[1]
+    assert hidden % mlp_chunks == 0, (hidden, mlp_chunks)
+    s_pad = ((s + 15) // 16) * 16
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    out = pl.pallas_call(
+        partial(_full_block_kernel_int8, heads=heads, seq_len=s,
+                mlp_chunks=mlp_chunks, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 3 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, jnp.asarray(ln1_scale, jnp.float32),
+      jnp.asarray(ln1_bias, jnp.float32),
+      wqkv8, jnp.asarray(qkv_scale, jnp.float32),
+      jnp.asarray(b_qkv, jnp.float32),
+      wout8, jnp.asarray(out_scale, jnp.float32),
+      jnp.asarray(b_out, jnp.float32),
+      jnp.asarray(ln2_scale, jnp.float32),
+      jnp.asarray(ln2_bias, jnp.float32),
+      w1_8, jnp.asarray(w1_scale, jnp.float32), jnp.asarray(b1, jnp.float32),
+      w2_8, jnp.asarray(w2_scale, jnp.float32), jnp.asarray(b2, jnp.float32))
+    return out[:, :s, :]
+
+
 def regroup_attn_weights(wqkv8, qkv_scale, b_qkv, wout8, heads: int,
                          n_groups: int):
     """[W, 3W] packed q|k|v (+ scales/bias) and [W, W] out-proj ->

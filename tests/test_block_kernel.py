@@ -251,3 +251,63 @@ def test_block_fused_encode_split_attention_path(rng, monkeypatch):
                                           dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_full_block_fused_matches_two_kernel_dispatch(rng):
+    """Merged attn+MLP single-program block == composing the two
+    whole-block kernels (same math, no inter-half HBM hop)."""
+    from aihab_clip_tpu.ops.block_kernel import full_block_fused
+
+    b, s, w, heads, hidden = 2, 50, 64, 4, 256
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    g1 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray(rng.standard_normal(3 * w).astype(np.float32) * 0.1)
+    wout = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    bout = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+    g2 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wfc = jnp.asarray((rng.standard_normal((w, hidden)) * 0.1).astype(np.float32))
+    bfc = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    wpr = jnp.asarray((rng.standard_normal((hidden, w)) * 0.1).astype(np.float32))
+    bpr = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    y1 = attn_block_fused(x, g1, b1, wqkv, bqkv, wout, bout, heads,
+                          interpret=True)
+    ref = mlp_block_fused(y1.reshape(b * s, w), g2, b2, wfc, bfc, wpr, bpr,
+                          interpret=True, tile_m=64).reshape(b, s, w)
+
+    for chunks in (1, 2):
+        out = full_block_fused(x, g1, b1, wqkv, bqkv, wout, bout,
+                               g2, b2, wfc, bfc, wpr, bpr, heads,
+                               mlp_chunks=chunks, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_block_fused_encode_merged_vs_two_kernel_dispatch(rng):
+    """merge_blocks='auto' (merged single-program blocks, the ViT-B
+    dispatch) == merge_blocks='off' (two-kernel) == canonical tower."""
+    from aihab_clip_tpu.models import CLIPConfig, CLIPModel, load
+    from aihab_clip_tpu.models import fast_vit
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2)
+    b = load("random:tiny-merged", random_cfg=tiny, seed=15)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=CLIPModel.encode_image)
+    merged = fast_vit.vit_encode_block_fused(b.params, x, tiny,
+                                             dtype=jnp.float32,
+                                             interpret=True)
+    two = fast_vit.vit_encode_block_fused(b.params, x, tiny,
+                                          dtype=jnp.float32,
+                                          merge_blocks="off",
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(two), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)

@@ -348,3 +348,53 @@ def test_siglip_int8_split_attn_matches_xla(rng):
     cos = np.sum(ref * out, -1) / (
         np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1))
     assert np.all(cos > 0.99), cos
+
+
+def test_int8_full_block_matches_two_kernel_dispatch(rng):
+    """Merged int8 attn+MLP single-program block == composing
+    quant_attn_block_fused + quant_mlp_block_fused (chunks=1 is the same
+    math; chunks=2 requantizes per hidden slice — cosine-level match)."""
+    from aihab_clip_tpu.ops.quant import quantize_weight
+    from aihab_clip_tpu.ops.quant_matmul import (
+        quant_attn_block_fused,
+        quant_full_block_fused,
+        quant_mlp_block_fused,
+    )
+
+    b, s, w, heads, hidden = 2, 50, 64, 4, 256
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    g1 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    be1 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray(rng.standard_normal(3 * w).astype(np.float32) * 0.1)
+    wout = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    bout = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+    g2 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    be2 = jnp.asarray(rng.standard_normal(w).astype(np.float32))
+    wfc = jnp.asarray((rng.standard_normal((w, hidden)) * 0.1).astype(np.float32))
+    bfc = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.1)
+    wpr = jnp.asarray((rng.standard_normal((hidden, w)) * 0.1).astype(np.float32))
+    bpr = jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.1)
+
+    q8, qs = quantize_weight(wqkv)
+    o8, osc = quantize_weight(wout)
+    w18, w1s = quantize_weight(wfc)
+    w28, w2s = quantize_weight(wpr)
+
+    y1 = quant_attn_block_fused(x, q8, qs, bqkv, o8, osc, bout, g1, be1,
+                                heads, interpret=True)
+    ref = np.asarray(quant_mlp_block_fused(
+        y1.reshape(b * s, w), w18, w1s, bfc, w28, w2s, bpr, g2, be2,
+        interpret=True)).reshape(b, s, w)
+
+    out1 = np.asarray(quant_full_block_fused(
+        x, q8, qs, bqkv, o8, osc, bout, g1, be1, w18, w1s, bfc,
+        w28, w2s, bpr, g2, be2, heads, mlp_chunks=1, interpret=True))
+    np.testing.assert_allclose(out1, ref, atol=1e-4, rtol=1e-4)
+
+    out2 = np.asarray(quant_full_block_fused(
+        x, q8, qs, bqkv, o8, osc, bout, g1, be1, w18, w1s, bfc,
+        w28, w2s, bpr, g2, be2, heads, mlp_chunks=2, interpret=True))
+    rf, of = ref.reshape(-1), out2.reshape(-1)
+    cos = float(rf @ of / (np.linalg.norm(rf) * np.linalg.norm(of)))
+    assert cos > 0.999, cos
