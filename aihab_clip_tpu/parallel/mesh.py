@@ -10,9 +10,10 @@ scales with SPMD over a ``jax.sharding.Mesh``:
     rules (megatron-style column/row split pairs, so each block needs one
     all-reduce of activations, fused by XLA into the matmul schedule).
 
-PP/SP/EP are intentionally N/A for this model family: towers fit on one
-chip and sequences are <= ~1k tokens (SURVEY.md §5); DP x TP covers the
-scaling surface.
+Pipeline parallelism lives in ``parallel/pipeline.py`` (GPipe schedule
+over a 1-D ``stage`` mesh) for towers whose weights outgrow one chip
+(ViT-g/bigG class).  SP/EP are intentionally N/A for this model family:
+sequences are <= ~1k tokens and there is no MoE (SURVEY.md §5).
 """
 
 from __future__ import annotations
