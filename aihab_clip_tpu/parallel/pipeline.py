@@ -39,16 +39,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import DATA_AXIS
+
 STAGE_AXIS = "stage"
 
 
 def make_pipeline_mesh(n_stages: int,
-                       devices: Optional[Sequence] = None) -> Mesh:
-    """1-D (stage,) mesh over the first ``n_stages`` devices."""
+                       devices: Optional[Sequence] = None,
+                       data_parallel: int = 1) -> Mesh:
+    """(stage,) mesh — or a composed (data, stage) mesh when
+    ``data_parallel > 1``: each data-parallel replica owns its own
+    ``n_stages``-device pipeline, batch sharded over ``data``; the
+    stage-neighbor ``ppermute`` hops stay within one replica's ICI ring
+    (the stage axis is minor, so neighbors are physically adjacent)."""
     devices = list(devices if devices is not None else jax.devices())
-    if len(devices) < n_stages:
-        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+    need = n_stages * data_parallel
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if data_parallel == 1:
+        return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+    grid = np.asarray(devices[:need]).reshape(data_parallel, n_stages)
+    return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
 
 
 def stack_stage_params(params, n_layers: int, n_stages: int):
@@ -121,16 +132,24 @@ def pipeline_blocks(stacked_params, x, heads: int, mesh: Mesh,
 
     GPipe schedule: T = M + P - 1 ticks; at tick t, stage p computes
     microbatch t - p (when in range).  Stage 0 ingests microbatch t from
-    the (replicated) input; the last stage's results are gathered with a
-    masked ``psum`` so every device returns the full output batch."""
+    the input; the last stage's results are gathered with a masked
+    ``psum`` so every device returns the full output batch.  On a
+    composed (data, stage) mesh each data replica pipelines its own
+    batch shard (microbatches sharded over ``data``; the schedule and
+    ``ppermute`` hops are per-replica)."""
     from jax.experimental.shard_map import shard_map
 
     n_stages = mesh.shape[STAGE_AXIS]
+    dp = mesh.shape.get(DATA_AXIS, 1)
     b = x.shape[0]
     m = num_microbatches
     if b % m != 0:
         raise ValueError(f"batch {b} not divisible by microbatches {m}")
+    if (b // m) % dp != 0:
+        raise ValueError(f"microbatch {b // m} not divisible by "
+                         f"data_parallel {dp}")
     xs = x.reshape(m, b // m, *x.shape[1:])              # [M, mb, S, W]
+    data_spec = P(None, DATA_AXIS) if dp > 1 else P()
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def per_device(stage_blocks, xs):
@@ -164,9 +183,11 @@ def pipeline_blocks(stacked_params, x, heads: int, mesh: Mesh,
         mask = (idx == n_stages - 1).astype(outs.dtype)
         return jax.lax.psum(outs * mask, STAGE_AXIS)
 
+    # P(STAGE_AXIS) leaves the data axis unmentioned -> params are read
+    # replicated across data replicas (shard_map semantics).
     out = shard_map(per_device, mesh=mesh,
-                    in_specs=(P(STAGE_AXIS), P()),
-                    out_specs=P(), check_rep=False)(stacked_params, xs)
+                    in_specs=(P(STAGE_AXIS), data_spec),
+                    out_specs=data_spec, check_rep=False)(stacked_params, xs)
     return out.reshape(b, *x.shape[1:])
 
 
