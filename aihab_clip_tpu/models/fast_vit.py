@@ -269,37 +269,10 @@ def use_fused_train_encode(model, config, mesh=None) -> bool:
     return 2 * config.vision_width * hidden * 2 <= MLP_WHOLE_KERNEL_MAX_BYTES
 
 
-def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
-                           *, project: bool = False, dtype=jnp.bfloat16,
-                           merge_blocks: str = "auto",
-                           interpret: bool = False):
-    """Whole-block fused encode: the measured-fastest ViT forward on TPU.
-
-    Per transformer block, either ONE merged Pallas program per image
-    (LN1+QKV+attention+out-proj+residual+LN2+MLP+residual — the residual
-    stream never touches HBM inside a block; dispatched when the block's
-    full weight set fits VMEM, e.g. ViT-B: 4.82 vs 5.12 ms/block) or two
-    Pallas calls (attention half with one program per image, MLP half
-    row-tiled) — activations cross HBM once per half block instead of
-    per op.  Measured 62.5 ms vs 107.4 ms for the 12 ViT-B/16 blocks at
-    batch 256 before the merge (1.7x; PERF_NOTES.md).  Towers whose MLP
-    weight pair exceeds the one-kernel VMEM budget (ViT-L: 16.8 MB) split
-    the hidden dim across sequential whole-block kernels instead of
-    falling back to per-op kernels — the [M, hidden] activation never
-    crosses HBM (8.15 -> 6.96 ms/block at ViT-L shapes).  Forward-only
-    (encode/serving); training uses the canonical Flax module.
-    ``merge_blocks``: 'auto' (budget-gated) or 'off' (A/B control)."""
-    from ..ops.block_kernel import (attn_block_fused, attn_block_split,
-                                    full_block_fused, mlp_block_fused,
-                                    mlp_block_split, regroup_attn_weights_f)
-
-    vp = params["visual"]
-    p = config.vision_patch_size
+def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
+    """Static kernel-dispatch decisions for the fused block stack (shared
+    by the full fused encode and the PEFT frozen-prefix hybrid)."""
     width = config.vision_width
-
-    x = _vit_embed(vp, images, config, dtype)
-    b = x.shape[0]
-
     # one-kernel MLP only when BOTH weights fit VMEM next to the tiles
     # (ViT-B: 9.4 MB bf16 -> yes); otherwise split the hidden dim across
     # the fewest sequential whole-block kernels whose chunk pair fits
@@ -319,7 +292,7 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     # (2 heads/group when heads is even; 1 head/group otherwise — the
     # grouping must divide heads exactly)
     heads = config.vision_heads
-    seq = (config.image_resolution // p) ** 2 + 1
+    seq = (config.image_resolution // config.vision_patch_size) ** 2 + 1
     attn_split = (_attn_whole_vmem_bytes(seq, width,
                                          jnp.dtype(dtype).itemsize)
                   > ATTN_WHOLE_KERNEL_MAX_BYTES)
@@ -334,8 +307,33 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     # hidden chunking bounds the f32 hidden tile's liveness (chunks=2
     # measured 57.8 vs 58.3 ms unchunked for the 12-block ViT-B tower)
     full_chunks = 2 if hidden % 2 == 0 else 1
+    n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
+    return dict(merge=merge, attn_split=attn_split, mlp_whole=mlp_whole,
+                mlp_chunks=mlp_chunks, full_chunks=full_chunks,
+                n_groups=n_groups, heads=heads, width=width)
 
-    for i in range(config.vision_layers):
+
+def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
+                        stop: int, plan=None, interpret: bool = False):
+    """Run transformer blocks [start, stop) through the fused Pallas
+    dispatch (forward-only).  Factored out so the PEFT frozen-prefix
+    hybrid (`vit_encode_hybrid`) can fuse just the frozen bottom blocks."""
+    from ..ops.block_kernel import (attn_block_fused, attn_block_split,
+                                    full_block_fused, mlp_block_fused,
+                                    mlp_block_split, regroup_attn_weights_f)
+
+    if plan is None:
+        plan = _fused_block_plan(config, dtype)
+    merge = plan["merge"]
+    attn_split = plan["attn_split"]
+    mlp_whole = plan["mlp_whole"]
+    mlp_chunks = plan["mlp_chunks"]
+    full_chunks = plan["full_chunks"]
+    heads = plan["heads"]
+    width = plan["width"]
+    b = x.shape[0]
+
+    for i in range(start, stop):
         blk = vp["transformer"][f"resblocks_{i}"]
         if merge:
             x = full_block_fused(
@@ -352,7 +350,7 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                 heads, mlp_chunks=full_chunks, interpret=interpret)
             continue
         if attn_split:
-            n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
+            n_groups = plan["n_groups"]
             # per-call regroup costs ~0.1% of a ViT-L@336 encode (200 MB
             # of weight reshuffling vs a ~200 ms forward); not worth the
             # extra packed-params plumbing on this rare path
@@ -400,7 +398,105 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
                 hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"], x2)
         x = x2.reshape(b, s, width)
+    return x
 
+
+def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
+                           *, project: bool = False, dtype=jnp.bfloat16,
+                           merge_blocks: str = "auto",
+                           interpret: bool = False):
+    """Whole-block fused encode: the measured-fastest ViT forward on TPU.
+
+    Per transformer block, either ONE merged Pallas program per image
+    (LN1+QKV+attention+out-proj+residual+LN2+MLP+residual — the residual
+    stream never touches HBM inside a block; dispatched when the block's
+    full weight set fits VMEM, e.g. ViT-B: 4.82 vs 5.12 ms/block) or two
+    Pallas calls (attention half with one program per image, MLP half
+    row-tiled) — activations cross HBM once per half block instead of
+    per op.  Measured 62.5 ms vs 107.4 ms for the 12 ViT-B/16 blocks at
+    batch 256 before the merge (1.7x; PERF_NOTES.md).  Towers whose MLP
+    weight pair exceeds the one-kernel VMEM budget (ViT-L: 16.8 MB) split
+    the hidden dim across sequential whole-block kernels instead of
+    falling back to per-op kernels — the [M, hidden] activation never
+    crosses HBM (8.15 -> 6.96 ms/block at ViT-L shapes).  Forward-only
+    (encode/serving); training uses the canonical Flax module or the
+    frozen-prefix hybrid (`vit_encode_hybrid`).
+    ``merge_blocks``: 'auto' (budget-gated) or 'off' (A/B control)."""
+    vp = params["visual"]
+    x = _vit_embed(vp, images, config, dtype)
+    plan = _fused_block_plan(config, dtype, merge_blocks)
+    x = _apply_fused_blocks(vp, x, config, dtype, start=0,
+                            stop=config.vision_layers, plan=plan,
+                            interpret=interpret)
+    cls_tok = x[:, 0, :]
+    pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if not project:
+        return pre
+    projected = pre @ jnp.asarray(vp["proj"], pre.dtype)
+    return pre, projected
+
+
+def _canonical_vit_block(x, blk, heads: int, dtype):
+    """One differentiable transformer block in plain jnp, numerically
+    identical to the Flax ``ResidualAttentionBlock`` (fp32 LN, compute-
+    dtype GEMMs, QuickGELU, same attention dispatch)."""
+    from ..ops.attention import attention
+
+    ln1 = _ln(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+    qkv = ln1 @ jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype)
+    qkv = qkv + jnp.asarray(blk["attn"]["in_proj"]["bias"], dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = attention(q, k, v, heads)
+    out = out @ jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype)
+    x = x + out + jnp.asarray(blk["attn"]["out_proj"]["bias"], dtype)
+    ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+    h = ln2 @ jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype)
+    h = h + jnp.asarray(blk["mlp"]["c_fc"]["bias"], dtype)
+    h = h * jax.nn.sigmoid(1.702 * h)
+    h = h @ jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype)
+    return x + h + jnp.asarray(blk["mlp"]["c_proj"]["bias"], dtype)
+
+
+def peft_fused_prefix_len(config, unlocked_groups: int, mesh=None) -> int:
+    """How many bottom visual blocks are FROZEN under ``unlocked_groups``
+    (open_clip lock_image_tower semantics: groups = [stem] + L resblocks +
+    [head]; the LAST n groups unlock).  Those blocks never receive
+    gradients — XLA prunes their backward — so the PEFT train step can run
+    them through the forward-only fused Pallas kernels
+    (``vit_encode_hybrid``).  0 disables the hybrid (canonical module):
+    non-TPU backends, non-ViT towers, GSPMD meshes (Pallas does not
+    partition; the shard_map composition is encode-only today)."""
+    if mesh is not None or jax.default_backend() != "tpu":
+        return 0
+    if not (isinstance(config, CLIPConfig) and config.is_vit):
+        return 0
+    L = config.vision_layers
+    return max(0, min(L, L + 1 - unlocked_groups))
+
+
+def vit_encode_hybrid(params, images: jax.Array, config: CLIPConfig,
+                      n_prefix: int, *, project: bool = False,
+                      dtype=jnp.bfloat16, interpret: bool = False):
+    """PEFT-training encode: fused forward-only Pallas kernels for the
+    ``n_prefix`` FROZEN bottom blocks (no gradients flow below the lowest
+    trainable block — the canonical tower wastes its ~50%-MFU forward
+    there while the fused stack runs at ~76%), then the canonical
+    differentiable math for the trainable suffix.  ``stop_gradient``
+    between the halves makes the no-backward contract explicit.  Forward
+    parity with the canonical module is bf16-tolerance (the fused kernels
+    are parity-tested to 5e-4); gradients of the suffix are exact."""
+    vp = params["visual"]
+    x = _vit_embed(vp, images, config, dtype)
+    if n_prefix > 0:
+        # stop_gradient on the fused region's INPUTS (not just its output):
+        # the Pallas kernels have no JVP rule, and JAX linearizes any op
+        # whose inputs carry tangents even if the cotangent is later zero
+        x = _apply_fused_blocks(jax.lax.stop_gradient(vp),
+                                jax.lax.stop_gradient(x), config, dtype,
+                                start=0, stop=n_prefix, interpret=interpret)
+    for i in range(n_prefix, config.vision_layers):
+        blk = vp["transformer"][f"resblocks_{i}"]
+        x = _canonical_vit_block(x, blk, config.vision_heads, dtype)
     cls_tok = x[:, 0, :]
     pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     if not project:

@@ -258,6 +258,21 @@ def _resolve_device_dataset(cfg, loaders):
     return True if train_bytes <= 4 * 1024 ** 3 else "chunked"
 
 
+def _resolve_fused_prefix(setting) -> int:
+    """``finetune.fused_prefix``: 'auto' (default; resolved from
+    unlocked_groups inside ``finetune`` — see ``peft_fused_prefix_len``),
+    'off'/false/0 (always the canonical module), or an explicit frozen
+    bottom-block count."""
+    if isinstance(setting, bool):
+        return -1 if setting else 0
+    s = str(setting).lower()
+    if s == "auto":
+        return -1
+    if s in ("off", "false", "none"):
+        return 0
+    return int(setting)
+
+
 def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
              ) -> Dict[str, Any]:
     """OpenCLIP-style partial-unfreeze fine-tune (reference FTOpenCLIP)."""
@@ -325,6 +340,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         aug_impl=str(cfg.get("aug_impl", "fast")),
         device_dataset=_resolve_device_dataset(cfg, loaders),
         checkpoint_interval=int(ft_cfg.get("checkpoint_interval", 0)),
+        fused_prefix=_resolve_fused_prefix(ft_cfg.get("fused_prefix", "auto")),
     )
 
     checkpoint_fn = None

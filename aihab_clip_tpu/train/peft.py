@@ -189,6 +189,28 @@ class PEFTConfig:
     device_dataset: Any = False
     device_chunk_bytes: int = 1 << 30  # per-chunk image budget (2 buffers live)
     checkpoint_interval: int = 0  # save every N epochs (0 = final only)
+    # frozen-prefix fused forward: run the bottom N frozen visual blocks
+    # through the forward-only fused Pallas kernels inside the train step
+    # (they receive no gradients — XLA prunes their backward — so the
+    # canonical tower's ~50%-MFU forward there is pure waste next to the
+    # fused stack's ~76%).  -1 = auto (resolved from unlocked_groups by
+    # ``finetune``), 0 = off (canonical module), >0 = explicit block count.
+    fused_prefix: int = -1
+
+
+def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x):
+    """The train-step image encode: frozen-prefix hybrid when enabled
+    (TPU + CLIP-ViT + no mesh — see ``peft_fused_prefix_len``), canonical
+    Flax module otherwise."""
+    if cfg.fused_prefix > 0:
+        from ..models.fast_vit import vit_encode_hybrid
+
+        return vit_encode_hybrid(
+            params, x, model.config, cfg.fused_prefix, project=True,
+            dtype=cfg.compute_dtype,
+            interpret=jax.default_backend() not in ("tpu",))
+    return model.apply({"params": params}, x,
+                       method=CLIPModel.encode_image, project=True)
 
 
 def make_train_step(model: CLIPModel, cfg: PEFTConfig,
@@ -214,8 +236,7 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
         x = aug_fn(images_u8, key, cfg.resolution,
                    crop_mode=cfg.crop_mode, flip=cfg.flip,
                    rotation=cfg.rotation, dtype=cfg.compute_dtype)
-        _, feats = model.apply({"params": params}, x,
-                               method=CLIPModel.encode_image, project=True)
+        _, feats = _encode_projected(model, cfg, params, x)
         feats = feats.astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -273,8 +294,7 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
         x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
                    flip=cfg.flip, rotation=cfg.rotation,
                    dtype=cfg.compute_dtype)
-        _, feats = model.apply({"params": params}, x,
-                               method=CLIPModel.encode_image, project=True)
+        _, feats = _encode_projected(model, cfg, params, x)
         feats = feats.astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -400,6 +420,16 @@ def finetune(
         unlocked_text_layers=unlocked_text_layers,
         is_vit=ccfg.is_vit,
     )
+    if cfg.fused_prefix < 0:
+        from ..models.fast_vit import peft_fused_prefix_len
+
+        cfg = dataclasses.replace(
+            cfg, fused_prefix=peft_fused_prefix_len(ccfg, unlocked_groups,
+                                                    mesh))
+        if verbose and cfg.fused_prefix:
+            print(f"[peft] fused frozen-prefix forward: bottom "
+                  f"{cfg.fused_prefix}/{ccfg.vision_layers} visual blocks "
+                  "run the forward-only Pallas kernels")
     trainable, frozen = partition_params(params, mask)
     if mesh is not None:
         from ..parallel import shard_params

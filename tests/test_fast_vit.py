@@ -107,3 +107,96 @@ def test_encode_fastest_mesh_gates(bundle, monkeypatch):
     fast_vit.encode_image_fastest(bundle.model, bundle.params, x_odd, TINY,
                                   mesh=dp)
     assert calls == ["sharded"]  # non-divisible batch -> canonical
+
+
+# ---------------------------------------------------------------------------
+# PEFT frozen-prefix hybrid: fused forward-only kernels for the frozen
+# bottom blocks, canonical differentiable math for the trainable suffix
+# ---------------------------------------------------------------------------
+
+def test_hybrid_forward_matches_canonical(bundle, rng):
+    from aihab_clip_tpu.models.fast_vit import vit_encode_hybrid
+
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
+    ref_pre, ref_post = bundle.model.apply(
+        {"params": bundle.params}, x, method=CLIPModel.encode_image,
+        project=True)
+    for n_prefix in (0, 2, TINY.vision_layers):
+        pre, post = vit_encode_hybrid(
+            bundle.params, x, TINY, n_prefix, project=True,
+            dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(pre), np.asarray(ref_pre),
+                                   atol=5e-4, rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(post), np.asarray(ref_post),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_hybrid_suffix_grads_match_canonical(bundle, rng):
+    """Grads w.r.t. the trainable-suffix params equal the canonical
+    tower's; grads w.r.t. the frozen prefix are identically zero
+    (stop_gradient)."""
+    import jax
+
+    from flax import traverse_util
+
+    from aihab_clip_tpu.models.fast_vit import vit_encode_hybrid
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    n_prefix = 2
+
+    def loss_canonical(params):
+        _, post = bundle.model.apply({"params": params}, x,
+                                     method=CLIPModel.encode_image,
+                                     project=True)
+        return jnp.sum(jnp.sin(post.astype(jnp.float32)))
+
+    def loss_hybrid(params):
+        _, post = vit_encode_hybrid(params, x, TINY, n_prefix, project=True,
+                                    dtype=jnp.float32, interpret=True)
+        return jnp.sum(jnp.sin(post.astype(jnp.float32)))
+
+    g_ref = traverse_util.flatten_dict(jax.grad(loss_canonical)(bundle.params))
+    g_hyb = traverse_util.flatten_dict(jax.grad(loss_hybrid)(bundle.params))
+    suffix = [k for k in g_ref
+              if k[:2] == ("visual", "transformer")
+              and int(k[2].rsplit("_", 1)[1]) >= n_prefix]
+    suffix += [k for k in g_ref if k[:2] in
+               {("visual", "ln_post"), ("visual", "proj")}]
+    assert suffix
+    for k in suffix:
+        np.testing.assert_allclose(
+            np.asarray(g_hyb[k]), np.asarray(g_ref[k]),
+            atol=2e-3, rtol=2e-3, err_msg="/".join(map(str, k)))
+    prefix = [k for k in g_ref
+              if k[:2] == ("visual", "transformer")
+              and int(k[2].rsplit("_", 1)[1]) < n_prefix]
+    prefix += [k for k in g_ref if k[0] == "visual"
+               and k[1] in ("conv1", "class_embedding",
+                            "positional_embedding", "ln_pre")]
+    assert prefix
+    for k in prefix:
+        assert not np.any(np.asarray(g_hyb[k])), "/".join(map(str, k))
+
+
+def test_peft_fused_prefix_len_gates(monkeypatch):
+    from aihab_clip_tpu.models import fast_vit
+
+    # non-TPU backend -> disabled
+    assert fast_vit.peft_fused_prefix_len(TINY, 2) == 0
+
+    monkeypatch.setattr(fast_vit.jax, "default_backend", lambda: "tpu")
+    L = TINY.vision_layers  # 3; groups = stem + 3 blocks + head
+    assert fast_vit.peft_fused_prefix_len(TINY, 0) == L
+    assert fast_vit.peft_fused_prefix_len(TINY, 1) == L  # head only
+    assert fast_vit.peft_fused_prefix_len(TINY, 2) == L - 1
+    assert fast_vit.peft_fused_prefix_len(TINY, L + 1) == 0
+    assert fast_vit.peft_fused_prefix_len(TINY, L + 2) == 0
+    # mesh -> disabled (Pallas does not partition inside the train step)
+    assert fast_vit.peft_fused_prefix_len(TINY, 2, mesh=object()) == 0
+    # non-ViT tower -> disabled
+    rn = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=(1, 1, 1, 1),
+        vision_width=8, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=64, transformer_heads=1,
+        transformer_layers=2)
+    assert fast_vit.peft_fused_prefix_len(rn, 2) == 0

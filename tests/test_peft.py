@@ -255,3 +255,43 @@ def test_rn_peft_finetune_smoke(rn_bundle, data):
                                      np.asarray(flat1[k]))
                   for k, m in flat_m.items() if m)
     assert changed > 0
+
+
+@pytest.mark.slow
+def test_finetune_fused_prefix_hybrid(bundle, data):
+    """PEFT with the frozen-prefix fused encode (explicit fused_prefix,
+    interpret-mode Pallas on CPU) trains the same leaves the canonical
+    path does and lands within tolerance of its trained params."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+    base = dict(resolution=24, num_classes=20, lr=2e-3, epochs=1,
+                crop_mode="center", tune_text=False)
+    kw = dict(text_weights=head["text_weights"], unlocked_groups=2, seed=0,
+              verbose=False)
+    # unlocked_groups=2 (head + last block) freezes blocks 0..1 -> prefix 2
+    out_h = finetune(bundle.model, bundle.params, data.train, None,
+                     data.test, PEFTConfig(fused_prefix=2, **base), **kw)
+    out_c = finetune(bundle.model, bundle.params, data.train, None,
+                     data.test, PEFTConfig(fused_prefix=0, **base), **kw)
+
+    flat0 = traverse_util.flatten_dict(bundle.params)
+    flat_h = traverse_util.flatten_dict(out_h["params"])
+    flat_c = traverse_util.flatten_dict(out_c["params"])
+    flat_m = traverse_util.flatten_dict(out_h["mask"])
+    changed = 0
+    for k, m in flat_m.items():
+        if not m:
+            np.testing.assert_array_equal(np.asarray(flat0[k]),
+                                          np.asarray(flat_h[k]))
+        else:
+            changed += not np.array_equal(np.asarray(flat0[k]),
+                                          np.asarray(flat_h[k]))
+            # Adam flips the update direction of near-zero-grad elements
+            # on any forward drift, so compare statistically: almost all
+            # elements tight, stragglers bounded by the total step budget
+            diff = np.abs(np.asarray(flat_h[k]) - np.asarray(flat_c[k]))
+            frac_tight = np.mean(diff <= 5e-3 * (1 + np.abs(flat_c[k])))
+            assert frac_tight >= 0.98, (k, frac_tight)
+            assert diff.max() <= 0.1, (k, diff.max())
+    assert changed > 0
+    assert out_h["test"] is not None

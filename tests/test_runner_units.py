@@ -67,3 +67,14 @@ def test_resolve_device_dataset_tristate():
     # auto on CPU -> host loop (no dispatch-latency problem to solve)
     cfg = ConfigNode({"device_dataset": "auto"})
     assert _resolve_device_dataset(cfg, _Loaders()) is False
+
+
+def test_resolve_fused_prefix():
+    from aihab_clip_tpu.runner import _resolve_fused_prefix
+
+    assert _resolve_fused_prefix("auto") == -1
+    assert _resolve_fused_prefix(True) == -1
+    for off in ("off", "false", "none", False, 0, "0"):
+        assert _resolve_fused_prefix(off) == 0
+    assert _resolve_fused_prefix(3) == 3
+    assert _resolve_fused_prefix("7") == 7

@@ -1,0 +1,93 @@
+"""Same-session A/B of the PEFT epoch-scan train step: canonical tower
+vs frozen-prefix fused hybrid (`fused_prefix`), ViT-B/16 @224 b64,
+unlocked_groups=2 (head + last block trainable -> 11 frozen bottom
+blocks), aug-from-439-uint8, bf16 compute.
+
+Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/ab_peft_hybrid.py [E_long]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.train.peft import (PEFTConfig, build_lock_mask,
+                                           make_epoch_scan, partition_params)
+
+    e_long = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    e_short = 2
+    log(f"device: {jax.devices()[0]}")
+    bundle = load("random:ViT-B/16", seed=0)
+    model, params, config = bundle.model, bundle.params, bundle.config
+
+    n, bs, res_in = 512, 64, 439
+    steps = n // bs
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(n, res_in, res_in, 3),
+                                    dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 20, size=(n,), dtype=np.int32))
+    tw = rng.standard_normal((config.embed_dim, 20)).astype(np.float32)
+    tw = jnp.asarray(tw / np.linalg.norm(tw, axis=0, keepdims=True))
+    idx = jnp.asarray(
+        rng.permuted(np.tile(np.arange(n, dtype=np.int32), 1)
+                     ).reshape(steps, bs))
+    valid = jnp.ones((steps, bs), bool)
+
+    mask = build_lock_mask(params, config.vision_layers,
+                           config.transformer_layers, unlocked_groups=2)
+    trainable0, frozen = partition_params(params, mask)
+    trainable0_host = jax.tree.map(np.asarray, trainable0)
+
+    results = {}
+    for fused_prefix in (0, 11, 0):
+        cfg = PEFTConfig(resolution=224, num_classes=20, lr=5e-5, epochs=1,
+                         crop_mode="random", flip=True, rotation=True,
+                         compute_dtype=jnp.bfloat16,
+                         fused_prefix=fused_prefix)
+        opt, epoch_fn = make_epoch_scan(model, cfg, tw, None)
+        tag = (f"fused_prefix={fused_prefix}"
+               + ("" if f"fused_prefix={fused_prefix}" not in results
+                  else " (re)"))
+
+        def run(n_epochs):
+            trainable = jax.tree.map(jnp.asarray, trainable0_host)
+            opt_state = opt.init(trainable)
+            key = jax.random.PRNGKey(0)
+            out = None
+            for e in range(n_epochs):
+                trainable, opt_state, out = epoch_fn(
+                    trainable, frozen, opt_state, imgs, labels, idx, valid,
+                    jax.random.fold_in(key, e), jnp.float32(cfg.lr))
+            return float(out["loss_sum"])
+
+        t0 = time.perf_counter()
+        run(1)
+        log(f"  {tag}: compile+first epoch {time.perf_counter() - t0:.0f}s")
+        run(e_short)  # warm both chain lengths
+        run(e_long)
+        t0 = time.perf_counter()
+        run(e_short)
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(e_long)
+        tl = time.perf_counter() - t0
+        ms = (tl - ts) / ((e_long - e_short) * steps) * 1e3
+        log(f"  {tag}: {ms:.1f} ms/step -> {bs / ms * 1e3:,.0f} img/s")
+        results[tag] = round(ms, 2)
+    print(results)
+
+
+if __name__ == "__main__":
+    main()
