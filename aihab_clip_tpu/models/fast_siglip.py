@@ -29,8 +29,10 @@ Measured: 238.7 ms vs 287.6/289.5 ms canonical -> 268 vs 223/221 img/s
 chains — measured 344.5 ms, i.e. SLOWER than canonical; this file
 replaces it with the split-whole-block recipe.)
 
-Forward-only (encode/serving); training keeps the Flax module.
-Equivalence is tested against ``SigLIPModel.encode_image``.
+``siglip_encode_fast`` is forward-only (encode/serving).  PEFT training
+with frozen bottom blocks uses ``siglip_encode_hybrid`` (fused forward
+prefix + canonical differentiable suffix); full training keeps the Flax
+module.  Equivalence is tested against ``SigLIPModel.encode_image``.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ from ..ops.block_kernel import (
     mlp_block_split,
     regroup_attn_weights_f,
 )
-from .siglip import MAPHead, SigLIPConfig
+from .siglip import MAPHead, SigLIPConfig, gelu_tanh
 
 LN_EPS = 1e-6
 
@@ -92,22 +94,11 @@ def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
     return packed
 
 
-def siglip_encode_fast(params: Dict, images: jax.Array,
-                       config: SigLIPConfig, *, project: bool = False,
-                       dtype=jnp.bfloat16,
-                       packed: Optional[Dict] = None,
-                       interpret: bool = False):
-    """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding
-    (or (pooled, pooled) with project=True; SigLIP has no separate
-    vision projection)."""
-    vp = params["visual"]
+def _siglip_embed(vp, images: jax.Array, config: SigLIPConfig, dtype):
+    """Patchify as reshape + matmul (+ conv bias) + position embedding —
+    plain jnp, numerically the canonical tower's stem."""
     p = config.patch_size
     width = config.vision_width
-    heads = config.vision_heads
-    if packed is None:
-        packed = pack_siglip_fast_params(params, config, dtype)
-    n_groups = siglip_attn_groups(config)
-
     x = images.astype(dtype)
     b, h, w, c = x.shape
     gh, gw = h // p, w // p
@@ -116,22 +107,35 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
     kernel2d = jnp.asarray(vp["conv1"]["kernel"], dtype).reshape(
         p * p * c, width)
     x = patches @ kernel2d + jnp.asarray(vp["conv1"]["bias"], dtype)
-    x = x + jnp.asarray(vp["positional_embedding"], dtype)
+    return x + jnp.asarray(vp["positional_embedding"], dtype)
 
-    # fewest MLP hidden-dim chunks whose weight pair fits the one-kernel
-    # VMEM budget (SO400M: 19.8 MB bf16 -> 2 chunks; SigLIP-B16: 9.4 MB
-    # -> 1); the chunk count must divide the hidden dim exactly
+
+def _siglip_mlp_chunks(config: SigLIPConfig, dtype) -> int:
+    """Fewest MLP hidden-dim chunks whose weight pair fits the one-kernel
+    VMEM budget (SO400M: 19.8 MB bf16 -> 2 chunks; SigLIP-B16: 9.4 MB
+    -> 1); the chunk count must divide the hidden dim exactly."""
     from .fast_vit import MLP_WHOLE_KERNEL_MAX_BYTES
 
     hidden = config.vision_mlp_dim
+    width = config.vision_width
     pair_bytes = 2 * width * hidden * jnp.dtype(dtype).itemsize
-    mlp_chunks = next(
+    return next(
         (n for n in (1, 2, 3, 4)
          if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES),
         2 if hidden % 2 == 0 else 1)
 
-    s = gh * gw
-    for i in range(config.vision_layers):
+
+def _apply_fused_siglip_blocks(vp, packed, x, config: SigLIPConfig, dtype,
+                               *, start: int, stop: int,
+                               interpret: bool = False):
+    """Transformer blocks [start, stop) through the split-whole-block
+    Pallas dispatch (forward-only)."""
+    heads = config.vision_heads
+    width = config.vision_width
+    n_groups = siglip_attn_groups(config)
+    mlp_chunks = _siglip_mlp_chunks(config, dtype)
+    b, s, _ = x.shape
+    for i in range(start, stop):
         blk = vp["transformer"][f"resblocks_{i}"]
         pk = packed[f"resblocks_{i}"]
         x = attn_block_split(
@@ -149,11 +153,95 @@ def siglip_encode_fast(params: Dict, images: jax.Array,
             n_chunks=mlp_chunks, act="gelu_tanh", ln_eps=LN_EPS,
             interpret=interpret)
         x = x2.reshape(b, s, width)
+    return x
 
+
+def _map_pool(vp, x, config: SigLIPConfig, dtype):
     tokens = _ln(x, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
-    pooled = MAPHead(heads, config.vision_mlp_dim, dtype=dtype,
-                     param_dtype=jnp.float32, name=None).apply(
+    return MAPHead(config.vision_heads, config.vision_mlp_dim, dtype=dtype,
+                   param_dtype=jnp.float32, name=None).apply(
         {"params": vp["attnpool"]}, tokens)
+
+
+def siglip_encode_fast(params: Dict, images: jax.Array,
+                       config: SigLIPConfig, *, project: bool = False,
+                       dtype=jnp.bfloat16,
+                       packed: Optional[Dict] = None,
+                       interpret: bool = False):
+    """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding
+    (or (pooled, pooled) with project=True; SigLIP has no separate
+    vision projection)."""
+    vp = params["visual"]
+    if packed is None:
+        packed = pack_siglip_fast_params(params, config, dtype)
+    x = _siglip_embed(vp, images, config, dtype)
+    x = _apply_fused_siglip_blocks(vp, packed, x, config, dtype, start=0,
+                                   stop=config.vision_layers,
+                                   interpret=interpret)
+    pooled = _map_pool(vp, x, config, dtype)
+    if project:
+        return pooled, pooled
+    return pooled
+
+
+def _canonical_siglip_block(x, blk, heads: int, dtype):
+    """One differentiable SigLIP transformer block in plain jnp,
+    numerically identical to the Flax ``SigLIPBlock`` (fp32 LN eps 1e-6,
+    separate q/k/v projections, tanh-GELU, same attention dispatch)."""
+    from ..ops.attention import attention
+
+    ln1 = _ln(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+    proj = lambda t, p: (t @ jnp.asarray(p["kernel"], dtype)  # noqa: E731
+                         + jnp.asarray(p["bias"], dtype))
+    q = proj(ln1, blk["attn"]["q_proj"])
+    k = proj(ln1, blk["attn"]["k_proj"])
+    v = proj(ln1, blk["attn"]["v_proj"])
+    out = attention(q, k, v, heads)
+    x = x + proj(out, blk["attn"]["out_proj"])
+    ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+    h = gelu_tanh(proj(ln2, blk["mlp"]["c_fc"]))
+    return x + proj(h, blk["mlp"]["c_proj"])
+
+
+def siglip_encode_hybrid(params: Dict, images: jax.Array,
+                         config: SigLIPConfig, n_prefix: int, *,
+                         project: bool = False, dtype=jnp.bfloat16,
+                         interpret: bool = False, mesh=None):
+    """PEFT-training encode: fused forward-only Pallas kernels for the
+    ``n_prefix`` FROZEN bottom blocks, canonical differentiable math for
+    the trainable suffix + MAP pooling head (mirrors
+    ``fast_vit.vit_encode_hybrid``; dispatch gate
+    ``fast_vit.peft_fused_prefix_len``).  ``stop_gradient`` goes on the
+    fused region's INPUTS — the kernels have no JVP rule, and JAX
+    linearizes any op whose inputs carry tangents even if the cotangent
+    is later zero.  Under a pure data-parallel ``mesh`` the fused prefix
+    runs per shard via ``shard_map``; the suffix stays GSPMD-partitioned."""
+    vp = params["visual"]
+    x = _siglip_embed(vp, images, config, dtype)
+    if n_prefix > 0:
+        vp_sg = jax.lax.stop_gradient(vp)
+        x_sg = jax.lax.stop_gradient(x)
+        if mesh is not None:
+            from .fast_vit import _shard_mapped_prefix
+
+            def prefix_fn(w, xs):
+                packed = pack_siglip_fast_params({"visual": w}, config,
+                                                 dtype)
+                return _apply_fused_siglip_blocks(
+                    w, packed, xs, config, dtype, start=0, stop=n_prefix,
+                    interpret=interpret)
+
+            x = _shard_mapped_prefix(prefix_fn, vp_sg, x_sg, mesh)
+        else:
+            packed = pack_siglip_fast_params({"visual": vp_sg}, config,
+                                             dtype)
+            x = _apply_fused_siglip_blocks(
+                vp_sg, packed, x_sg, config, dtype,
+                start=0, stop=n_prefix, interpret=interpret)
+    for i in range(n_prefix, config.vision_layers):
+        blk = vp["transformer"][f"resblocks_{i}"]
+        x = _canonical_siglip_block(x, blk, config.vision_heads, dtype)
+    pooled = _map_pool(vp, x, config, dtype)
     if project:
         return pooled, pooled
     return pooled

@@ -25,6 +25,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..backend import dispatch_backend
+
 from ..ops.attention import _xla_attention
 from ..ops.fused_linear import ln_matmul, matmul_residual
 from .clip import CLIPConfig
@@ -144,7 +146,7 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
     serving path is int8, ``models/quant_siglip.py``)."""
     from .siglip import SigLIPConfig
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = dispatch_backend() == "tpu"
     if on_tpu and isinstance(config, CLIPConfig) and config.is_vit:
         if mesh is None:
             return vit_encode_block_fused(params, x, config, project=project,
@@ -261,7 +263,7 @@ def use_fused_train_encode(model, config, mesh=None) -> bool:
     """Fused-training-tower dispatch gate: TPU, CLIP-ViT, no GSPMD mesh
     (Pallas does not partition), MLP weight pair within the one-kernel
     VMEM budget."""
-    if mesh is not None or jax.default_backend() != "tpu":
+    if mesh is not None or dispatch_backend() != "tpu":
         return False
     if not (isinstance(config, CLIPConfig) and config.is_vit):
         return False
@@ -457,26 +459,54 @@ def _canonical_vit_block(x, blk, heads: int, dtype):
     return x + h + jnp.asarray(blk["mlp"]["c_proj"]["bias"], dtype)
 
 
-def peft_fused_prefix_len(config, unlocked_groups: int, mesh=None) -> int:
+def peft_fused_prefix_len(config, unlocked_groups: int, mesh=None,
+                          batch_size: int | None = None) -> int:
     """How many bottom visual blocks are FROZEN under ``unlocked_groups``
     (open_clip lock_image_tower semantics: groups = [stem] + L resblocks +
     [head]; the LAST n groups unlock).  Those blocks never receive
     gradients — XLA prunes their backward — so the PEFT train step can run
     them through the forward-only fused Pallas kernels
-    (``vit_encode_hybrid``).  0 disables the hybrid (canonical module):
-    non-TPU backends, non-ViT towers, GSPMD meshes (Pallas does not
-    partition; the shard_map composition is encode-only today)."""
-    if mesh is not None or jax.default_backend() != "tpu":
+    (``vit_encode_hybrid`` / ``fast_siglip.siglip_encode_hybrid``).
+    0 disables the hybrid (canonical module): non-TPU backends, non-ViT
+    towers, and meshes with a sharded-weight axis (GSPMD cannot partition
+    a ``pallas_call``; pure data-parallel meshes run the fused prefix per
+    shard via ``shard_map`` — requires the batch to divide over ``data``,
+    so pass ``batch_size`` when a mesh is given)."""
+    from .siglip import SigLIPConfig
+
+    if dispatch_backend() != "tpu":
         return 0
-    if not (isinstance(config, CLIPConfig) and config.is_vit):
+    if mesh is not None:
+        shape = dict(mesh.shape)
+        data = shape.get("data", 1)
+        if any(v != 1 for k, v in shape.items() if k != "data"):
+            return 0  # sharded weights (TP/pipeline): canonical module
+        if batch_size is None or batch_size % data != 0:
+            return 0
+    if not (isinstance(config, (CLIPConfig, SigLIPConfig))
+            and config.is_vit):
         return 0
     L = config.vision_layers
     return max(0, min(L, L + 1 - unlocked_groups))
 
 
+def _shard_mapped_prefix(prefix_fn, weights, x, mesh):
+    """Run a forward-only fused-prefix fn per data shard: GSPMD cannot
+    partition a ``pallas_call``, but under a pure data-parallel mesh each
+    device can run the kernels on its batch shard with replicated
+    weights.  Forward-only is essential — ``shard_map`` here is never
+    differentiated (the caller stop_gradients the prefix inputs)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(prefix_fn, mesh=mesh, in_specs=(P(), P("data")),
+                     out_specs=P("data"), check_rep=False)(weights, x)
+
+
 def vit_encode_hybrid(params, images: jax.Array, config: CLIPConfig,
                       n_prefix: int, *, project: bool = False,
-                      dtype=jnp.bfloat16, interpret: bool = False):
+                      dtype=jnp.bfloat16, interpret: bool = False,
+                      mesh=None):
     """PEFT-training encode: fused forward-only Pallas kernels for the
     ``n_prefix`` FROZEN bottom blocks (no gradients flow below the lowest
     trainable block — the canonical tower wastes its ~50%-MFU forward
@@ -484,16 +514,28 @@ def vit_encode_hybrid(params, images: jax.Array, config: CLIPConfig,
     differentiable math for the trainable suffix.  ``stop_gradient``
     between the halves makes the no-backward contract explicit.  Forward
     parity with the canonical module is bf16-tolerance (the fused kernels
-    are parity-tested to 5e-4); gradients of the suffix are exact."""
+    are parity-tested to 5e-4); gradients of the suffix are exact.
+    Under a pure data-parallel ``mesh`` the fused prefix runs per shard
+    via ``shard_map`` (gate: ``peft_fused_prefix_len``); the suffix stays
+    GSPMD-partitioned."""
     vp = params["visual"]
     x = _vit_embed(vp, images, config, dtype)
     if n_prefix > 0:
         # stop_gradient on the fused region's INPUTS (not just its output):
         # the Pallas kernels have no JVP rule, and JAX linearizes any op
         # whose inputs carry tangents even if the cotangent is later zero
-        x = _apply_fused_blocks(jax.lax.stop_gradient(vp),
-                                jax.lax.stop_gradient(x), config, dtype,
-                                start=0, stop=n_prefix, interpret=interpret)
+        vp_sg = jax.lax.stop_gradient(vp)
+        x_sg = jax.lax.stop_gradient(x)
+        if mesh is not None:
+            x = _shard_mapped_prefix(
+                lambda w, xs: _apply_fused_blocks(
+                    w, xs, config, dtype, start=0, stop=n_prefix,
+                    interpret=interpret),
+                vp_sg, x_sg, mesh)
+        else:
+            x = _apply_fused_blocks(vp_sg, x_sg, config, dtype,
+                                    start=0, stop=n_prefix,
+                                    interpret=interpret)
     for i in range(n_prefix, config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         x = _canonical_vit_block(x, blk, config.vision_heads, dtype)

@@ -24,6 +24,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ..backend import dispatch_backend
+
 from ..ops.attention import attention
 from ..ops.quant import quant_dense
 from ..ops.quant_matmul import (
@@ -99,7 +101,7 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
     the per-GEMM kernels + the head-batched fused attention core; 'auto'
     picks the measured-faster split path on TPU."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "pallas" if dispatch_backend() == "tpu" else "xla"
     use_pallas = impl == "pallas"
     if attn_impl == "auto":
         attn_impl = "split" if use_pallas else "chained"

@@ -28,6 +28,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ..backend import dispatch_backend
+
 from ..ops.attention import _xla_attention
 from ..ops.quant import quant_dense, quantize_weight
 from .clip import CLIPConfig
@@ -89,7 +91,7 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
     ``impl``: 'auto' (whole-block Pallas kernels on TPU), 'pallas'
     (whole-block), 'chained' (per-GEMM fused kernels), or 'xla'."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "pallas" if dispatch_backend() == "tpu" else "xla"
     if impl in ("pallas", "chained"):
         from ..ops.quant_matmul import quant_matmul_fused
 

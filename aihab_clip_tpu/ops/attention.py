@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..backend import dispatch_backend
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -167,7 +169,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
         use_fused = q.shape[1] >= FUSED_MIN_SEQ
     # upper cap: the kernel materializes one [S_pad, S_pad] f32 score
     # matrix per program — past ~1500 tokens that alone exceeds VMEM
-    if (use_fused and not causal and jax.default_backend() == "tpu"
+    if (use_fused and not causal and dispatch_backend() == "tpu"
             and q.shape[1] <= 1536):
         return fused_attention(q, k, v, num_heads)
     b, s, w = q.shape

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..backend import dispatch_backend
+
 BM = 256
 BN = 256
 
@@ -290,7 +292,7 @@ def _matmul_residual_xla(x, w, b, res):
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ln_matmul(x, ln_scale, ln_bias, w, b, activation=None, eps=1e-5):
     """LN(x) @ w + b (+ optional QuickGELU / tanh-GELU) — fused on TPU."""
-    if jax.default_backend() == "tpu":
+    if dispatch_backend() == "tpu":
         return _ln_matmul_pallas(x, ln_scale, ln_bias, w, b, activation, eps)
     return _ln_matmul_xla(x, ln_scale, ln_bias, w, b, activation, eps)
 
@@ -313,7 +315,7 @@ ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
 @jax.custom_vjp
 def matmul_residual(x, w, b, res):
     """x @ w + b + res — fused on TPU."""
-    if jax.default_backend() == "tpu":
+    if dispatch_backend() == "tpu":
         return _matmul_residual_pallas(x, w, b, res)
     return _matmul_residual_xla(x, w, b, res)
 

@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..backend import dispatch_backend
+
 from .preprocess import CLIP_MEAN, CLIP_STD
 
 _LANES = 384  # 3 channels * 128 lanes -> whole RGB pixels per vector row
@@ -113,7 +115,7 @@ def normalize_u8(images_u8: jax.Array, mean=CLIP_MEAN, std=CLIP_STD,
     kernel costs ~10 ms as a separate pass — so the jnp path is the
     default and the kernel is kept as an explicit opt-in (useful when the
     surrounding graph prevents fusion)."""
-    if use_pallas and jax.default_backend() == "tpu":
+    if use_pallas and dispatch_backend() == "tpu":
         try:
             return normalize_u8_pallas(images_u8, mean, std, dtype)
         except Exception:

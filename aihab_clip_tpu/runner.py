@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .backend import dispatch_backend
+
 from .cache import (
     cache_embeddings,
     cache_features_from_loader,
@@ -52,7 +54,7 @@ def set_seed(seed: int) -> None:
 
 
 def compute_dtype_for_backend() -> Any:
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return jnp.bfloat16 if dispatch_backend() == "tpu" else jnp.float32
 
 
 def init_clip_and_text_head(cfg) -> Dict[str, Any]:
@@ -175,7 +177,7 @@ def inspect(cfg, bundle, loaders, max_show: int = 4) -> None:
     print("\n==== CLIP Init & Text Head ====")
     print({"backend": bundle["backend"], "backbone": bundle["backbone_name"],
            "weights_source": bundle["source"],
-           "platform": jax.default_backend(),
+           "platform": dispatch_backend(),
            "devices": len(jax.devices())})
     print("\nText head summary:")
     tw = bundle["text_weights"]
@@ -250,7 +252,7 @@ def _resolve_device_dataset(cfg, loaders):
         return "chunked"
     if s != "auto":
         return False
-    if jax.default_backend() != "tpu":
+    if dispatch_backend() != "tpu":
         return False  # CPU runs keep the host loop (no dispatch latency)
     train_bytes = (loaders.train.num_samples
                    * int(np.prod(loaders.train.dataset.images.shape[1:])))

@@ -22,6 +22,8 @@ from pathlib import Path
 
 import numpy as np
 
+from ..backend import dispatch_backend
+
 
 def main(argv=None):
     from ..utils import honor_jax_platforms_env
@@ -55,7 +57,7 @@ def main(argv=None):
 
     # bf16 compute on TPU (the benchmarked fast-tower configuration);
     # f32 would double VMEM residency and halve the MXU rate
-    compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+    compute_dtype = (jnp.bfloat16 if dispatch_backend() == "tpu"
                      else jnp.float32)
     bundle = load(args.model, dtype=compute_dtype)
     model, params = bundle.model, bundle.params
@@ -106,7 +108,7 @@ def main(argv=None):
         from ..models.siglip import SigLIPConfig
 
         if (isinstance(bundle.config, SigLIPConfig)
-                and jax.default_backend() == "tpu"):
+                and dispatch_backend() == "tpu"):
             # pack the q/k/v head groups once at load time and pass them
             # through the jit ARGUMENT (repacking inside the jitted
             # encode costs ~0.3% per call; closing over them would embed

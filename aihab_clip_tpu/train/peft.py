@@ -37,6 +37,8 @@ import jax.numpy as jnp
 import optax
 from flax import traverse_util
 
+from ..backend import dispatch_backend
+
 from ..data.pipeline import SplitView
 from ..models.clip import CLIPModel
 from ..models.text_head import compute_text_weights
@@ -198,24 +200,34 @@ class PEFTConfig:
     fused_prefix: int = -1
 
 
-def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x):
+def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
+                      mesh=None):
     """The train-step image encode: frozen-prefix hybrid when enabled
-    (TPU + CLIP-ViT + no mesh — see ``peft_fused_prefix_len``), canonical
-    Flax module otherwise."""
+    (TPU + ViT-family tower; pure-DP meshes run the fused prefix per
+    shard — see ``peft_fused_prefix_len``), canonical Flax module
+    otherwise."""
     if cfg.fused_prefix > 0:
+        from ..models.siglip import SigLIPConfig
+
+        interpret = dispatch_backend() not in ("tpu",)
+        if isinstance(model.config, SigLIPConfig):
+            from ..models.fast_siglip import siglip_encode_hybrid
+
+            return siglip_encode_hybrid(
+                params, x, model.config, cfg.fused_prefix, project=True,
+                dtype=cfg.compute_dtype, interpret=interpret, mesh=mesh)
         from ..models.fast_vit import vit_encode_hybrid
 
         return vit_encode_hybrid(
             params, x, model.config, cfg.fused_prefix, project=True,
-            dtype=cfg.compute_dtype,
-            interpret=jax.default_backend() not in ("tpu",))
+            dtype=cfg.compute_dtype, interpret=interpret, mesh=mesh)
     return model.apply({"params": params}, x,
-                       method=CLIPModel.encode_image, project=True)
+                       method=type(model).encode_image, project=True)
 
 
 def make_train_step(model: CLIPModel, cfg: PEFTConfig,
                     text_weights: Optional[jax.Array],
-                    prompt_tokens: Optional[jax.Array]):
+                    prompt_tokens: Optional[jax.Array], mesh=None):
     """Build the jitted PEFT step.
 
     Returns (opt, step) where step(trainable, frozen, opt_state, images_u8,
@@ -236,7 +248,7 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
         x = aug_fn(images_u8, key, cfg.resolution,
                    crop_mode=cfg.crop_mode, flip=cfg.flip,
                    rotation=cfg.rotation, dtype=cfg.compute_dtype)
-        _, feats = _encode_projected(model, cfg, params, x)
+        _, feats = _encode_projected(model, cfg, params, x, mesh=mesh)
         feats = feats.astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -424,12 +436,15 @@ def finetune(
         from ..models.fast_vit import peft_fused_prefix_len
 
         cfg = dataclasses.replace(
-            cfg, fused_prefix=peft_fused_prefix_len(ccfg, unlocked_groups,
-                                                    mesh))
+            cfg, fused_prefix=peft_fused_prefix_len(
+                ccfg, unlocked_groups, mesh,
+                batch_size=train_view.batch_size))
         if verbose and cfg.fused_prefix:
             print(f"[peft] fused frozen-prefix forward: bottom "
                   f"{cfg.fused_prefix}/{ccfg.vision_layers} visual blocks "
-                  "run the forward-only Pallas kernels")
+                  "run the forward-only Pallas kernels"
+                  + (" (shard_mapped over the data axis)"
+                     if mesh is not None else ""))
     trainable, frozen = partition_params(params, mask)
     if mesh is not None:
         from ..parallel import shard_params
@@ -475,7 +490,7 @@ def finetune(
         step = None
     else:
         opt, step = make_train_step(model, cfg, text_weights,
-                                    prompt_tokens)
+                                    prompt_tokens, mesh=mesh)
     opt_state = opt.init(trainable)
 
     start_epoch = 0

@@ -90,7 +90,7 @@ def test_encode_fastest_mesh_gates(bundle, monkeypatch):
         lambda *a, **k: calls.append("sharded") or bundle.model.apply(
             {"params": a[0]}, a[1], method=CLIPModel.encode_image,
             project=k.get("project", False)))
-    monkeypatch.setattr(fast_vit.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fast_vit, "dispatch_backend", lambda: "tpu")
 
     x = jnp.zeros((8, 32, 32, 3), jnp.float32)
     dp = make_mesh(jax.devices()[:8])
@@ -178,21 +178,37 @@ def test_hybrid_suffix_grads_match_canonical(bundle, rng):
         assert not np.any(np.asarray(g_hyb[k])), "/".join(map(str, k))
 
 
+class _FakeMesh:
+    def __init__(self, **shape):
+        self.shape = shape
+
+
 def test_peft_fused_prefix_len_gates(monkeypatch):
     from aihab_clip_tpu.models import fast_vit
 
     # non-TPU backend -> disabled
     assert fast_vit.peft_fused_prefix_len(TINY, 2) == 0
 
-    monkeypatch.setattr(fast_vit.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fast_vit, "dispatch_backend", lambda: "tpu")
     L = TINY.vision_layers  # 3; groups = stem + 3 blocks + head
     assert fast_vit.peft_fused_prefix_len(TINY, 0) == L
     assert fast_vit.peft_fused_prefix_len(TINY, 1) == L  # head only
     assert fast_vit.peft_fused_prefix_len(TINY, 2) == L - 1
     assert fast_vit.peft_fused_prefix_len(TINY, L + 1) == 0
     assert fast_vit.peft_fused_prefix_len(TINY, L + 2) == 0
-    # mesh -> disabled (Pallas does not partition inside the train step)
-    assert fast_vit.peft_fused_prefix_len(TINY, 2, mesh=object()) == 0
+    # pure-DP mesh + divisible batch -> shard_mapped prefix enabled
+    dp = _FakeMesh(data=4, model=1)
+    assert fast_vit.peft_fused_prefix_len(TINY, 2, mesh=dp,
+                                          batch_size=16) == L - 1
+    # indivisible batch / unknown batch -> disabled
+    assert fast_vit.peft_fused_prefix_len(TINY, 2, mesh=dp,
+                                          batch_size=6) == 0
+    assert fast_vit.peft_fused_prefix_len(TINY, 2, mesh=dp) == 0
+    # sharded-weight axes (TP / pipeline) -> disabled
+    assert fast_vit.peft_fused_prefix_len(
+        TINY, 2, mesh=_FakeMesh(data=2, model=2), batch_size=16) == 0
+    assert fast_vit.peft_fused_prefix_len(
+        TINY, 2, mesh=_FakeMesh(data=2, stage=4), batch_size=16) == 0
     # non-ViT tower -> disabled
     rn = CLIPConfig(
         embed_dim=32, image_resolution=32, vision_layers=(1, 1, 1, 1),
@@ -200,3 +216,15 @@ def test_peft_fused_prefix_len_gates(monkeypatch):
         vocab_size=49408, transformer_width=64, transformer_heads=1,
         transformer_layers=2)
     assert fast_vit.peft_fused_prefix_len(rn, 2) == 0
+
+
+def test_peft_fused_prefix_len_siglip(monkeypatch):
+    from aihab_clip_tpu.models import fast_vit
+    from aihab_clip_tpu.models.siglip import SIGLIP_ARCHS
+
+    cfg = SIGLIP_ARCHS["SigLIP-Tiny"]  # L=2
+    assert fast_vit.peft_fused_prefix_len(cfg, 1) == 0  # non-TPU
+    monkeypatch.setattr(fast_vit, "dispatch_backend", lambda: "tpu")
+    assert fast_vit.peft_fused_prefix_len(cfg, 1) == 2  # head only
+    assert fast_vit.peft_fused_prefix_len(cfg, 2) == 1
+    assert fast_vit.peft_fused_prefix_len(cfg, 4) == 0

@@ -216,3 +216,72 @@ def test_siglip_tp_rules_and_sharded_encode():
         with jax.set_mesh(mesh):
             out = np.asarray(encode(params, xs))
         np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_dp8_fused_prefix_hybrid_step_matches_single_device(bundle, head):
+    """The frozen-prefix fused hybrid inside the train step composes with
+    a pure-DP mesh (prefix shard_mapped over `data`, interpret-mode
+    Pallas; suffix GSPMD): the step runs, and its loss and gradients
+    match the single-device hybrid step.  (Post-Adam trainables are NOT
+    compared: the first Adam update is ~sign(grad)*lr, which amplifies
+    reduction-order noise on near-zero gradients into full sign flips.)"""
+    from flax import traverse_util
+
+    from aihab_clip_tpu.train.peft import _encode_projected, merge_params
+
+    tw = jnp.asarray(head["text_weights"])
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(16, 24, 24, 3), dtype=np.uint8)
+    labels = rng.integers(0, 20, size=16).astype(np.int32)
+    valid = np.ones(16, bool)
+    cfg = PEFTConfig(resolution=16, num_classes=20, lr=1e-3, epochs=1,
+                     crop_mode="center", fused_prefix=1)
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=2)
+
+    def run_step(mesh):
+        params = bundle.params if mesh is None else shard_params(
+            mesh, bundle.params)
+        trainable, frozen = partition_params(params, mask)
+        opt, step = make_train_step(bundle.model, cfg, tw, None, mesh=mesh)
+        opt_state = opt.init(trainable)
+        b = (images, labels, valid)
+        if mesh is not None:
+            b = shard_batch(mesh, *b)
+        trainable, _, m = step(trainable, frozen, opt_state, *b,
+                               jax.random.key(0), 1e-3)
+        return float(m["loss"])
+
+    def run_grads(mesh):
+        params = bundle.params if mesh is None else shard_params(
+            mesh, bundle.params)
+        trainable, frozen = partition_params(params, mask)
+        x = jnp.asarray(images, jnp.float32) / 255.0
+        x = x[:, 4:20, 4:20, :]  # static 16x16 crop
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding(mesh))
+
+        def loss_fn(tr):
+            par = merge_params(tr, frozen)
+            _, feats = _encode_projected(bundle.model, cfg, par, x,
+                                         mesh=mesh)
+            return jnp.sum(jnp.sin(feats.astype(jnp.float32)))
+
+        return traverse_util.flatten_dict(jax.jit(jax.grad(loss_fn))(
+            trainable))
+
+    loss_ref = run_step(None)
+    g_ref = run_grads(None)
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        loss_dp = run_step(mesh)
+        g_dp = run_grads(mesh)
+    assert loss_dp == pytest.approx(loss_ref, rel=1e-5)
+    assert set(g_ref) == set(g_dp)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_dp[k]), np.asarray(g_ref[k]),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg="/".join(map(str, k)))
+    # frozen-prefix leaves must not appear among the trainables at all
+    assert not any(k[:3] == ("visual", "transformer", "resblocks_0")
+                   for k in g_ref)

@@ -295,3 +295,32 @@ def test_finetune_fused_prefix_hybrid(bundle, data):
             assert diff.max() <= 0.1, (k, diff.max())
     assert changed > 0
     assert out_h["test"] is not None
+
+
+@pytest.mark.slow
+def test_finetune_siglip_fused_prefix_smoke(data):
+    """PEFT through the SigLIP tower with the frozen-prefix hybrid
+    (interpret-mode Pallas on CPU): trainable leaves move, frozen stay,
+    metrics come back."""
+    from aihab_clip_tpu.models import load
+
+    b = load("random:SigLIP-Tiny", seed=2)
+    tw = np.random.default_rng(0).standard_normal(
+        (b.config.embed_dim, 20)).astype(np.float32)
+    tw = jnp.asarray(tw / np.linalg.norm(tw, axis=0, keepdims=True))
+    cfg = PEFTConfig(resolution=32, num_classes=20, lr=2e-3, epochs=1,
+                     crop_mode="center", tune_text=False, fused_prefix=1)
+    out = finetune(b.model, b.params, data.train, None, data.test, cfg,
+                   text_weights=tw, unlocked_groups=2, seed=0, verbose=False)
+    assert out["test"] is not None and 0.0 <= out["test"]["top1"] <= 1.0
+    flat0 = traverse_util.flatten_dict(b.params)
+    flat1 = traverse_util.flatten_dict(out["params"])
+    flat_m = traverse_util.flatten_dict(out["mask"])
+    for k, m in flat_m.items():
+        same = np.array_equal(np.asarray(flat0[k]), np.asarray(flat1[k]))
+        if not m:
+            assert same, f"frozen leaf changed: {k}"
+    changed = sum(not np.array_equal(np.asarray(flat0[k]),
+                                     np.asarray(flat1[k]))
+                  for k, m in flat_m.items() if m)
+    assert changed > 0

@@ -188,3 +188,77 @@ def test_fast_siglip_sharded_matches_canonical(rng):
                                          dtype=jnp.float32, interpret=True),
         b.params, x, mesh), np.float32)
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# PEFT frozen-prefix hybrid (fused forward prefix + differentiable suffix)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_bundle():
+    from aihab_clip_tpu.models import load
+
+    return load("random:SigLIP-Tiny", seed=3)
+
+
+def test_siglip_hybrid_forward_matches_canonical(tiny_bundle):
+    from aihab_clip_tpu.models.fast_siglip import siglip_encode_hybrid
+
+    b = tiny_bundle
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=type(b.model).encode_image)
+    for n_prefix in (0, 1, b.config.vision_layers):
+        out = siglip_encode_hybrid(b.params, x, b.config, n_prefix,
+                                   dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=5e-4)
+    pooled, proj = siglip_encode_hybrid(b.params, x, b.config, 1,
+                                        project=True, dtype=jnp.float32,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(proj))
+
+
+def test_siglip_hybrid_suffix_grads_match_canonical(tiny_bundle):
+    """Grads w.r.t. the trainable suffix (last block + ln_post + MAP
+    head) equal the canonical tower's; frozen-prefix grads are zero."""
+    import jax
+
+    from flax import traverse_util
+
+    from aihab_clip_tpu.models.fast_siglip import siglip_encode_hybrid
+
+    b = tiny_bundle
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    n_prefix = 1
+
+    def loss_canonical(params):
+        out = b.model.apply({"params": params}, x,
+                            method=type(b.model).encode_image)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    def loss_hybrid(params):
+        out = siglip_encode_hybrid(params, x, b.config, n_prefix,
+                                   dtype=jnp.float32, interpret=True)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    g_ref = traverse_util.flatten_dict(jax.grad(loss_canonical)(b.params))
+    g_hyb = traverse_util.flatten_dict(jax.grad(loss_hybrid)(b.params))
+    suffix = [k for k in g_ref if k[:3] == ("visual", "transformer",
+                                            "resblocks_1")]
+    suffix += [k for k in g_ref
+               if k[:2] in {("visual", "ln_post"), ("visual", "attnpool")}]
+    assert suffix
+    for k in suffix:
+        np.testing.assert_allclose(
+            np.asarray(g_hyb[k]), np.asarray(g_ref[k]),
+            atol=2e-3, rtol=2e-3, err_msg="/".join(map(str, k)))
+    prefix = [k for k in g_ref
+              if k[:3] == ("visual", "transformer", "resblocks_0")
+              or (k[0] == "visual"
+                  and k[1] in ("conv1", "positional_embedding"))]
+    assert prefix
+    for k in prefix:
+        assert not np.any(np.asarray(g_hyb[k])), "/".join(map(str, k))

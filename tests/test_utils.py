@@ -102,3 +102,18 @@ def test_assert_finite_and_nan_debugging():
     with nan_debugging(True):
         assert jax.config.jax_debug_nans
     assert not jax.config.jax_debug_nans
+
+
+def test_dispatch_backend_honors_default_device():
+    """Fast-path dispatch gates must follow `jax.default_device` overrides
+    (a Pallas kernel lowered for CPU is a hard error): the helper returns
+    the override's platform inside the context and the default backend
+    outside it."""
+    import jax
+
+    from aihab_clip_tpu.backend import dispatch_backend
+
+    assert dispatch_backend() == jax.default_backend()
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert dispatch_backend() == "cpu"
+    assert dispatch_backend() == jax.default_backend()

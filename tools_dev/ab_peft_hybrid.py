@@ -1,9 +1,13 @@
 """Same-session A/B of the PEFT epoch-scan train step: canonical tower
-vs frozen-prefix fused hybrid (`fused_prefix`), ViT-B/16 @224 b64,
-unlocked_groups=2 (head + last block trainable -> 11 frozen bottom
-blocks), aug-from-439-uint8, bf16 compute.
+vs frozen-prefix fused hybrid (`fused_prefix`), aug-from-439-uint8,
+bf16 compute.
 
-Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/ab_peft_hybrid.py [E_long]
+Default: ViT-B/16 @224 b64, unlocked_groups=2 (head + last block
+trainable -> 11 frozen bottom blocks).  `--model siglip`: SO400M @384
+b32, unlocked_groups=11 (the reference default) -> 17 frozen blocks.
+
+Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/ab_peft_hybrid.py \
+           [E_long] [--model vitb|siglip]
 """
 
 from __future__ import annotations
@@ -26,13 +30,30 @@ def main():
     from aihab_clip_tpu.train.peft import (PEFTConfig, build_lock_mask,
                                            make_epoch_scan, partition_params)
 
-    e_long = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = sys.argv[1:]
+    siglip = False
+    if "--model" in argv:
+        i = argv.index("--model")
+        siglip = argv[i + 1] == "siglip"
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    e_long = int(args[0]) if args else 10
     e_short = 2
     log(f"device: {jax.devices()[0]}")
-    bundle = load("random:ViT-B/16", seed=0)
+    if siglip:
+        # init on the host CPU backend: the full fp32 model (incl. the
+        # ~1.2 GB text embedding) next to Adam state + b16@384 backward
+        # activations exceeds v5e HBM if initialized on device
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            bundle = load("random:ViT-SO400M-16-SigLIP2-384", seed=0)
+        n, bs, groups = 256, 16, 11  # reference-default unlock depth
+    else:
+        bundle = load("random:ViT-B/16", seed=0)
+        n, bs, groups = 512, 64, 2
     model, params, config = bundle.model, bundle.params, bundle.config
+    prefix = config.vision_layers + 1 - groups
+    res, res_in = config.image_resolution, 439
 
-    n, bs, res_in = 512, 64, 439
     steps = n // bs
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 256, size=(n, res_in, res_in, 3),
@@ -46,13 +67,20 @@ def main():
     valid = jnp.ones((steps, bs), bool)
 
     mask = build_lock_mask(params, config.vision_layers,
-                           config.transformer_layers, unlocked_groups=2)
+                           config.transformer_layers, unlocked_groups=groups)
     trainable0, frozen = partition_params(params, mask)
+    if siglip:
+        # image-only step (tune_text off): the frozen text tower + 256k-row
+        # token embedding (~1.2 GB fp32) never participate — drop them so
+        # the SO400M A/B fits v5e HBM next to Adam state + activations
+        frozen = {k: v for k, v in frozen.items() if k != "text"}
+        dev = jax.devices()[0]
+        frozen = jax.device_put(frozen, dev)
     trainable0_host = jax.tree.map(np.asarray, trainable0)
 
     results = {}
-    for fused_prefix in (0, 11, 0):
-        cfg = PEFTConfig(resolution=224, num_classes=20, lr=5e-5, epochs=1,
+    for fused_prefix in (0, prefix, 0):
+        cfg = PEFTConfig(resolution=res, num_classes=20, lr=5e-5, epochs=1,
                          crop_mode="random", flip=True, rotation=True,
                          compute_dtype=jnp.bfloat16,
                          fused_prefix=fused_prefix)
