@@ -206,7 +206,7 @@ def _canonical_siglip_block(x, blk, heads: int, dtype):
 def siglip_encode_hybrid(params: Dict, images: jax.Array,
                          config: SigLIPConfig, n_prefix: int, *,
                          project: bool = False, dtype=jnp.bfloat16,
-                         interpret: bool = False, mesh=None):
+                         interpret: bool = False, mesh=None, qprefix=None):
     """PEFT-training encode: fused forward-only Pallas kernels for the
     ``n_prefix`` FROZEN bottom blocks, canonical differentiable math for
     the trainable suffix + MAP pooling head (mirrors
@@ -215,14 +215,29 @@ def siglip_encode_hybrid(params: Dict, images: jax.Array,
     fused region's INPUTS — the kernels have no JVP rule, and JAX
     linearizes any op whose inputs carry tangents even if the cotangent
     is later zero.  Under a pure data-parallel ``mesh`` the fused prefix
-    runs per shard via ``shard_map``; the suffix stays GSPMD-partitioned."""
+    runs per shard via ``shard_map``; the suffix stays GSPMD-partitioned.
+
+    ``qprefix`` ({resblocks_i: quantize_siglip_block(...)}) switches the
+    frozen prefix to the int8 recipe (split whole-block attention +
+    chained int8 MLP — opt-in: ``finetune.fused_prefix_quant``)."""
     vp = params["visual"]
     x = _siglip_embed(vp, images, config, dtype)
     if n_prefix > 0:
-        vp_sg = jax.lax.stop_gradient(vp)
+        from .fast_vit import _shard_mapped_prefix
+
         x_sg = jax.lax.stop_gradient(x)
-        if mesh is not None:
-            from .fast_vit import _shard_mapped_prefix
+        if qprefix is not None:
+            from .quant_siglip import apply_int8_siglip_blocks
+
+            w_sg = jax.lax.stop_gradient(qprefix)
+
+            def prefix_fn(w, xs):
+                return apply_int8_siglip_blocks(
+                    w, xs, config, start=0, stop=n_prefix,
+                    use_pallas=True, use_split_attn=True,
+                    interpret=interpret)
+        else:
+            w_sg = jax.lax.stop_gradient(vp)
 
             def prefix_fn(w, xs):
                 packed = pack_siglip_fast_params({"visual": w}, config,
@@ -231,13 +246,11 @@ def siglip_encode_hybrid(params: Dict, images: jax.Array,
                     w, packed, xs, config, dtype, start=0, stop=n_prefix,
                     interpret=interpret)
 
-            x = _shard_mapped_prefix(prefix_fn, vp_sg, x_sg, mesh)
+        if mesh is not None:
+            x = _shard_mapped_prefix(prefix_fn, w_sg, x_sg, mesh)
         else:
-            packed = pack_siglip_fast_params({"visual": vp_sg}, config,
-                                             dtype)
-            x = _apply_fused_siglip_blocks(
-                vp_sg, packed, x_sg, config, dtype,
-                start=0, stop=n_prefix, interpret=interpret)
+            x = prefix_fn(w_sg, x_sg)
+        x = x.astype(dtype)
     for i in range(n_prefix, config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         x = _canonical_siglip_block(x, blk, config.vision_heads, dtype)

@@ -506,7 +506,7 @@ def _shard_mapped_prefix(prefix_fn, weights, x, mesh):
 def vit_encode_hybrid(params, images: jax.Array, config: CLIPConfig,
                       n_prefix: int, *, project: bool = False,
                       dtype=jnp.bfloat16, interpret: bool = False,
-                      mesh=None):
+                      mesh=None, qprefix=None):
     """PEFT-training encode: fused forward-only Pallas kernels for the
     ``n_prefix`` FROZEN bottom blocks (no gradients flow below the lowest
     trainable block — the canonical tower wastes its ~50%-MFU forward
@@ -517,25 +517,36 @@ def vit_encode_hybrid(params, images: jax.Array, config: CLIPConfig,
     are parity-tested to 5e-4); gradients of the suffix are exact.
     Under a pure data-parallel ``mesh`` the fused prefix runs per shard
     via ``shard_map`` (gate: ``peft_fused_prefix_len``); the suffix stays
-    GSPMD-partitioned."""
+    GSPMD-partitioned.
+
+    ``qprefix`` (a pre-quantized {resblocks_i: quantize_vit_block(...)}
+    dict) switches the frozen prefix to the WHOLE-BLOCK int8 kernels —
+    the int8 MXU runs ~2x the bf16 rate, and the frozen trunk is exactly
+    where quantization noise cannot touch a gradient (opt-in:
+    ``finetune.fused_prefix_quant``)."""
     vp = params["visual"]
     x = _vit_embed(vp, images, config, dtype)
     if n_prefix > 0:
+        from .quant_vit import apply_int8_vit_blocks
+
         # stop_gradient on the fused region's INPUTS (not just its output):
         # the Pallas kernels have no JVP rule, and JAX linearizes any op
         # whose inputs carry tangents even if the cotangent is later zero
-        vp_sg = jax.lax.stop_gradient(vp)
         x_sg = jax.lax.stop_gradient(x)
-        if mesh is not None:
-            x = _shard_mapped_prefix(
-                lambda w, xs: _apply_fused_blocks(
-                    w, xs, config, dtype, start=0, stop=n_prefix,
-                    interpret=interpret),
-                vp_sg, x_sg, mesh)
+        if qprefix is not None:
+            w_sg = jax.lax.stop_gradient(qprefix)
+            prefix_fn = lambda w, xs: apply_int8_vit_blocks(  # noqa: E731
+                w, xs, config, start=0, stop=n_prefix, interpret=interpret)
         else:
-            x = _apply_fused_blocks(vp_sg, x_sg, config, dtype,
-                                    start=0, stop=n_prefix,
-                                    interpret=interpret)
+            w_sg = jax.lax.stop_gradient(vp)
+            prefix_fn = lambda w, xs: _apply_fused_blocks(  # noqa: E731
+                w, xs, config, dtype, start=0, stop=n_prefix,
+                interpret=interpret)
+        if mesh is not None:
+            x = _shard_mapped_prefix(prefix_fn, w_sg, x_sg, mesh)
+        else:
+            x = prefix_fn(w_sg, x_sg)
+        x = x.astype(dtype)
     for i in range(n_prefix, config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
         x = _canonical_vit_block(x, blk, config.vision_heads, dtype)

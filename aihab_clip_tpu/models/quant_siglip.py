@@ -39,6 +39,35 @@ from .siglip import MAPHead, SigLIPConfig
 LN_EPS = 1e-6
 
 
+def quantize_siglip_block(blk: Dict) -> Dict:
+    """Quantize one SigLIP transformer block's GEMM weights (jnp ops —
+    load time or in-jit; the separate q/k/v projections are PACKED into
+    one [W, 3W] GEMM sharing the ln_1(x) input)."""
+    from ..ops.quant import quantize_weight
+
+    q: Dict = {}
+    wq = jnp.asarray(blk["attn"]["q_proj"]["kernel"], jnp.float32)
+    wk = jnp.asarray(blk["attn"]["k_proj"]["kernel"], jnp.float32)
+    wv = jnp.asarray(blk["attn"]["v_proj"]["kernel"], jnp.float32)
+    w8, ws = quantize_weight(jnp.concatenate([wq, wk, wv], axis=1))
+    q["attn/qkv"] = {
+        "w8": w8, "scale": ws,
+        "bias": jnp.concatenate([
+            jnp.asarray(blk["attn"][n]["bias"], jnp.float32)
+            for n in ("q_proj", "k_proj", "v_proj")]),
+    }
+    for mod, name in (("attn", "out_proj"), ("mlp", "c_fc"),
+                      ("mlp", "c_proj")):
+        w8, ws = quantize_weight(blk[mod][name]["kernel"])
+        q[f"{mod}/{name}"] = {
+            "w8": w8, "scale": ws,
+            "bias": jnp.asarray(blk[mod][name]["bias"], jnp.float32),
+        }
+    q["ln_1"] = blk["ln_1"]
+    q["ln_2"] = blk["ln_2"]
+    return q
+
+
 def quantize_siglip_params(params: Dict, config: SigLIPConfig) -> Dict:
     """Quantize the SigLIP vision tower's GEMM weights once."""
     from ..ops.quant import quantize_weight
@@ -52,29 +81,8 @@ def quantize_siglip_params(params: Dict, config: SigLIPConfig) -> Dict:
 
     blocks = {}
     for i in range(config.vision_layers):
-        blk = vp["transformer"][f"resblocks_{i}"]
-        q: Dict = {}
-        # pack q/k/v into one [W, 3W] GEMM (same ln_1(x) input)
-        wq = jnp.asarray(blk["attn"]["q_proj"]["kernel"], jnp.float32)
-        wk = jnp.asarray(blk["attn"]["k_proj"]["kernel"], jnp.float32)
-        wv = jnp.asarray(blk["attn"]["v_proj"]["kernel"], jnp.float32)
-        w8, ws = quantize_weight(jnp.concatenate([wq, wk, wv], axis=1))
-        q["attn/qkv"] = {
-            "w8": w8, "scale": ws,
-            "bias": jnp.concatenate([
-                jnp.asarray(blk["attn"][n]["bias"], jnp.float32)
-                for n in ("q_proj", "k_proj", "v_proj")]),
-        }
-        for mod, name in (("attn", "out_proj"), ("mlp", "c_fc"),
-                          ("mlp", "c_proj")):
-            w8, ws = quantize_weight(blk[mod][name]["kernel"])
-            q[f"{mod}/{name}"] = {
-                "w8": w8, "scale": ws,
-                "bias": jnp.asarray(blk[mod][name]["bias"], jnp.float32),
-            }
-        q["ln_1"] = blk["ln_1"]
-        q["ln_2"] = blk["ln_2"]
-        blocks[f"resblocks_{i}"] = q
+        blocks[f"resblocks_{i}"] = quantize_siglip_block(
+            vp["transformer"][f"resblocks_{i}"])
 
     return {
         "conv1": {"w8": k8, "scale": ks,
@@ -86,54 +94,27 @@ def quantize_siglip_params(params: Dict, config: SigLIPConfig) -> Dict:
     }
 
 
-def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
-                       config: SigLIPConfig, *, project: bool = False,
-                       dtype=jnp.bfloat16, impl: str = "auto",
-                       attn_impl: str = "auto", interpret: bool = False):
-    """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding.
-
-    ``params`` is the ORIGINAL tree (the high-precision MAP head runs
-    through the canonical Flax module); ``qparams`` from
-    ``quantize_siglip_params``.  ``attn_impl``: 'split' runs the
-    head-group-split whole-block int8 attention kernel (LN + int8 QKV +
-    MHA + int8 out-proj per image, 2 heads per program — the unsplit
-    whole-block kernel exceeds VMEM at SO400M shapes); 'chained' keeps
-    the per-GEMM kernels + the head-batched fused attention core; 'auto'
-    picks the measured-faster split path on TPU."""
-    if impl == "auto":
-        impl = "pallas" if dispatch_backend() == "tpu" else "xla"
-    use_pallas = impl == "pallas"
-    if attn_impl == "auto":
-        attn_impl = "split" if use_pallas else "chained"
-    use_split_attn = use_pallas and attn_impl == "split"
-
-    p = config.patch_size
+def apply_int8_siglip_blocks(qblocks: Dict, x: jax.Array,
+                             config: SigLIPConfig, *, start: int, stop: int,
+                             use_pallas: bool, use_split_attn: bool,
+                             interpret: bool = False) -> jax.Array:
+    """SigLIP transformer blocks [start, stop) through the measured int8
+    recipe (split whole-block attention + chained int8 MLP when
+    ``use_pallas``; unfused ``quant_dense`` math otherwise).  ``qblocks``
+    is the quantized transformer dict ({resblocks_i:
+    quantize_siglip_block(...)}); ``x`` is [B, S, W] tokens.  Forward-only
+    — also the int8 frozen-prefix inside the PEFT train step
+    (``fast_siglip.siglip_encode_hybrid``)."""
     width = config.vision_width
     heads = config.vision_heads
-
-    x = images.astype(dtype)
-    b, h, w, c = x.shape
-    gh, gw = h // p, w // p
-
-    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
-    patches = patches.reshape(b * gh * gw, p * p * c)
-    cq = qparams["conv1"]
-    if use_pallas:
-        x = quant_matmul_fused(patches, cq["w8"], cq["scale"], cq["bias"],
-                               interpret=interpret)
-    else:
-        x = quant_dense(patches, cq["w8"], cq["scale"], cq["bias"])
-    x = x.reshape(b, gh * gw, width)
-    x = x + jnp.asarray(qparams["positional_embedding"], x.dtype)
-
-    s = x.shape[1]
+    b, s, _ = x.shape
     x2 = x.reshape(b * s, width)
     # 2 heads/program: the only grouping that both fits VMEM and compiles
     # at SO400M shapes (PERF_NOTES.md); odd head counts keep one group
     # (grouping must divide heads exactly or a head would be dropped)
     n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else 1
-    for i in range(config.vision_layers):
-        blk = qparams["transformer"][f"resblocks_{i}"]
+    for i in range(start, stop):
+        blk = qblocks[f"resblocks_{i}"]
         qkv_q = blk["attn/qkv"]
         out_q = blk["attn/out_proj"]
         if use_split_attn:
@@ -187,8 +168,55 @@ def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
             hdn = quant_dense(ln2, fc["w8"], fc["scale"], fc["bias"],
                               act="gelu_tanh")
             x2 = x2 + quant_dense(hdn, pr["w8"], pr["scale"], pr["bias"])
+    return x2.reshape(b, s, width)
 
-    tokens = x2.reshape(b, s, width)
+
+def siglip_encode_int8(qparams: Dict, params: Dict, images: jax.Array,
+                       config: SigLIPConfig, *, project: bool = False,
+                       dtype=jnp.bfloat16, impl: str = "auto",
+                       attn_impl: str = "auto", interpret: bool = False):
+    """images: [B, H, W, 3] normalized NHWC -> pooled SigLIP embedding.
+
+    ``params`` is the ORIGINAL tree (the high-precision MAP head runs
+    through the canonical Flax module); ``qparams`` from
+    ``quantize_siglip_params``.  ``attn_impl``: 'split' runs the
+    head-group-split whole-block int8 attention kernel (LN + int8 QKV +
+    MHA + int8 out-proj per image, 2 heads per program — the unsplit
+    whole-block kernel exceeds VMEM at SO400M shapes); 'chained' keeps
+    the per-GEMM kernels + the head-batched fused attention core; 'auto'
+    picks the measured-faster split path on TPU."""
+    if impl == "auto":
+        impl = "pallas" if dispatch_backend() == "tpu" else "xla"
+    use_pallas = impl == "pallas"
+    if attn_impl == "auto":
+        attn_impl = "split" if use_pallas else "chained"
+    use_split_attn = use_pallas and attn_impl == "split"
+
+    p = config.patch_size
+    width = config.vision_width
+    heads = config.vision_heads
+
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    gh, gw = h // p, w // p
+
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b * gh * gw, p * p * c)
+    cq = qparams["conv1"]
+    if use_pallas:
+        x = quant_matmul_fused(patches, cq["w8"], cq["scale"], cq["bias"],
+                               interpret=interpret)
+    else:
+        x = quant_dense(patches, cq["w8"], cq["scale"], cq["bias"])
+    x = x.reshape(b, gh * gw, width)
+    x = x + jnp.asarray(qparams["positional_embedding"], x.dtype)
+
+    x = apply_int8_siglip_blocks(
+        qparams["transformer"], x, config, start=0,
+        stop=config.vision_layers, use_pallas=use_pallas,
+        use_split_attn=use_split_attn, interpret=interpret)
+
+    tokens = x
     tokens = _ln(tokens, qparams["ln_post"]["scale"],
                  qparams["ln_post"]["bias"], eps=LN_EPS)
     pooled = MAPHead(heads, config.vision_mlp_dim, dtype=dtype,

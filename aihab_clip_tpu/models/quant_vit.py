@@ -44,6 +44,24 @@ def _ln(x, scale, bias, eps=1e-5):
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def quantize_vit_block(blk: Dict) -> Dict:
+    """Quantize one canonical ViT transformer block's GEMM weights
+    (jnp ops — usable at load time OR inside a jitted program, e.g. the
+    PEFT frozen-prefix quantization which runs once per epoch scan)."""
+    q = {}
+    for name in (("attn", "in_proj"), ("attn", "out_proj"),
+                 ("mlp", "c_fc"), ("mlp", "c_proj")):
+        w8, ws = quantize_weight(blk[name[0]][name[1]]["kernel"])
+        q[f"{name[0]}/{name[1]}"] = {
+            "w8": w8, "scale": ws,
+            "bias": jnp.asarray(blk[name[0]][name[1]]["bias"],
+                                jnp.float32),
+        }
+    q["ln_1"] = blk["ln_1"]
+    q["ln_2"] = blk["ln_2"]
+    return q
+
+
 def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
     """Quantize the ViT tower's GEMM weights once (host/load time).
 
@@ -58,19 +76,8 @@ def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
 
     blocks = {}
     for i in range(config.vision_layers):
-        blk = vp["transformer"][f"resblocks_{i}"]
-        q = {}
-        for name in (("attn", "in_proj"), ("attn", "out_proj"),
-                     ("mlp", "c_fc"), ("mlp", "c_proj")):
-            w8, ws = quantize_weight(blk[name[0]][name[1]]["kernel"])
-            q[f"{name[0]}/{name[1]}"] = {
-                "w8": w8, "scale": ws,
-                "bias": jnp.asarray(blk[name[0]][name[1]]["bias"],
-                                    jnp.float32),
-            }
-        q["ln_1"] = blk["ln_1"]
-        q["ln_2"] = blk["ln_2"]
-        blocks[f"resblocks_{i}"] = q
+        blocks[f"resblocks_{i}"] = quantize_vit_block(
+            vp["transformer"][f"resblocks_{i}"])
 
     return {
         "conv1": {"w8": k8, "scale": ks},
@@ -81,6 +88,96 @@ def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
         "proj": vp["proj"],
         "transformer": blocks,
     }
+
+
+def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
+                          *, start: int, stop: int,
+                          interpret: bool = False) -> jax.Array:
+    """Transformer blocks [start, stop) over the WHOLE-BLOCK int8 Pallas
+    path (measured fastest at ViT shapes, v5e b256: 53.9 ms vs 56.8
+    bf16-attn hybrid vs 61.6 bf16 whole-block vs 94.6 chained int8 —
+    PERF_NOTES.md): one program per image for LN1 + int8 QKV + MHA +
+    int8 out-proj + residual, one row-tiled kernel for LN2 + int8 MLP +
+    residual (or ONE merged program for both halves where the full int8
+    weight set fits VMEM).  ``qblocks`` is the quantized transformer dict
+    ({resblocks_i: quantize_vit_block(...)}); ``x`` is [B, S, W] tokens
+    (post ln_pre).  Forward-only — also serves as the int8 frozen-prefix
+    inside the PEFT train step (``fast_vit.vit_encode_hybrid``)."""
+    width = config.vision_width
+    heads = config.vision_heads
+    b, s, _ = x.shape
+
+    from ..models.fast_vit import (
+        ATTN_WHOLE_KERNEL_MAX_BYTES,
+        _attn_whole_vmem_bytes,
+    )
+    from ..ops.quant_matmul import (
+        quant_attn_block_fused,
+        quant_attn_block_split,
+        quant_full_block_fused,
+        quant_mlp_block_fused,
+        regroup_attn_weights,
+    )
+
+    # long-sequence towers (ViT-L@336: S=577) exceed the unsplit
+    # kernel's VMEM — use the head-group-split variant (int8 weights
+    # are half the bf16 estimate, hence itemsize=1; 2 heads/group
+    # when heads is even, else 1/group — must divide heads exactly)
+    attn_split = (_attn_whole_vmem_bytes(s, width, 1)
+                  > ATTN_WHOLE_KERNEL_MAX_BYTES)
+
+    # merged attn+MLP single-program block (int8 weight set is half
+    # the bf16 one): 4.20 vs 4.59 ms/block at ViT-B b256 same-session
+    # (PERF_NOTES.md).  Gate on estimated per-program VMEM: resident
+    # int8 weights + the f32 working set at this sequence length.
+    # chunks=1 (whole hidden) measured identical to chunks=2 at ViT-B
+    # and is bit-identical math to the two-kernel pair — prefer it
+    hidden = qblocks[f"resblocks_{start}"]["mlp/c_fc"]["w8"].shape[1]
+    s_pad16 = ((s + 15) // 16) * 16
+    est = ((4 * width * width + 2 * width * hidden)      # int8 weights
+           + s_pad16 * 3 * width * 4                     # qkv f32
+           + 3 * s_pad16 * width * 4                     # x/y1/out f32
+           + s_pad16 * hidden * 4                        # hidden f32
+           + s_pad16 * s_pad16 * 4)                      # score matrix
+    merge = not attn_split and est <= 15 * 2 ** 20
+
+    for i in range(start, stop):
+        blk = qblocks[f"resblocks_{i}"]
+        ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
+        fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
+        if merge:
+            x = quant_full_block_fused(
+                x, ip["w8"], ip["scale"], ip["bias"],
+                op["w8"], op["scale"], op["bias"],
+                blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                fc["w8"], fc["scale"], fc["bias"],
+                pr["w8"], pr["scale"], pr["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                heads, mlp_chunks=1, interpret=interpret)
+            continue
+        if attn_split:
+            n_groups = (heads // 2 if heads % 2 == 0 and heads >= 2
+                        else heads)
+            wg, sg, bg, og = regroup_attn_weights(
+                ip["w8"], ip["scale"], ip["bias"], op["w8"],
+                heads, n_groups)
+            x = quant_attn_block_split(
+                x, wg, sg, bg, og, op["scale"], op["bias"],
+                blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
+                n_groups, interpret=interpret)
+        else:
+            x = quant_attn_block_fused(
+                x, ip["w8"], ip["scale"], ip["bias"],
+                op["w8"], op["scale"], op["bias"],
+                blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
+                interpret=interpret)
+        x2 = quant_mlp_block_fused(
+            x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
+            pr["w8"], pr["scale"], pr["bias"],
+            blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+            interpret=interpret)
+        x = x2.reshape(b, s, width)
+    return x
 
 
 def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
@@ -132,84 +229,9 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
 
     s = x.shape[1]
     if impl == "pallas":
-        # WHOLE-BLOCK int8 path (measured fastest at ViT shapes, v5e
-        # b256: 53.9 ms vs 56.8 bf16-attn hybrid vs 61.6 bf16 whole-block
-        # vs 94.6 chained int8 — PERF_NOTES.md): one program per image
-        # for LN1 + int8 QKV + MHA + int8 out-proj + residual, one
-        # row-tiled kernel for LN2 + int8 MLP + residual.  The chained
-        # per-GEMM kernels remain as impl='chained' (and serve the SigLIP
-        # tower, where the whole-block attention exceeds VMEM).
-        from ..models.fast_vit import (
-            ATTN_WHOLE_KERNEL_MAX_BYTES,
-            _attn_whole_vmem_bytes,
-        )
-        from ..ops.quant_matmul import (
-            quant_attn_block_fused,
-            quant_attn_block_split,
-            quant_full_block_fused,
-            quant_mlp_block_fused,
-            regroup_attn_weights,
-        )
-
-        # long-sequence towers (ViT-L@336: S=577) exceed the unsplit
-        # kernel's VMEM — use the head-group-split variant (int8 weights
-        # are half the bf16 estimate, hence itemsize=1; 2 heads/group
-        # when heads is even, else 1/group — must divide heads exactly)
-        attn_split = (_attn_whole_vmem_bytes(s, width, 1)
-                      > ATTN_WHOLE_KERNEL_MAX_BYTES)
-
-        # merged attn+MLP single-program block (int8 weight set is half
-        # the bf16 one): 4.20 vs 4.59 ms/block at ViT-B b256 same-session
-        # (PERF_NOTES.md).  Gate on estimated per-program VMEM: resident
-        # int8 weights + the f32 working set at this sequence length.
-        # chunks=1 (whole hidden) measured identical to chunks=2 at ViT-B
-        # and is bit-identical math to the two-kernel pair — prefer it
-        hidden = qparams["transformer"]["resblocks_0"]["mlp/c_fc"][
-            "w8"].shape[1]
-        s_pad16 = ((s + 15) // 16) * 16
-        est = ((4 * width * width + 2 * width * hidden)      # int8 weights
-               + s_pad16 * 3 * width * 4                     # qkv f32
-               + 3 * s_pad16 * width * 4                     # x/y1/out f32
-               + s_pad16 * hidden * 4                        # hidden f32
-               + s_pad16 * s_pad16 * 4)                      # score matrix
-        merge = not attn_split and est <= 15 * 2 ** 20
-
-        for i in range(config.vision_layers):
-            blk = qparams["transformer"][f"resblocks_{i}"]
-            ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
-            fc, pr = blk["mlp/c_fc"], blk["mlp/c_proj"]
-            if merge:
-                x = quant_full_block_fused(
-                    x, ip["w8"], ip["scale"], ip["bias"],
-                    op["w8"], op["scale"], op["bias"],
-                    blk["ln_1"]["scale"], blk["ln_1"]["bias"],
-                    fc["w8"], fc["scale"], fc["bias"],
-                    pr["w8"], pr["scale"], pr["bias"],
-                    blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                    heads, mlp_chunks=1, interpret=interpret)
-                continue
-            if attn_split:
-                n_groups = (heads // 2 if heads % 2 == 0 and heads >= 2
-                            else heads)
-                wg, sg, bg, og = regroup_attn_weights(
-                    ip["w8"], ip["scale"], ip["bias"], op["w8"],
-                    heads, n_groups)
-                x = quant_attn_block_split(
-                    x, wg, sg, bg, og, op["scale"], op["bias"],
-                    blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
-                    n_groups, interpret=interpret)
-            else:
-                x = quant_attn_block_fused(
-                    x, ip["w8"], ip["scale"], ip["bias"],
-                    op["w8"], op["scale"], op["bias"],
-                    blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
-                    interpret=interpret)
-            x2 = quant_mlp_block_fused(
-                x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
-                pr["w8"], pr["scale"], pr["bias"],
-                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                interpret=interpret)
-            x = x2.reshape(b, s, width)
+        x = apply_int8_vit_blocks(qparams["transformer"], x, config,
+                                  start=0, stop=config.vision_layers,
+                                  interpret=interpret)
         x2 = x.reshape(b * s, width)
     else:
         x2 = x.reshape(b * s, width)

@@ -228,3 +228,46 @@ def test_peft_fused_prefix_len_siglip(monkeypatch):
     assert fast_vit.peft_fused_prefix_len(cfg, 1) == 2  # head only
     assert fast_vit.peft_fused_prefix_len(cfg, 2) == 1
     assert fast_vit.peft_fused_prefix_len(cfg, 4) == 0
+
+
+def test_hybrid_quant_prefix_forward_and_grads(bundle, rng):
+    """int8 frozen prefix (qprefix): forward within int8 tolerance of the
+    canonical tower; suffix grads flow; prefix grads identically zero."""
+    import jax
+
+    from flax import traverse_util
+
+    from aihab_clip_tpu.models.fast_vit import vit_encode_hybrid
+    from aihab_clip_tpu.models.quant_vit import quantize_vit_block
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    n_prefix = 2
+    qprefix = {
+        f"resblocks_{i}": quantize_vit_block(
+            bundle.params["visual"]["transformer"][f"resblocks_{i}"])
+        for i in range(n_prefix)}
+
+    ref = np.asarray(bundle.model.apply(
+        {"params": bundle.params}, x, method=CLIPModel.encode_image))
+    out = np.asarray(vit_encode_hybrid(
+        bundle.params, x, TINY, n_prefix, dtype=jnp.float32,
+        interpret=True, qprefix=qprefix))
+    cos = np.sum(ref * out, -1) / (np.linalg.norm(ref, axis=-1)
+                                   * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.99), cos
+
+    def loss_hybrid(params):
+        _, post = vit_encode_hybrid(params, x, TINY, n_prefix, project=True,
+                                    dtype=jnp.float32, interpret=True,
+                                    qprefix=qprefix)
+        return jnp.sum(jnp.sin(post.astype(jnp.float32)))
+
+    g = traverse_util.flatten_dict(jax.grad(loss_hybrid)(bundle.params))
+    suffix = [k for k in g if k[:2] == ("visual", "transformer")
+              and int(k[2].rsplit("_", 1)[1]) >= n_prefix]
+    assert suffix and any(np.any(np.asarray(g[k])) for k in suffix)
+    prefix = [k for k in g if k[:2] == ("visual", "transformer")
+              and int(k[2].rsplit("_", 1)[1]) < n_prefix]
+    assert prefix
+    for k in prefix:
+        assert not np.any(np.asarray(g[k])), "/".join(map(str, k))

@@ -324,3 +324,46 @@ def test_finetune_siglip_fused_prefix_smoke(data):
                                      np.asarray(flat1[k]))
                   for k, m in flat_m.items() if m)
     assert changed > 0
+
+
+def test_finetune_fused_prefix_quant(bundle, data):
+    """PEFT with the int8 frozen prefix (prefix_quant=True, interpret-mode
+    Pallas on CPU): frozen leaves stay put, trainables move, the epoch-scan
+    and per-step regimes agree step-for-step (both quantize in-jit from the
+    same frozen params)."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+    base = dict(resolution=24, num_classes=20, lr=2e-3, epochs=1,
+                crop_mode="center", tune_text=False, fused_prefix=2,
+                prefix_quant=True)
+    kw = dict(text_weights=head["text_weights"], unlocked_groups=2, seed=0,
+              verbose=False)
+    import jax
+
+    # the epoch scan DONATES its trainable buffers — hand it a copy so the
+    # module-scoped bundle.params stay alive for the per-step run
+    params_copy = jax.tree.map(jnp.array, bundle.params)
+    out_s = finetune(bundle.model, params_copy, data.train, None,
+                     data.test, PEFTConfig(device_dataset=True, **base), **kw)
+    out_p = finetune(bundle.model, bundle.params, data.train, None,
+                     data.test, PEFTConfig(device_dataset=False, **base),
+                     **kw)
+
+    flat0 = traverse_util.flatten_dict(bundle.params)
+    flat_s = traverse_util.flatten_dict(out_s["params"])
+    flat_p = traverse_util.flatten_dict(out_p["params"])
+    flat_m = traverse_util.flatten_dict(out_s["mask"])
+    changed = 0
+    for k, m in flat_m.items():
+        if not m:
+            np.testing.assert_array_equal(np.asarray(flat0[k]),
+                                          np.asarray(flat_s[k]))
+        else:
+            changed += not np.array_equal(np.asarray(flat0[k]),
+                                          np.asarray(flat_s[k]))
+            np.testing.assert_allclose(np.asarray(flat_s[k]),
+                                       np.asarray(flat_p[k]),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg="/".join(map(str, k)))
+    assert changed > 0
+    assert out_s["test"] is not None

@@ -262,3 +262,46 @@ def test_siglip_hybrid_suffix_grads_match_canonical(tiny_bundle):
     assert prefix
     for k in prefix:
         assert not np.any(np.asarray(g_hyb[k])), "/".join(map(str, k))
+
+
+def test_siglip_hybrid_quant_prefix(tiny_bundle):
+    """int8 frozen prefix through the SigLIP hybrid: forward within int8
+    tolerance; prefix grads zero."""
+    import jax
+
+    from flax import traverse_util
+
+    from aihab_clip_tpu.models.fast_siglip import siglip_encode_hybrid
+    from aihab_clip_tpu.models.quant_siglip import quantize_siglip_block
+
+    b = tiny_bundle
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    n_prefix = 1
+    qprefix = {"resblocks_0": quantize_siglip_block(
+        b.params["visual"]["transformer"]["resblocks_0"])}
+
+    ref = np.asarray(b.model.apply({"params": b.params}, x,
+                                   method=type(b.model).encode_image))
+    out = np.asarray(siglip_encode_hybrid(
+        b.params, x, b.config, n_prefix, dtype=jnp.float32, interpret=True,
+        qprefix=qprefix))
+    cos = np.sum(ref * out, -1) / (np.linalg.norm(ref, axis=-1)
+                                   * np.linalg.norm(out, axis=-1))
+    assert np.all(cos > 0.99), cos
+
+    def loss_hybrid(params):
+        out = siglip_encode_hybrid(params, x, b.config, n_prefix,
+                                   dtype=jnp.float32, interpret=True,
+                                   qprefix=qprefix)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    g = traverse_util.flatten_dict(jax.grad(loss_hybrid)(b.params))
+    prefix = [k for k in g
+              if k[:3] == ("visual", "transformer", "resblocks_0")]
+    assert prefix
+    for k in prefix:
+        assert not np.any(np.asarray(g[k])), "/".join(map(str, k))
+    suffix = [k for k in g
+              if k[:3] == ("visual", "transformer", "resblocks_1")]
+    assert suffix and any(np.any(np.asarray(g[k])) for k in suffix)

@@ -6,8 +6,10 @@ Default: ViT-B/16 @224 b64, unlocked_groups=2 (head + last block
 trainable -> 11 frozen bottom blocks).  `--model siglip`: SO400M @384
 b32, unlocked_groups=11 (the reference default) -> 17 frozen blocks.
 
+`--quant` adds an int8-frozen-prefix arm (`prefix_quant=True`).
+
 Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/ab_peft_hybrid.py \
-           [E_long] [--model vitb|siglip]
+           [E_long] [--model vitb|siglip] [--quant] [--skip-canonical]
 """
 
 from __future__ import annotations
@@ -36,19 +38,26 @@ def main():
         i = argv.index("--model")
         siglip = argv[i + 1] == "siglip"
         del argv[i:i + 2]
+    quant = "--quant" in argv
+    skip_canonical = "--skip-canonical" in argv
     args = [a for a in argv if not a.startswith("--")]
     e_long = int(args[0]) if args else 10
     e_short = 2
     log(f"device: {jax.devices()[0]}")
+    # bf16 COMPUTE dtype on the canonical module — the runner loads models
+    # with compute_dtype_for_backend() (bf16 on TPU); loading with the
+    # fp32 default would pit an fp32 canonical arm against a bf16 hybrid
+    # and invalidate the A/B (params stay fp32, as in production)
     if siglip:
         # init on the host CPU backend: the full fp32 model (incl. the
         # ~1.2 GB text embedding) next to Adam state + b16@384 backward
         # activations exceeds v5e HBM if initialized on device
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            bundle = load("random:ViT-SO400M-16-SigLIP2-384", seed=0)
+            bundle = load("random:ViT-SO400M-16-SigLIP2-384", seed=0,
+                          dtype=jnp.bfloat16)
         n, bs, groups = 256, 16, 11  # reference-default unlock depth
     else:
-        bundle = load("random:ViT-B/16", seed=0)
+        bundle = load("random:ViT-B/16", seed=0, dtype=jnp.bfloat16)
         n, bs, groups = 512, 64, 2
     model, params, config = bundle.model, bundle.params, bundle.config
     prefix = config.vision_layers + 1 - groups
@@ -78,16 +87,22 @@ def main():
         frozen = jax.device_put(frozen, dev)
     trainable0_host = jax.tree.map(np.asarray, trainable0)
 
+    variants = [(0, False), (prefix, False), (0, False)]
+    if quant:
+        variants = [(0, False), (prefix, False), (prefix, True), (0, False)]
+    if skip_canonical:
+        variants = [v for v in variants if v[0] != 0]
+
     results = {}
-    for fused_prefix in (0, prefix, 0):
+    for fused_prefix, pq in variants:
         cfg = PEFTConfig(resolution=res, num_classes=20, lr=5e-5, epochs=1,
                          crop_mode="random", flip=True, rotation=True,
                          compute_dtype=jnp.bfloat16,
-                         fused_prefix=fused_prefix)
+                         fused_prefix=fused_prefix, prefix_quant=pq)
         opt, epoch_fn = make_epoch_scan(model, cfg, tw, None)
-        tag = (f"fused_prefix={fused_prefix}"
-               + ("" if f"fused_prefix={fused_prefix}" not in results
-                  else " (re)"))
+        base_tag = (f"fused_prefix={fused_prefix}"
+                    + (" int8" if pq else ""))
+        tag = base_tag + ("" if base_tag not in results else " (re)")
 
         def run(n_epochs):
             trainable = jax.tree.map(jnp.asarray, trainable0_host)
