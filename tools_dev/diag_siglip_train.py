@@ -1,0 +1,222 @@
+"""Isolate the canonical SO400M train-graph pathology (PERF_NOTES.md:
+456 ms/step at b16@384 vs ~125 ms predicted from a 50%-MFU fwd+bwd
+composition; the frozen-prefix hybrid runs 76.7 ms).
+
+The canonical and hybrid PEFT arms share the trainable-suffix math
+(`_canonical_siglip_block`) and differ ONLY in the embed + frozen-prefix
+forward (module `nn.Conv` + XLA blocks vs matmul patchify + fused Pallas
+blocks), so ~380 ms hides in a 17-block FORWARD that should cost ~50 ms.
+This tool times each candidate in isolation (chained fori_loop, scalar
+fetch — the axon tunnel executes lazily):
+
+  embed-conv / embed-matmul        nn.Conv vs reshape+matmul patchify, fwd
+  fwd-module / fwd-purefn / fwd-fused
+                                   full 27-block tower forward: Flax
+                                   module vs plain-jnp canonical blocks
+                                   vs whole-block Pallas kernels
+  sufgrad-module / sufgrad-purefn  grad wrt the top-10-block suffix
+                                   (unlocked_groups=11) through either
+                                   forward — the A/B's step sans Adam/aug
+
+Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/diag_siglip_train.py \
+           [--only embed,fwd,sufgrad] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed_chain(fn, n_short=2, n_long=6, label=""):
+    """fn(n) -> scalar float, chaining n iterations on device."""
+    t0 = time.perf_counter()
+    fn(n_short)
+    log(f"  {label}: compile+run {time.perf_counter() - t0:.0f}s")
+    fn(n_long)
+    t0 = time.perf_counter()
+    fn(n_short)
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fn(n_long)
+    tl = time.perf_counter() - t0
+    ms = (tl - ts) / (n_long - n_short) * 1e3
+    log(f"  {label}: {ms:.1f} ms/iter")
+    return round(ms, 2)
+
+
+def main():
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import (
+        _canonical_siglip_block,
+        _map_pool,
+        _siglip_embed,
+        siglip_encode_fast,
+    )
+    from aihab_clip_tpu.models.siglip import SigLIPVisionTower
+
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    bs = 16
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        bs = int(argv[i + 1])
+        del argv[i:i + 2]
+    model_name = "random:ViT-SO400M-16-SigLIP2-384"
+    if "--model" in argv:  # e.g. random:SigLIP-Tiny for a CPU smoke
+        i = argv.index("--model")
+        model_name = argv[i + 1]
+        del argv[i:i + 2]
+
+    def want(group):
+        return only is None or group in only
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        bundle = load(model_name, seed=0, dtype=jnp.bfloat16)
+    config = bundle.config
+    vp = jax.device_put(bundle.params["visual"], dev)
+    del bundle
+
+    res = config.image_resolution
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((bs, res, res, 3)).astype(
+        np.float32)).astype(jnp.bfloat16)
+    x0 = jax.device_put(x0, dev)
+
+    tower = SigLIPVisionTower(config, dtype=jnp.bfloat16,
+                              param_dtype=jnp.float32)
+
+    def vary(x, i):
+        return x + (i.astype(jnp.bfloat16) * 1e-3)
+
+    def chain(body):
+        @partial(jax.jit, static_argnames=("n",))
+        def run(vp, x, n):
+            def step(i, acc):
+                return acc + body(vp, vary(x, i))
+            return jax.lax.fori_loop(0, n, step, jnp.zeros((), jnp.float32))
+        return lambda n: float(run(vp, x0, n))
+
+    results = {}
+
+    # --- embed: nn.Conv vs matmul patchify (forward only) ---------------
+    if want("embed"):
+        # the tower has no embed-only method; time the conv primitive the
+        # way nn.Conv lowers it (same dimension_numbers / dtypes)
+        kernel = jnp.asarray(vp["conv1"]["kernel"], jnp.float32)
+        bias = jnp.asarray(vp["conv1"]["bias"], jnp.float32)
+        p = config.patch_size
+
+        def conv_embed(vp, x):
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(jnp.bfloat16), (p, p), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum((y + bias.astype(jnp.bfloat16)).astype(
+                jnp.float32))
+
+        def matmul_embed(vp, x):
+            y = _siglip_embed(vp, x, config, jnp.bfloat16)
+            return jnp.sum(y.astype(jnp.float32))
+
+        results["embed-conv"] = timed_chain(chain(conv_embed),
+                                            label="embed-conv")
+        results["embed-matmul"] = timed_chain(chain(matmul_embed),
+                                              label="embed-matmul")
+
+    # --- full-tower forward: module vs pure-fn vs fused ------------------
+    def purefn_encode(vp, x):
+        h = _siglip_embed(vp, x, config, jnp.bfloat16)
+        for i in range(config.vision_layers):
+            h = _canonical_siglip_block(
+                h, vp["transformer"][f"resblocks_{i}"],
+                config.vision_heads, jnp.bfloat16)
+        return _map_pool(vp, h, config, jnp.bfloat16)
+
+    if want("fwd"):
+        def fwd_module(vp, x):
+            pooled = tower.apply({"params": vp}, x)
+            return jnp.sum(pooled.astype(jnp.float32))
+
+        def fwd_purefn(vp, x):
+            return jnp.sum(purefn_encode(vp, x).astype(jnp.float32))
+
+        def fwd_fused(vp, x):
+            pooled = siglip_encode_fast({"visual": vp}, x, config)
+            return jnp.sum(pooled.astype(jnp.float32))
+
+        results["fwd-module"] = timed_chain(chain(fwd_module),
+                                            label="fwd-module")
+        results["fwd-purefn"] = timed_chain(chain(fwd_purefn),
+                                            label="fwd-purefn")
+        if dev.platform == "tpu":  # Pallas kernels
+            results["fwd-fused"] = timed_chain(chain(fwd_fused),
+                                               label="fwd-fused")
+
+    # --- suffix-grad (the PEFT step sans Adam/aug/text) ------------------
+    if want("sufgrad"):
+        # unlocked_groups=11 -> top 10 blocks + head trainable (SO400M: 17)
+        n_prefix = max(1, config.vision_layers - 10)
+        suffix_keys = ([f"resblocks_{i}" for i in
+                        range(n_prefix, config.vision_layers)])
+
+        def split(vp):
+            trainable = {"transformer": {k: vp["transformer"][k]
+                                         for k in suffix_keys},
+                         "attnpool": vp["attnpool"],
+                         "ln_post": vp["ln_post"]}
+            return trainable
+
+        def merge(vp, trainable):
+            merged = dict(vp)
+            merged["transformer"] = dict(vp["transformer"])
+            for k in suffix_keys:
+                merged["transformer"][k] = trainable["transformer"][k]
+            merged["attnpool"] = trainable["attnpool"]
+            merged["ln_post"] = trainable["ln_post"]
+            return merged
+
+        def make_sufgrad(encode):
+            def body(vp, x):
+                trainable = split(vp)
+
+                def loss(tr):
+                    pooled = encode(merge(vp, tr), x)
+                    return jnp.sum(jnp.square(pooled.astype(jnp.float32)))
+
+                l, g = jax.value_and_grad(loss)(trainable)
+                gleaf = g["transformer"][suffix_keys[0]]["mlp"]["c_fc"][
+                    "kernel"]
+                return l + jnp.sum(gleaf.astype(jnp.float32)) * 0.0
+            return body
+
+        def module_encode(vpm, x):
+            return tower.apply({"params": vpm}, x)
+
+        results["sufgrad-module"] = timed_chain(
+            chain(make_sufgrad(module_encode)), label="sufgrad-module")
+        results["sufgrad-purefn"] = timed_chain(
+            chain(make_sufgrad(purefn_encode)), label="sufgrad-purefn")
+
+    log(f"batch {bs}; S={(res // config.patch_size) ** 2}; "
+        f"W={config.vision_width}; layers={config.vision_layers}")
+    print(results)
+
+
+if __name__ == "__main__":
+    main()
