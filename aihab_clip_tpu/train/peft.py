@@ -259,7 +259,10 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
     """Build the jitted PEFT step.
 
     Returns (opt, step) where step(trainable, frozen, opt_state, images_u8,
-    labels, valid, key, lr) -> (trainable, opt_state, metrics dict).
+    labels, valid, key, lr[, qprefix]) -> (trainable, opt_state, metrics
+    dict).  ``qprefix`` (from ``_quantize_prefix``) is quantized ONCE by
+    the caller — it is invariant across the run, and re-quantizing ~GBs of
+    frozen weights inside every step would tax the hot path.
 
     ``frozen`` params are a runtime ARGUMENT, never a closure constant:
     closing over a frozen tower embeds its weights into the compiled
@@ -299,8 +302,8 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
         return loss, (correct, n_valid)
 
     @jax.jit
-    def step(trainable, frozen, opt_state, images_u8, labels, valid, key, lr):
-        qprefix = _quantize_prefix(model, cfg, frozen)
+    def step(trainable, frozen, opt_state, images_u8, labels, valid, key,
+             lr, qprefix=None):
         (loss, (correct, n_valid)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable, frozen, images_u8, labels,
                                    valid, key, qprefix)
@@ -482,6 +485,22 @@ def finetune(
                   + "Pallas kernels"
                   + (" (shard_mapped over the data axis)"
                      if mesh is not None else ""))
+    elif cfg.fused_prefix > 0:
+        # explicit fused_prefix from config: every hybrid-prefix block must
+        # actually be frozen — a trainable block inside the prefix would get
+        # its gradients silently zeroed by the stop_gradient (bf16 path) or
+        # crash on a missing frozen leaf (int8 path)
+        max_prefix = max(0, ccfg.vision_layers + 1 - unlocked_groups)
+        if not ccfg.is_vit:
+            raise ValueError(
+                "finetune.fused_prefix > 0 requires a ViT-family vision "
+                "tower (the RN tower has no fused-prefix hybrid)")
+        if cfg.fused_prefix > max_prefix:
+            raise ValueError(
+                f"finetune.fused_prefix={cfg.fused_prefix} exceeds the "
+                f"frozen bottom depth ({max_prefix} blocks at "
+                f"unlocked_groups={unlocked_groups}); the prefix must be "
+                "entirely frozen")
     trainable, frozen = partition_params(params, mask)
     if mesh is not None:
         from ..parallel import shard_params
@@ -551,6 +570,14 @@ def finetune(
             print(f"[resume] restored epoch {start_epoch} "
                   f"(params{' + opt state' if 'opt_state' in restored else ''})"
                   f" from {resume_from}")
+
+    # int8 prefix for the per-step regime: quantize ONCE per run, after any
+    # resume re-partition (the frozen tree never changes during training);
+    # the scan/chunked regimes quantize once per epoch call inside their
+    # own jitted program
+    qprefix = None
+    if step is not None and cfg.fused_prefix > 0 and cfg.prefix_quant:
+        qprefix = jax.jit(partial(_quantize_prefix, model, cfg))(frozen)
 
     def current_text_weights(par) -> jax.Array:
         if cfg.tune_text:
@@ -652,7 +679,7 @@ def finetune(
                                                       step_num=bi):
                     trainable, opt_state, m = step(
                         trainable, frozen, opt_state, imgs, labs, val,
-                        key, lr_e)
+                        key, lr_e, qprefix)
                 run_loss += float(m["loss"])
                 run_batches += 1
                 correct += float(m["correct"])

@@ -367,3 +367,19 @@ def test_finetune_fused_prefix_quant(bundle, data):
                                        err_msg="/".join(map(str, k)))
     assert changed > 0
     assert out_s["test"] is not None
+
+
+def test_finetune_explicit_fused_prefix_validated(bundle, data):
+    """Explicit fused_prefix reaching into the trainable blocks is a hard
+    error (a trainable block inside the prefix would silently train on
+    zero gradients)."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+    # unlocked_groups=2 on the 3-layer TINY tower freezes blocks 0..1
+    with pytest.raises(ValueError, match="frozen bottom depth"):
+        finetune(bundle.model, bundle.params, data.train, None, data.test,
+                 PEFTConfig(resolution=24, num_classes=20, lr=2e-3,
+                            epochs=1, crop_mode="center", tune_text=False,
+                            fused_prefix=3),
+                 text_weights=head["text_weights"], unlocked_groups=2,
+                 seed=0, verbose=False)

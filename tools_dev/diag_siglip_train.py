@@ -118,17 +118,19 @@ def main():
     # --- embed: nn.Conv vs matmul patchify (forward only) ---------------
     if want("embed"):
         # the tower has no embed-only method; time the conv primitive the
-        # way nn.Conv lowers it (same dimension_numbers / dtypes)
-        kernel = jnp.asarray(vp["conv1"]["kernel"], jnp.float32)
-        bias = jnp.asarray(vp["conv1"]["bias"], jnp.float32)
+        # way nn.Conv lowers it (same dimension_numbers / dtypes); weights
+        # read from the vp ARGUMENT — closing over them would bake them
+        # into the compile payload and let XLA constant-fold the conv arm
         p = config.patch_size
 
         def conv_embed(vp, x):
             y = jax.lax.conv_general_dilated(
-                x, kernel.astype(jnp.bfloat16), (p, p), "VALID",
+                x, jnp.asarray(vp["conv1"]["kernel"], jnp.bfloat16),
+                (p, p), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return jnp.sum((y + bias.astype(jnp.bfloat16)).astype(
-                jnp.float32))
+            return jnp.sum(
+                (y + jnp.asarray(vp["conv1"]["bias"], jnp.bfloat16))
+                .astype(jnp.float32))
 
         def matmul_embed(vp, x):
             y = _siglip_embed(vp, x, config, jnp.bfloat16)
