@@ -285,3 +285,52 @@ def test_dp8_fused_prefix_hybrid_step_matches_single_device(bundle, head):
     # frozen-prefix leaves must not appear among the trainables at all
     assert not any(k[:3] == ("visual", "transformer", "resblocks_0")
                    for k in g_ref)
+
+
+def test_dp8_int8_prefix_hybrid_grads_match_single_device(bundle, head):
+    """The int8 frozen prefix (qprefix) composes with a pure-DP mesh: the
+    shard_mapped prefix broadcasts the quantized pytree (in_specs P()),
+    and suffix grads match the single-device int8-hybrid grads."""
+    from flax import traverse_util
+
+    from aihab_clip_tpu.models.quant_vit import quantize_vit_block
+    from aihab_clip_tpu.train.peft import _encode_projected, merge_params
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, size=(16, 24, 24, 3), dtype=np.uint8)
+    cfg = PEFTConfig(resolution=16, num_classes=20, lr=1e-3, epochs=1,
+                     crop_mode="center", fused_prefix=1, prefix_quant=True)
+    mask = build_lock_mask(bundle.params, TINY.vision_layers,
+                           TINY.transformer_layers, unlocked_groups=2)
+
+    def run_grads(mesh):
+        params = bundle.params if mesh is None else shard_params(
+            mesh, bundle.params)
+        trainable, frozen = partition_params(params, mask)
+        qprefix = {"resblocks_0": quantize_vit_block(
+            frozen["visual"]["transformer"]["resblocks_0"])}
+        x = jnp.asarray(images, jnp.float32) / 255.0
+        x = x[:, 4:20, 4:20, :]  # static 16x16 crop
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding(mesh))
+
+        def loss_fn(tr):
+            par = merge_params(tr, frozen)
+            _, feats = _encode_projected(bundle.model, cfg, par, x,
+                                         mesh=mesh, qprefix=qprefix)
+            return jnp.sum(jnp.sin(feats.astype(jnp.float32)))
+
+        return traverse_util.flatten_dict(jax.jit(jax.grad(loss_fn))(
+            trainable))
+
+    g_ref = run_grads(None)
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        g_dp = run_grads(mesh)
+    assert set(g_ref) == set(g_dp)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_dp[k]), np.asarray(g_ref[k]),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg="/".join(map(str, k)))
+    assert not any(k[:3] == ("visual", "transformer", "resblocks_0")
+                   for k in g_ref)
