@@ -17,9 +17,16 @@ fetch — the axon tunnel executes lazily):
   sufgrad-module / sufgrad-purefn  grad wrt the top-10-block suffix
                                    (unlocked_groups=11) through either
                                    forward — the A/B's step sans Adam/aug
+  sufgrad-*-xlaattn                same, FUSED_MIN_SEQ raised so the
+                                   suffix attention takes the plain XLA
+                                   path instead of the Pallas forward +
+                                   recompute-XLA-backward custom VJP
+  attn                             one attention op at tower shape:
+                                   fwd and fwd+grad, fused vs XLA —
+                                   isolates the custom-VJP recompute
 
 Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/diag_siglip_train.py \
-           [--only embed,fwd,sufgrad] [--batch 16]
+           [--only embed,fwd,sufgrad,attn] [--batch 16]
 """
 
 from __future__ import annotations
@@ -214,6 +221,73 @@ def main():
             chain(make_sufgrad(module_encode)), label="sufgrad-module")
         results["sufgrad-purefn"] = timed_chain(
             chain(make_sufgrad(purefn_encode)), label="sufgrad-purefn")
+
+        # ablate the attention impl: FUSED_MIN_SEQ raised past S forces
+        # the plain-XLA dispatch at trace time (each timed_chain call
+        # builds a fresh jit, so the flag takes effect per arm)
+        from aihab_clip_tpu.ops import attention as attn_mod
+
+        old_min_seq = attn_mod.FUSED_MIN_SEQ
+        attn_mod.FUSED_MIN_SEQ = 1 << 30
+        try:
+            results["sufgrad-module-xlaattn"] = timed_chain(
+                chain(make_sufgrad(module_encode)),
+                label="sufgrad-module-xlaattn")
+            results["sufgrad-purefn-xlaattn"] = timed_chain(
+                chain(make_sufgrad(purefn_encode)),
+                label="sufgrad-purefn-xlaattn")
+        finally:
+            attn_mod.FUSED_MIN_SEQ = old_min_seq
+
+    # --- one attention op, fwd and fwd+grad, fused vs XLA ----------------
+    if want("attn"):
+        from aihab_clip_tpu.ops.attention import attention
+
+        s = (res // config.patch_size) ** 2
+        w = config.vision_width
+        heads = config.vision_heads
+        qkv0 = jnp.asarray(
+            rng.standard_normal((3, bs, s, w)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        qkv0 = jax.device_put(qkv0, dev)
+
+        def attn_chain(body):
+            @partial(jax.jit, static_argnames=("n",))
+            def run(qkv, n):
+                def step(i, acc):
+                    return acc + body(vary(qkv, i))
+                return jax.lax.fori_loop(0, n, step,
+                                         jnp.zeros((), jnp.float32))
+            return lambda n: float(run(qkv0, n))
+
+        def make_fwd(use_fused):
+            def body(qkv):
+                o = attention(qkv[0], qkv[1], qkv[2], heads,
+                              use_fused=use_fused)
+                return jnp.sum(o.astype(jnp.float32))
+            return body
+
+        def make_grad(use_fused):
+            def body(qkv):
+                def loss(t):
+                    o = attention(t[0], t[1], t[2], heads,
+                                  use_fused=use_fused)
+                    return jnp.sum(jnp.square(o.astype(jnp.float32)))
+                l, g = jax.value_and_grad(loss)(qkv)
+                return l + jnp.sum(g[0].astype(jnp.float32)) * 0.0
+            return body
+
+        on_tpu = dev.platform == "tpu"
+        if on_tpu:
+            results["attn-fwd-fused"] = timed_chain(
+                attn_chain(make_fwd(True)), label="attn-fwd-fused")
+        results["attn-fwd-xla"] = timed_chain(
+            attn_chain(make_fwd(False)), label="attn-fwd-xla")
+        if on_tpu:
+            results["attn-grad-fused"] = timed_chain(
+                attn_chain(make_grad(True)), label="attn-grad-fused")
+        results["attn-grad-xla"] = timed_chain(
+            attn_chain(make_grad(False)), label="attn-grad-xla")
 
     log(f"batch {bs}; S={(res // config.patch_size) ** 2}; "
         f"W={config.vision_width}; layers={config.vision_layers}")
