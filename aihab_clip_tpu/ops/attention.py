@@ -15,8 +15,12 @@ Measured reality on v5e:
 The dispatcher therefore selects the kernel for non-causal sequences of
 >= 512 tokens on TPU and XLA below that.
 
-Backward: ``fused_attention`` carries a custom VJP whose backward pass
-recomputes through the plain XLA formulation.
+Backward: ``fused_attention`` carries a custom VJP backed by a second
+Pallas kernel (``_attn_bwd_kernel``): one program per (image,
+head-group) recomputes the masked softmax in VMEM from the saved q/k/v
+(flash-style — no [B, H, S, S] probability tensor is saved to or read
+from HBM) and emits dq/dk/dv in the same pass.  Off-TPU the backward
+falls back to differentiating the plain XLA formulation.
 """
 
 from __future__ import annotations
@@ -122,6 +126,102 @@ def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.transpose(0, 2, 1, 3)[:, :s, :].reshape(b, s, w)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     *, seq_len: int, head_dim: int):
+    """Blocks: all [1, G, S_pad, D].  Recomputes the masked softmax from
+    q/k (same fp32 scheme as the forward) and emits all three input
+    gradients; the [S, S] temporaries (scores, p, dp, ds) live only in
+    VMEM and are reused across the unrolled head iterations.
+
+    Padded QUERY rows carry zero cotangents (the caller zero-pads g), so
+    their contributions vanish; padded KEY columns have p ~ 0 through the
+    -1e30 score mask, which zeroes their ds/dk/dv in turn."""
+    g_heads = q_ref.shape[1]
+    s_pad = q_ref.shape[2]
+    scale = jnp.float32(1.0 / math.sqrt(head_dim))
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+    for gi in range(g_heads):
+        q = q_ref[0, gi]
+        k = k_ref[0, gi]
+        v = v_ref[0, gi]
+        dout = g_ref[0, gi]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [S, S] fp32
+        scores = jnp.where(key_ok, scores, jnp.float32(-1e30))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)           # fp32
+        pb = p.astype(v.dtype)
+        # dv = p^T @ g   (contract the query axis)
+        dv = jax.lax.dot_general(pb, dout, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv_ref[0, gi] = dv.astype(dv_ref.dtype)
+        # dp = g @ v^T ; ds = p * (dp - rowsum(dp * p)) * scale
+        dp = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              * scale).astype(q.dtype)
+        dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_ref[0, gi] = dq.astype(dq_ref.dtype)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk_ref[0, gi] = dk.astype(dk_ref.dtype)
+
+
+def _bwd_heads_per_program(num_heads: int, s_pad: int, head_dim: int,
+                           itemsize: int) -> int:
+    """The backward program moves 7 blocks (q/k/v/g in, dq/dk/dv out) and
+    holds ~4 [S_pad, S_pad] fp32 temporaries, so its head-group budget is
+    tighter than the forward's; capped at 2 (4 exceeds VMEM next to the
+    temporaries at SigLIP-384 shapes)."""
+    budget = 2 * 1024 * 1024  # bytes for the 7 blocks, pre double-buffering
+    for g in (2, 1):
+        if num_heads % g:
+            continue
+        if 7 * g * s_pad * head_dim * itemsize <= budget:
+            return g
+    return 1
+
+
+def _pallas_attention_bwd(q: jax.Array, k: jax.Array, v: jax.Array,
+                          g: jax.Array, num_heads: int,
+                          interpret: bool = False,
+                          heads_per_program: int | None = None):
+    """VJP of ``_pallas_attention`` w.r.t. (q, k, v); g is the output
+    cotangent, all [B, S, W]."""
+    b, s, w = q.shape
+    head_dim = w // num_heads
+    s_pad = _round_up(s, 16)
+    if heads_per_program is None:
+        heads_per_program = _bwd_heads_per_program(
+            num_heads, s_pad, head_dim, q.dtype.itemsize)
+    hpp = heads_per_program
+
+    def split(t):
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        return t.reshape(b, s_pad, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    spec = pl.BlockSpec((1, hpp, s_pad, head_dim), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, num_heads, s_pad, head_dim), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_bwd_kernel, seq_len=s, head_dim=head_dim),
+        out_shape=(shape, shape, shape),
+        grid=(b, num_heads // hpp),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(split(q), split(k), split(v), split(g))
+
+    def merge(t):
+        return t.transpose(0, 2, 1, 3)[:, :s, :].reshape(b, s, w)
+
+    return merge(dq), merge(dk), merge(dv)
+
+
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    num_heads: int) -> jax.Array:
     b, s, w = q.shape
@@ -134,18 +234,22 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, s, w)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention(q, k, v, num_heads: int):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, num_heads: int, interpret: bool = False):
     """Fused multi-head attention over packed-head inputs [B, S, W]."""
-    return _pallas_attention(q, k, v, num_heads)
+    return _pallas_attention(q, k, v, num_heads, interpret=interpret)
 
 
-def _fused_fwd(q, k, v, num_heads):
-    return _pallas_attention(q, k, v, num_heads), (q, k, v)
+def _fused_fwd(q, k, v, num_heads, interpret):
+    return _pallas_attention(q, k, v, num_heads, interpret=interpret), \
+        (q, k, v)
 
 
-def _fused_bwd(num_heads, res, g):
+def _fused_bwd(num_heads, interpret, res, g):
     q, k, v = res
+    if dispatch_backend() == "tpu" or interpret:
+        return _pallas_attention_bwd(q, k, v, g, num_heads,
+                                     interpret=interpret)
     _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, num_heads),
                      q, k, v)
     return vjp(g)
@@ -171,7 +275,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     # matrix per program — past ~1500 tokens that alone exceeds VMEM
     if (use_fused and not causal and dispatch_backend() == "tpu"
             and q.shape[1] <= 1536):
-        return fused_attention(q, k, v, num_heads)
+        return fused_attention(q, k, v, num_heads, False)
     b, s, w = q.shape
     head_dim = w // num_heads
 

@@ -56,6 +56,44 @@ def test_fused_vjp_matches_xla_grad(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("s", [64, 100, 197])
+def test_pallas_bwd_kernel_matches_xla_grad(rng, s):
+    """The Pallas backward kernel (interpret mode) must reproduce the XLA
+    attention gradients, including with padded key columns (s=100, 197
+    pad to 112, 208)."""
+    q, k, v = _qkv(rng, b=2, s=s)
+    gct = jnp.asarray(
+        np.random.default_rng(7).standard_normal(q.shape).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, 2) * gct)
+
+    ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, 2, True) * gct)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_pallas_bwd_head_grouping_invariant(rng):
+    """dq/dk/dv must not depend on the head-group size."""
+    from aihab_clip_tpu.ops.attention import _pallas_attention_bwd
+
+    q, k, v = _qkv(rng, b=1, s=64, w=256)  # 4 heads of 64
+    gct = jnp.asarray(
+        np.random.default_rng(3).standard_normal(q.shape).astype(np.float32))
+    outs = [_pallas_attention_bwd(q, k, v, gct, 4, interpret=True,
+                                  heads_per_program=hpp)
+            for hpp in (1, 2, 4)]
+    for other in outs[1:]:
+        for a, b in zip(outs[0], other):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 def test_attention_dispatch_causal_matches(rng):
     q, k, v = _qkv(rng, b=1, s=32)
     out = attention(q, k, v, 2, causal=True)
