@@ -71,22 +71,48 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
-def param_pspec(path: str, tp: bool) -> P:
-    """PartitionSpec for a '/'-joined param path."""
+def param_pspec(path: str, tp: bool, fsdp: bool = False,
+                shape: Optional[Tuple[int, ...]] = None,
+                data_size: int = 1) -> P:
+    """PartitionSpec for a '/'-joined param path.
+
+    ``fsdp`` additionally shards the largest still-unsharded dimension
+    divisible by the data-axis size over ``data`` (ZeRO-3 style: the
+    GSPMD partitioner inserts the forward/backward all-gathers and turns
+    the gradient all-reduce into a reduce-scatter; Adam moments inherit
+    the param shardings through ``opt.init``, so optimizer memory scales
+    down with the data axis too)."""
+    spec = P()
     if tp:
-        for pattern, spec in _TP_RULES:
+        for pattern, s in _TP_RULES:
             if re.match(pattern, path):
-                return spec
-    return P()
+                spec = s
+                break
+    if fsdp and shape is not None and data_size > 1:
+        dims = list(spec) + [None] * (len(shape) - len(spec))
+        best = None
+        for i, d in enumerate(shape):
+            if dims[i] is None and d % data_size == 0:
+                if best is None or d > shape[best]:
+                    best = i
+        if best is not None:
+            dims[best] = DATA_AXIS
+            spec = P(*dims)
+    return spec
 
 
-def param_shardings(mesh: Mesh, params) -> dict:
+def param_shardings(mesh: Mesh, params, fsdp: bool = False) -> dict:
     """NamedSharding pytree for a param tree (TP rules active when the
-    model axis has more than one device)."""
+    model axis has more than one device; ``fsdp`` adds data-axis weight
+    sharding per ``param_pspec``)."""
     tp = mesh.shape[MODEL_AXIS] > 1
+    data_size = mesh.shape[DATA_AXIS]
     flat = _flatten(params)
-    specs = {path: NamedSharding(mesh, param_pspec(path, tp))
-             for path in flat}
+    specs = {path: NamedSharding(
+        mesh, param_pspec(path, tp, fsdp=fsdp,
+                          shape=tuple(getattr(leaf, "shape", ())),
+                          data_size=data_size))
+        for path, leaf in flat.items()}
     return _unflatten(specs)
 
 
@@ -111,10 +137,10 @@ def _unflatten(flat: dict):
     return out
 
 
-def shard_params(mesh: Mesh, params):
-    """Place a param tree on the mesh per the TP rules (replicated when
-    model axis is 1)."""
-    shardings = param_shardings(mesh, params)
+def shard_params(mesh: Mesh, params, fsdp: bool = False):
+    """Place a param tree on the mesh per the TP (+ optional FSDP) rules
+    (replicated when model axis is 1 and fsdp is off)."""
+    shardings = param_shardings(mesh, params, fsdp=fsdp)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 

@@ -346,6 +346,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         prefix_quant=bool(ft_cfg.get("fused_prefix_quant", False)),
     )
 
+    mesh = _build_mesh(cfg)
     checkpoint_fn = None
     if pcfg.checkpoint_interval and bool(ft_cfg.get("save_model", False)):
         def checkpoint_fn(par, opt_state, epoch):
@@ -367,7 +368,9 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         logger=logger,
         checkpoint_fn=checkpoint_fn,
         resume_from=resume_from,
-        mesh=_build_mesh(cfg),
+        mesh=mesh,
+        fsdp=(mesh is not None
+              and bool((cfg.get("parallel", {}) or {}).get("fsdp", False))),
     )
 
     # checkpoint

@@ -444,6 +444,7 @@ def finetune(
     checkpoint_fn=None,
     resume_from=None,
     mesh=None,
+    fsdp: bool = False,
 ) -> Dict[str, Any]:
     """Run the PEFT loop.  Returns the reference's result contract:
     {val: {...}|None, test: {...}|None, params, tracker, report}.
@@ -459,8 +460,17 @@ def finetune(
     params placed per the TP rules (replicated when model axis is 1),
     batches sharded over ``data``, gradient all-reduce inserted by GSPMD
     over ICI.  The scan/chunked epoch regimes are single-device dispatch
-    optimizations and fall back to the per-step loop under a mesh."""
+    optimizations and fall back to the per-step loop under a mesh.
+
+    ``fsdp``: additionally shard params AND Adam moments over the data
+    axis (ZeRO-3 style; see ``parallel.param_pspec``) — for towers whose
+    replicated params + optimizer state would not fit per-chip HBM (e.g.
+    SO400M + fp32 Adam moments).  GSPMD inserts the all-gathers; the
+    fused-prefix hybrid is disabled (its shard_map prefix assumes
+    replicated weights)."""
     ccfg = model.config
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a mesh")
     mask = build_lock_mask(
         params,
         vision_layers=(ccfg.vision_layers if ccfg.is_vit else 0),
@@ -470,6 +480,11 @@ def finetune(
         unlocked_text_layers=unlocked_text_layers,
         is_vit=ccfg.is_vit,
     )
+    if fsdp and cfg.fused_prefix != 0:
+        if cfg.fused_prefix > 0 and verbose:
+            print("[peft] fused_prefix disabled under fsdp "
+                  "(the fused prefix assumes replicated weights)")
+        cfg = dataclasses.replace(cfg, fused_prefix=0)
     if cfg.fused_prefix < 0:
         from ..models.fast_vit import peft_fused_prefix_len
 
@@ -505,8 +520,8 @@ def finetune(
     if mesh is not None:
         from ..parallel import shard_params
 
-        trainable = shard_params(mesh, trainable)
-        frozen = shard_params(mesh, frozen)
+        trainable = shard_params(mesh, trainable, fsdp=fsdp)
+        frozen = shard_params(mesh, frozen, fsdp=fsdp)
     report = trainable_report(mask)
     if verbose:
         print(f"Trainable params: {report['num_trainable']} "
@@ -563,8 +578,8 @@ def finetune(
         if mesh is not None:
             from ..parallel import shard_params
 
-            trainable = shard_params(mesh, trainable)
-            frozen = shard_params(mesh, frozen)
+            trainable = shard_params(mesh, trainable, fsdp=fsdp)
+            frozen = shard_params(mesh, frozen, fsdp=fsdp)
         start_epoch = int(restored["meta"].get("epoch", 0))
         if verbose:
             print(f"[resume] restored epoch {start_epoch} "

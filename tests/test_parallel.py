@@ -117,6 +117,66 @@ def test_dp_and_tp_agree(bundle, head):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_fsdp_pspec_rules(bundle):
+    # pure-DP mesh + fsdp: largest divisible dim sharded over data
+    sh = param_shardings(make_mesh(), bundle.params, fsdp=True)
+    blk = sh["visual"]["transformer"]["resblocks_0"]
+    assert blk["mlp"]["c_fc"]["kernel"].spec == P(None, DATA_AXIS)  # [128, 512]
+    assert blk["mlp"]["c_fc"]["bias"].spec == P(DATA_AXIS)          # [512]
+    assert sh["visual"]["conv1"]["kernel"].spec == P(
+        None, None, None, DATA_AXIS)                                # [8,8,3,128]
+    # composes with TP: the TP-free dim picks up the data axis
+    sh2 = param_shardings(make_mesh(model_parallel=2), bundle.params,
+                          fsdp=True)
+    blk2 = sh2["visual"]["transformer"]["resblocks_0"]
+    assert blk2["mlp"]["c_fc"]["kernel"].spec == P(DATA_AXIS, MODEL_AXIS)
+    assert blk2["mlp"]["c_proj"]["kernel"].spec == P(MODEL_AXIS, DATA_AXIS)
+
+
+def test_fsdp_step_matches_dp(bundle, head):
+    """FSDP-sharded params + Adam moments produce the same step as pure
+    DP, with the weights (and moments) actually distributed."""
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        loss_dp, tr_dp = _run_step(bundle, head, mesh, 1)
+
+    with jax.set_mesh(mesh):
+        params = shard_params(mesh, bundle.params, fsdp=True)
+        mask = build_lock_mask(params, TINY.vision_layers,
+                               TINY.transformer_layers,
+                               unlocked_groups=2, tune_text=False)
+        trainable, frozen = partition_params(params, mask)
+        cfg = PEFTConfig(resolution=16, num_classes=20, lr=1e-3, epochs=1,
+                         crop_mode="center")
+        opt, step = make_train_step(bundle.model, cfg,
+                                    jnp.asarray(head["text_weights"]), None)
+        opt_state = opt.init(trainable)
+
+        # params and moments are genuinely sharded (1/8 per device)
+        cfck = trainable["visual"]["transformer"]["resblocks_1"]["mlp"][
+            "c_fc"]["kernel"]
+        assert cfck.addressable_shards[0].data.shape == (128, 512 // 8)
+        mu = jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: hasattr(x, "addressable_shards"))
+        mu_cfck = [l for l in mu if getattr(l, "shape", None) == (128, 512)]
+        assert mu_cfck and all(
+            l.addressable_shards[0].data.shape == (128, 512 // 8)
+            for l in mu_cfck)
+
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, size=(16, 24, 24, 3), dtype=np.uint8)
+        labels = rng.integers(0, 20, size=16).astype(np.int32)
+        valid = np.ones(16, bool)
+        images, labels, valid = shard_batch(mesh, images, labels, valid)
+        trainable, opt_state, m = step(trainable, frozen, opt_state, images,
+                                       labels, valid, jax.random.key(0), 1e-3)
+
+    assert float(m["loss"]) == pytest.approx(loss_dp, rel=1e-4)
+    a = np.asarray(jax.tree_util.tree_leaves(tr_dp)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(trainable)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_sharded_encode_image(bundle):
     mesh = make_mesh()
     params = shard_params(mesh, bundle.params)
@@ -147,7 +207,7 @@ def test_runner_peft_spmd_dp8(tmp_path):
     synth = make_synthetic_cs_dataset(tmp_path, n_train_per_class=4,
                                       n_test_per_class=2, image_size=40)
 
-    def cfg(model_parallel):
+    def cfg(model_parallel, fsdp=False):
         return ConfigNode({
             "root_path": str(tmp_path), "dataset": "synth", "seed": 1,
             "shots": 0, "subset_l3": [],
@@ -157,7 +217,8 @@ def test_runner_peft_spmd_dp8(tmp_path):
             "use_descriptive_prompts": False, "remat": False,
             "train_epoch": 1, "lr_v": 0.002, "search_lr": False,
             "save_features": False, "aug_views": 1,
-            "parallel": {"enabled": True, "model_parallel": model_parallel},
+            "parallel": {"enabled": True, "model_parallel": model_parallel,
+                         "fsdp": fsdp},
             "finetune": {
                 "enabled": True, "tune_text": False, "unlocked_groups": 1,
                 "unlocked_layers": 1, "val_interval": 0, "eval_l2": False,
@@ -184,6 +245,11 @@ def test_runner_peft_spmd_dp8(tmp_path):
     # same data, same seed: DP8 and DP4xTP2 agree on the outcome
     assert t_tp["top1"] == pytest.approx(t_dp["top1"], abs=1e-6)
     assert t_tp["loss"] == pytest.approx(t_dp["loss"], rel=1e-3)
+
+    r_fsdp = run(cfg(1, fsdp=True), inspect_only=False)
+    t_fsdp = r_fsdp["peft"]["test"]
+    assert t_fsdp["top1"] == pytest.approx(t_dp["top1"], abs=1e-6)
+    assert t_fsdp["loss"] == pytest.approx(t_dp["loss"], rel=1e-3)
 
 
 def test_siglip_tp_rules_and_sharded_encode():
