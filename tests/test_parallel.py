@@ -177,6 +177,38 @@ def test_fsdp_step_matches_dp(bundle, head):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_fsdp_checkpoint_roundtrip(bundle, tmp_path):
+    """Orbax checkpointing round-trips FSDP-sharded param trees: save
+    from sharded arrays, restore, values equal the originals."""
+    from aihab_clip_tpu.config import ConfigNode
+    from aihab_clip_tpu.utils import load_checkpoint, save_checkpoint
+
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        sharded = shard_params(mesh, bundle.params, fsdp=True)
+        cfg = ConfigNode({"backbone": "random:tiny-par", "dataset": "synth",
+                          "finetune": {"save_model_dir":
+                                       str(tmp_path / "ck")}})
+        path = save_checkpoint(cfg, sharded, None, epoch=1)
+    restored = load_checkpoint(path, bundle.params, None)
+    for (ka, a), (kb, b) in zip(
+            sorted(_flat(bundle.params).items()),
+            sorted(_flat(restored["params"]).items())):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=ka)
+
+
+def _flat(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flat(v, prefix + "/" + k))
+    else:
+        out[prefix] = tree
+    return out
+
+
 def test_sharded_encode_image(bundle):
     mesh = make_mesh()
     params = shard_params(mesh, bundle.params)
