@@ -25,6 +25,7 @@ falls back to differentiating the plain XLA formulation.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from functools import partial
 
@@ -185,6 +186,21 @@ def _bwd_heads_per_program(num_heads: int, s_pad: int, head_dim: int,
     return 1
 
 
+def _bwd_kernel_fits_vmem(s: int, num_heads: int, head_dim: int,
+                          itemsize: int) -> bool:
+    """Whether the backward program's working set fits VMEM: unlike the
+    forward (one [S, S] fp32 score matrix), the backward holds ~4 fp32
+    [S_pad, S_pad] temporaries (scores/p, dp, ds and a bf16 copy) next to
+    its 7 double-buffered blocks — at S > ~900 that overflows the ~16 MB
+    physical budget even at one head per program, so the custom VJP falls
+    back to differentiating the XLA formulation there."""
+    s_pad = _round_up(s, 16)
+    g = _bwd_heads_per_program(num_heads, s_pad, head_dim, itemsize)
+    temporaries = 4 * s_pad * s_pad * 4
+    blocks = 2 * 7 * g * s_pad * head_dim * itemsize  # double-buffered
+    return temporaries + blocks <= 13 * 1024 * 1024
+
+
 def _pallas_attention_bwd(q: jax.Array, k: jax.Array, v: jax.Array,
                           g: jax.Array, num_heads: int,
                           interpret: bool = False,
@@ -247,7 +263,9 @@ def _fused_fwd(q, k, v, num_heads, interpret):
 
 def _fused_bwd(num_heads, interpret, res, g):
     q, k, v = res
-    if dispatch_backend() == "tpu" or interpret:
+    fits = _bwd_kernel_fits_vmem(q.shape[1], num_heads,
+                                 q.shape[2] // num_heads, q.dtype.itemsize)
+    if (dispatch_backend() == "tpu" or interpret) and fits:
         return _pallas_attention_bwd(q, k, v, g, num_heads,
                                      interpret=interpret)
     _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, num_heads),
@@ -262,6 +280,26 @@ fused_attention.defvjp(_fused_fwd, _fused_bwd)
 # (measured crossover between 197 and 729 tokens on v5e)
 FUSED_MIN_SEQ = 512
 
+# trace-time override depth for xla_attention_dispatch()
+_XLA_ONLY_DEPTH = [0]
+
+
+@contextlib.contextmanager
+def xla_attention_dispatch():
+    """Force ``attention()``'s AUTO dispatch onto the plain XLA path for
+    code traced inside this context (explicit ``use_fused=True`` still
+    wins).  For GSPMD/mesh-partitioned programs: a ``pallas_call`` is
+    opaque to the partitioner, so the fused kernel (forward AND custom-VJP
+    backward) would force its operands to gather/replicate across the
+    mesh — mesh-aware step builders wrap their jitted steps in this
+    context so the partitionable XLA attention is baked in at trace
+    time."""
+    _XLA_ONLY_DEPTH[0] += 1
+    try:
+        yield
+    finally:
+        _XLA_ONLY_DEPTH[0] -= 1
+
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
               *, causal: bool = False,
@@ -270,7 +308,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     sequences >= FUSED_MIN_SEQ tokens on TPU, XLA otherwise.  Pass
     ``use_fused`` to force either path."""
     if use_fused is None:
-        use_fused = q.shape[1] >= FUSED_MIN_SEQ
+        use_fused = (q.shape[1] >= FUSED_MIN_SEQ
+                     and not _XLA_ONLY_DEPTH[0])
     # upper cap: the kernel materializes one [S_pad, S_pad] f32 score
     # matrix per program — past ~1500 tokens that alone exceeds VMEM
     if (use_fused and not causal and dispatch_backend() == "tpu"

@@ -28,23 +28,31 @@ from .tracker import ClassificationTracker
 
 def make_eval_step(model, resolution: int, num_classes: int,
                    compute_dtype=jnp.float32, ks=(1, 3), project: bool = True,
-                   mesh=None):
+                   mesh=None, sharded_weights: bool = False):
     """Build the jitted (params, text_weights, batch, state) -> state step.
 
     Single-device steps dispatch to the whole-block fused encode; under a
     data-parallel mesh the same kernels run per shard via shard_map
     (tensor-parallel meshes, whose weights are sharded, keep the
-    canonical XLA tower — see ``encode_image_fastest``)."""
+    canonical XLA tower — see ``encode_image_fastest``).
+
+    ``sharded_weights``: the caller's params are sharded along a mesh axis
+    (FSDP) — the shard_map fast paths assume replicated weights and would
+    re-gather the full tower to every chip per batch, so the encode stays
+    on the canonical GSPMD-partitionable module."""
 
     from ..models.fast_vit import encode_image_fastest
 
     def encode_proj(params, x):
+        if sharded_weights:
+            return model.apply({"params": params}, x,
+                               method=type(model).encode_image, project=True)
         return encode_image_fastest(model, params, x,
                                     getattr(model, "config", None),
                                     project=True, mesh=mesh)
 
     @jax.jit
-    def step(params, text_weights, images_u8, targets, valid, state):
+    def jit_step(params, text_weights, images_u8, targets, valid, state):
         x = eval_transform(images_u8, resolution, dtype=compute_dtype)
         if project:
             _, feats = encode_proj(params, x)
@@ -66,6 +74,17 @@ def make_eval_step(model, resolution: int, num_classes: int,
                                       ks=ks, valid_mask=valid)
         return state, logits
 
+    if mesh is None:
+        return jit_step
+
+    from ..ops.attention import xla_attention_dispatch
+
+    def step(*args, **kw):
+        # mesh runs: trace with the GSPMD-partitionable XLA attention
+        # (see make_train_step)
+        with xla_attention_dispatch():
+            return jit_step(*args, **kw)
+
     return step
 
 
@@ -83,6 +102,7 @@ def evaluate(
     project: bool = True,
     eval_step=None,
     mesh=None,
+    sharded_weights: bool = False,
 ) -> Dict[str, Any]:
     """Evaluate a split. Returns
     {loss, top1, top3, f1, mcc, cm (opt), l2 (opt)}.
@@ -92,7 +112,7 @@ def evaluate(
     reductions)."""
     step = eval_step or make_eval_step(
         model, resolution, num_classes, compute_dtype, project=project,
-        mesh=mesh)
+        mesh=mesh, sharded_weights=sharded_weights)
     state = M.init_metric_state(num_classes)
 
     l2_acc = None

@@ -302,8 +302,8 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
         return loss, (correct, n_valid)
 
     @jax.jit
-    def step(trainable, frozen, opt_state, images_u8, labels, valid, key,
-             lr, qprefix=None):
+    def jit_step(trainable, frozen, opt_state, images_u8, labels, valid,
+                 key, lr, qprefix=None):
         (loss, (correct, n_valid)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable, frozen, images_u8, labels,
                                    valid, key, qprefix)
@@ -312,6 +312,19 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, {"loss": loss, "correct": correct,
                                       "n_valid": n_valid}
+
+    if mesh is None:
+        return opt, jit_step
+
+    from ..ops.attention import xla_attention_dispatch
+
+    def step(*args, **kw):
+        # mesh runs: keep attention on the GSPMD-partitionable XLA path
+        # (a pallas_call — forward or its custom-VJP backward — is opaque
+        # to the partitioner and would gather/replicate its operands);
+        # active on every call so the first (tracing) call bakes it in
+        with xla_attention_dispatch():
+            return jit_step(*args, **kw)
 
     return opt, step
 
@@ -481,7 +494,7 @@ def finetune(
         is_vit=ccfg.is_vit,
     )
     if fsdp and cfg.fused_prefix != 0:
-        if cfg.fused_prefix > 0 and verbose:
+        if verbose:
             print("[peft] fused_prefix disabled under fsdp "
                   "(the fused prefix assumes replicated weights)")
         cfg = dataclasses.replace(cfg, fused_prefix=0)
@@ -601,7 +614,8 @@ def finetune(
         return text_weights
 
     eval_step = make_eval_step(model, cfg.resolution, cfg.num_classes,
-                               cfg.compute_dtype, project=True, mesh=mesh)
+                               cfg.compute_dtype, project=True, mesh=mesh,
+                               sharded_weights=fsdp)
 
     def run_eval(view, **kw):
         par = merge_params(trainable, frozen)

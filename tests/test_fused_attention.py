@@ -94,6 +94,41 @@ def test_pallas_bwd_head_grouping_invariant(rng):
                                        atol=1e-6)
 
 
+def test_xla_attention_dispatch_context(rng, monkeypatch):
+    """Inside xla_attention_dispatch() the auto dispatch must avoid the
+    Pallas kernel even when the TPU crossover conditions hold; explicit
+    use_fused=True still wins."""
+    import aihab_clip_tpu.ops.attention as A
+
+    q, k, v = _qkv(rng, b=1, s=16, w=64)
+    monkeypatch.setattr(A, "dispatch_backend", lambda: "tpu")
+    monkeypatch.setattr(A, "FUSED_MIN_SEQ", 1)
+    calls = []
+    monkeypatch.setattr(
+        A, "fused_attention",
+        lambda q, k, v, h, i=False: calls.append(1) or A._xla_attention(
+            q, k, v, h))
+    A.attention(q, k, v, 2)
+    assert calls == [1]
+    with A.xla_attention_dispatch():
+        A.attention(q, k, v, 2)
+        assert calls == [1]            # auto dispatch took the XLA path
+        A.attention(q, k, v, 2, use_fused=True)
+        assert calls == [1, 1]         # explicit force still honored
+    A.attention(q, k, v, 2)
+    assert calls == [1, 1, 1]          # context restored
+
+
+def test_bwd_vmem_gate():
+    """The backward kernel is gated off where its VMEM working set cannot
+    fit (long sequences), and on at the known-good SigLIP-384 shape."""
+    from aihab_clip_tpu.ops.attention import _bwd_kernel_fits_vmem
+
+    assert _bwd_kernel_fits_vmem(729, 16, 72, 2)       # SigLIP SO400M @384
+    assert _bwd_kernel_fits_vmem(577, 16, 64, 2)       # ViT-L @336
+    assert not _bwd_kernel_fits_vmem(1024, 16, 72, 2)  # hypothetical @512
+
+
 def test_attention_dispatch_causal_matches(rng):
     q, k, v = _qkv(rng, b=1, s=32)
     out = attention(q, k, v, 2, causal=True)

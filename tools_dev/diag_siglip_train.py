@@ -19,11 +19,14 @@ fetch — the axon tunnel executes lazily):
                                    forward — the A/B's step sans Adam/aug
   sufgrad-*-xlaattn                same, FUSED_MIN_SEQ raised so the
                                    suffix attention takes the plain XLA
-                                   path instead of the Pallas forward +
-                                   recompute-XLA-backward custom VJP
+                                   path instead of the fused custom VJP
+                                   (Pallas forward + Pallas backward
+                                   kernel; before ops/attention.py grew
+                                   the backward kernel this was Pallas
+                                   forward + recompute-XLA-backward)
   attn                             one attention op at tower shape:
                                    fwd and fwd+grad, fused vs XLA —
-                                   isolates the custom-VJP recompute
+                                   isolates the fused-VJP cost
 
 Usage: PYTHONPATH=/root/.axon_site:. python tools_dev/diag_siglip_train.py \
            [--only embed,fwd,sufgrad,attn] [--batch 16]
