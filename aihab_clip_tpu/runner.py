@@ -350,9 +350,13 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
     checkpoint_fn = None
     if pcfg.checkpoint_interval and bool(ft_cfg.get("save_model", False)):
         def checkpoint_fn(par, opt_state, epoch):
+            # async: the device->host copy happens here; the disk write
+            # overlaps the following train epochs (runner waits after
+            # training before touching the files)
             try:
-                p = save_checkpoint(cfg, par, opt_state, epoch=epoch)
-                print(f"[ckpt] epoch {epoch} -> {p}")
+                p = save_checkpoint(cfg, par, opt_state, epoch=epoch,
+                                    async_save=True)
+                print(f"[ckpt] epoch {epoch} -> {p} (async)")
             except Exception as exc:
                 print(f"[ckpt] periodic save failed: {exc}")
 
@@ -372,6 +376,11 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         fsdp=(mesh is not None
               and bool((cfg.get("parallel", {}) or {}).get("fsdp", False))),
     )
+
+    if checkpoint_fn is not None:
+        from .utils import wait_for_async_saves
+
+        wait_for_async_saves()
 
     # checkpoint
     saved_path = None

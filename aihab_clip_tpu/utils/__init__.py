@@ -4,6 +4,7 @@ from .checkpointing import (
     load_checkpoint,
     load_projector,
     save_checkpoint,
+    wait_for_async_saves,
     save_projector,
 )
 from .logging import RunLogger
@@ -20,6 +21,7 @@ __all__ = [
     "load_checkpoint",
     "load_projector",
     "save_checkpoint",
+    "wait_for_async_saves",
     "save_projector",
     "trace",
 ]

@@ -45,24 +45,56 @@ def checkpoint_path(cfg, epoch: int, timestamp: Optional[str] = None) -> Path:
     return ckpt_dir / f"{name}_{int(epoch)}_{ts}".replace("/", "_")
 
 
+# one process-wide async checkpointer (it owns a worker thread); created
+# lazily so import stays cheap and sync-only runs never spawn it
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed.
+    Call at end of training (the runner does) — a process exit before the
+    background write commits leaves no 'state' dir (Orbax renames on
+    commit), which ``load_checkpoint`` rejects cleanly."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     cfg,
     params: Dict,
     opt_state: Any = None,
     epoch: int = 0,
     extra_meta: Optional[Dict] = None,
+    async_save: bool = False,
 ) -> Path:
+    """``async_save``: return as soon as the device->host copy is done
+    and write to disk in the background (Orbax AsyncCheckpointer) — the
+    train loop is free to donate/update its buffers immediately, and a
+    multi-GB SO400M payload no longer stalls the step loop on disk IO.
+    Callers must ``wait_for_async_saves()`` before relying on the file."""
     ts = datetime.now().strftime("%Y%m%d_%H")
     path = checkpoint_path(cfg, epoch, ts).resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
 
-    ckptr = ocp.StandardCheckpointer()
     payload = {"params": params}
     if opt_state is not None and bool(cfg.get("finetune", {}).get(
             "save_optimizer", True)):
         payload["opt_state"] = opt_state
-    ckptr.save(path / "state", payload)
-    ckptr.wait_until_finished()
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.save(path / "state", args=ocp.args.StandardSave(payload))
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path / "state", payload)
+        ckptr.wait_until_finished()
 
     meta = {
         "epoch": int(epoch),

@@ -172,6 +172,36 @@ def test_periodic_checkpoint_and_resume_continuity(synth, tmp_path):
                                       err_msg="/".join(k))
 
 
+def test_async_checkpoint_roundtrip(synth, tmp_path):
+    """async_save returns before the disk write; after
+    wait_for_async_saves the checkpoint loads and matches the saved
+    values (including mutation of the live arrays after save() returns —
+    the device->host copy must happen in the foreground)."""
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.utils import wait_for_async_saves
+
+    cfg = _cfg(synth, tmp_path)
+    bundle = load("random:Tiny")
+    params = {k: np.array(v) for k, v in
+              traverse_util.flatten_dict(bundle.params).items()}
+    snapshot = {k: v.copy() for k, v in params.items()}
+    tree = traverse_util.unflatten_dict(params)
+
+    path = save_checkpoint(cfg, tree, None, epoch=3, async_save=True)
+    # mutate the host buffers after save() returned: the copy the writer
+    # persists must be the values at save time
+    for v in params.values():
+        v += 1000.0
+    wait_for_async_saves()
+
+    restored = load_checkpoint(path, bundle.params, None)
+    flat = traverse_util.flatten_dict(restored["params"])
+    assert restored["meta"]["epoch"] == 3
+    for k, v in snapshot.items():
+        np.testing.assert_array_equal(np.asarray(flat[k]), v,
+                                      err_msg="/".join(k))
+
+
 def test_runner_resume_flag(synth, tmp_path):
     """finetune.resume=true through the runner: first run saves periodic
     checkpoints, a second run picks up the latest and completes."""
