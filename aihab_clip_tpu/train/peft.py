@@ -627,6 +627,29 @@ def finetune(
     base_key = jax.random.key(seed)
     val_metrics = None
     timer = None
+
+    # graceful preemption: on SIGTERM/SIGINT finish the current epoch,
+    # checkpoint (when periodic checkpointing is wired), and return —
+    # paired with ``resume_from``/``finetune.resume`` this gives elastic
+    # recovery across TPU preemptions.  Signal handlers only install on
+    # the main thread; elsewhere (tests, servers) the flag stays False.
+    interrupted = {"flag": False, "epoch": None}
+    prev_handlers = {}
+    try:
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+            def _on_signal(signum, frame):
+                interrupted["flag"] = True
+                print(f"[peft] signal {signum}: finishing the current "
+                      "epoch, then checkpointing and exiting")
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+    except (ValueError, OSError):
+        prev_handlers = {}
+
     if verbose:
         print("\nStart Training procedure")
     first_epoch = start_epoch
@@ -763,6 +786,23 @@ def finetune(
             checkpoint_fn(merge_params(trainable, frozen), opt_state,
                           epoch + 1)
 
+        if interrupted["flag"]:
+            interrupted["epoch"] = epoch + 1
+            if checkpoint_fn is not None and not (
+                    cfg.checkpoint_interval
+                    and (epoch + 1) % cfg.checkpoint_interval == 0):
+                checkpoint_fn(merge_params(trainable, frozen), opt_state,
+                              epoch + 1)
+            if verbose:
+                print(f"[peft] interrupted after epoch {epoch + 1}; "
+                      "resume with finetune.resume: true")
+            break
+
+    for sig, h in prev_handlers.items():
+        import signal
+
+        signal.signal(sig, h)
+
     # final test
     test_metrics = None
     tracker = ClassificationTracker() if track_test else None
@@ -793,4 +833,5 @@ def finetune(
         "tracker": tracker,
         "report": report,
         "mask": mask,
+        "interrupted_at_epoch": interrupted["epoch"],
     }

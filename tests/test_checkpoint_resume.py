@@ -172,6 +172,74 @@ def test_periodic_checkpoint_and_resume_continuity(synth, tmp_path):
                                       err_msg="/".join(k))
 
 
+def test_sigterm_graceful_interrupt_and_resume(synth, tmp_path):
+    """SIGTERM mid-training finishes the current epoch, checkpoints, and
+    returns; resuming completes training bit-identically to an
+    uninterrupted run (elastic preemption recovery)."""
+    import signal
+
+    from aihab_clip_tpu.data import build_loaders
+    from aihab_clip_tpu.models import build_text_head, load
+    from aihab_clip_tpu.templates import gen_prompts
+    from aihab_clip_tpu.train.peft import PEFTConfig, finetune
+
+    cfg = _cfg(synth, tmp_path)
+    loaders = build_loaders(cfg)
+    bundle = load("random:Tiny")
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+
+    def fresh():
+        import jax
+
+        return jax.tree.map(np.array, bundle.params)
+
+    def pcfg(epochs):
+        return PEFTConfig(resolution=32, num_classes=20, lr=2e-3,
+                          epochs=epochs, crop_mode="random", flip=True,
+                          checkpoint_interval=0)
+
+    out_full = finetune(bundle.model, fresh(), loaders.train, None, None,
+                        pcfg(4), text_weights=head["text_weights"],
+                        unlocked_groups=2, seed=0, verbose=False,
+                        track_test=False)
+
+    class TermAtEpoch:
+        """Raises SIGTERM from the per-epoch log hook (main thread), so
+        the handler runs deterministically during epoch 2's bookkeeping."""
+
+        def log(self, d):
+            if d.get("epoch") == 2:
+                signal.raise_signal(signal.SIGTERM)
+
+    saved = {}
+
+    def ckpt_fn(par, opt_state, epoch):
+        saved["path"] = save_checkpoint(cfg, par, opt_state, epoch=epoch)
+        saved["epoch"] = epoch
+
+    out_int = finetune(bundle.model, fresh(), loaders.train, None, None,
+                       pcfg(4), text_weights=head["text_weights"],
+                       unlocked_groups=2, seed=0, verbose=False,
+                       track_test=False, checkpoint_fn=ckpt_fn,
+                       logger=TermAtEpoch())
+    assert out_int["interrupted_at_epoch"] == 2
+    assert saved["epoch"] == 2
+
+    out_resumed = finetune(bundle.model, fresh(), loaders.train, None, None,
+                           pcfg(4), text_weights=head["text_weights"],
+                           unlocked_groups=2, seed=0, verbose=False,
+                           track_test=False, resume_from=saved["path"])
+    assert out_resumed["interrupted_at_epoch"] is None
+
+    flat_a = traverse_util.flatten_dict(out_full["params"])
+    flat_b = traverse_util.flatten_dict(out_resumed["params"])
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]),
+                                      err_msg="/".join(k))
+
+
 def test_async_checkpoint_roundtrip(synth, tmp_path):
     """async_save returns before the disk write; after
     wait_for_async_saves the checkpoint loads and matches the saved
