@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import os
+import re
 import urllib.request
 import warnings
 from pathlib import Path
@@ -228,6 +229,22 @@ def _load_config(path: Path) -> CLIPConfig:
     return CLIPConfig(**d)
 
 
+def _normalize_openclip_name(name: str) -> str:
+    """Accept OpenCLIP-style dashed architecture names (the reference's
+    openclip backend takes e.g. ``ViT-B-16``, ``ViT-L-14-336`` —
+    `/root/reference/aihab_utils/model_init.py:42-60`) by mapping them to
+    the zoo's OpenAI-style keys (``ViT-B/16``, ``ViT-L/14@336px``)."""
+    prefix, _, arch = name.rpartition(":")
+    m = re.fullmatch(r"(ViT-[A-Za-z]+)-(\d+)(?:-(\d+))?(?:px)?", arch)
+    if m:
+        mapped = f"{m.group(1)}/{m.group(2)}"
+        if m.group(3):
+            mapped += f"@{m.group(3)}px"
+        if mapped in CLIP_ARCHS:
+            return f"{prefix}:{mapped}" if prefix else mapped
+    return name
+
+
 def load(
     name: str,
     dtype: Any = jnp.float32,
@@ -238,6 +255,7 @@ def load(
     remat: bool = False,
     seed: int = 0,
 ) -> CLIPBundle:
+    name = _normalize_openclip_name(name)
     cache_root = Path(cache_dir) if cache_dir else default_cache_root()
 
     # SigLIP family (hf-hub names, registry names, random:SigLIP-*)

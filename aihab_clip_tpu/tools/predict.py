@@ -62,6 +62,11 @@ def main(argv=None):
     bundle = load(args.model, dtype=compute_dtype)
     model, params = bundle.model, bundle.params
     res = args.resolution or bundle.config.image_resolution
+    if res != bundle.config.image_resolution:
+        raise SystemExit(
+            f"--resolution {res} does not match the model's positional "
+            f"embedding (trained at {bundle.config.image_resolution}px); "
+            "omit --resolution to use the model's native size")
 
     prompts, tpc = gen_prompts(use_hierarchy=not args.flat,
                                use_descriptive=not args.flat)

@@ -44,3 +44,30 @@ def test_rn50x4_eval_shape():
                                                   cfg.embed_dim)
     # stage block counts
     assert "layer3_9" in p["visual"] and "layer3_10" not in p["visual"]
+
+
+def test_openclip_dashed_name_normalization():
+    """The reference's openclip backend takes dashed arch names
+    (ViT-B-16, ViT-L-14-336); the zoo maps them onto the OpenAI-style
+    keys and leaves SigLIP / RN / random names untouched."""
+    from aihab_clip_tpu.models.zoo import _normalize_openclip_name as norm
+
+    assert norm("ViT-B-16") == "ViT-B/16"
+    assert norm("ViT-B-32") == "ViT-B/32"
+    assert norm("ViT-L-14") == "ViT-L/14"
+    assert norm("ViT-L-14-336") == "ViT-L/14@336px"
+    assert norm("random:ViT-B-16") == "random:ViT-B/16"
+    assert norm("RN50") == "RN50"
+    assert norm("random:Tiny") == "random:Tiny"
+    assert (norm("hf-hub:timm/ViT-SO400M-16-SigLIP2-384")
+            == "hf-hub:timm/ViT-SO400M-16-SigLIP2-384")
+    assert (norm("ViT-SO400M-16-SigLIP2-384")
+            == "ViT-SO400M-16-SigLIP2-384")
+
+
+def test_load_accepts_dashed_names():
+    from aihab_clip_tpu.models import load
+
+    b = load("random:ViT-B-16", seed=0)
+    assert b.config.vision_patch_size == 16
+    assert b.config.image_resolution == 224
