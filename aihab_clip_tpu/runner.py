@@ -70,6 +70,14 @@ def init_clip_and_text_head(cfg) -> Dict[str, Any]:
 
     if backend == "openclip":
         backbone = cfg.get("open_clip_model", cfg.get("backbone", "ViT-B/16"))
+        pretrained = cfg.get("open_clip_pretrained", None)
+        if pretrained not in (None, "", "openai"):
+            # the reference forwards this tag to open_clip's weight hub;
+            # this build's zoo carries the OpenAI checkpoints (and local
+            # HF SigLIP snapshots) — other pretrain tags have no converter
+            print(f"[warn] open_clip_pretrained='{pretrained}' is not "
+                  "available in this build; loading the zoo weights for "
+                  f"'{backbone}' instead")
         use_hier = bool(cfg.get("use_hierarchical_prompts", True))
         use_desc = bool(cfg.get("use_descriptive_prompts", True))
         prompts, tpc = gen_prompts(use_hierarchy=use_hier,
