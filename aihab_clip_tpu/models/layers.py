@@ -47,6 +47,52 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class PatchEmbed(nn.Module):
+    """Stride = kernel = patch_size patchify stem.
+
+    A stride=p conv over non-overlapping p×p patches IS a reshape+matmul;
+    ``impl="matmul"`` keeps the stem on the plain GEMM path (one
+    [B·S, p²·3]×[p²·3, W] contraction the MXU tiles directly), while
+    ``impl="conv"`` lowers through ``lax.conv_general_dilated`` — identical
+    math and an identical ``kernel``/``bias`` param layout (HWIO, matching
+    ``nn.Conv`` and the torch/HF checkpoint converters) either way.
+    """
+
+    features: int
+    patch_size: int
+    use_bias: bool = False
+    impl: str = "matmul"  # "matmul" | "conv"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [batch, H, W, C] -> [batch, H/p, W/p, features]
+        p = self.patch_size
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, c, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if self.impl == "conv":
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (p, p), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            gh, gw = h // p, w // p
+            patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+            patches = patches.reshape(b, gh * gw, p * p * c)
+            y = patches @ kernel.reshape(p * p * c, self.features)
+            y = y.reshape(b, gh, gw, self.features)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head self-attention (torch ``nn.MultiheadAttention``
     layout: one ``in_proj`` of width 3W, one ``out_proj``)."""

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LayerNorm
+from .layers import LayerNorm, PatchEmbed
 
 Dtype = Any
 
@@ -205,16 +205,15 @@ class SigLIPVisionTower(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    patchify: str = "matmul"  # "matmul" | "conv" (identical math)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, project: bool = False):
         cfg = self.config
         x = x.astype(self.dtype)
-        x = nn.Conv(cfg.vision_width,
-                    kernel_size=(cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size),
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="conv1")(x)
+        x = PatchEmbed(cfg.vision_width, cfg.patch_size, use_bias=True,
+                       impl=self.patchify, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv1")(x)
         b, gh, gw, w = x.shape
         x = x.reshape(b, gh * gw, w)
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LayerNorm, Transformer
+from .layers import LayerNorm, PatchEmbed, Transformer
 
 Dtype = Any
 
@@ -33,6 +33,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    patchify: str = "matmul"  # "matmul" | "conv" (identical math)
 
     @nn.compact
     def __call__(
@@ -43,12 +44,13 @@ class VisionTransformer(nn.Module):
         scale = self.width ** -0.5
         x = x.astype(self.dtype)
 
-        # patchify: conv with stride = kernel = patch_size, no bias
-        x = nn.Conv(
+        # patchify: stride = kernel = patch_size, no bias (matmul-formulated
+        # by default — see layers.PatchEmbed)
+        x = PatchEmbed(
             self.width,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
+            self.patch_size,
             use_bias=False,
+            impl=self.patchify,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv1",

@@ -71,3 +71,21 @@ def test_load_accepts_dashed_names():
     b = load("random:ViT-B-16", seed=0)
     assert b.config.vision_patch_size == 16
     assert b.config.image_resolution == 224
+
+
+def test_patch_embed_matmul_matches_conv():
+    """The matmul-formulated patchify stem is the conv stem, bit-for-bit
+    math (modulo contraction order): same params, same outputs."""
+    from aihab_clip_tpu.models.layers import PatchEmbed
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    for use_bias in (False, True):
+        m_mat = PatchEmbed(16, 8, use_bias=use_bias, impl="matmul")
+        m_conv = PatchEmbed(16, 8, use_bias=use_bias, impl="conv")
+        params = m_mat.init(jax.random.key(0), x)
+        y_mat = m_mat.apply(params, x)
+        y_conv = m_conv.apply(params, x)
+        assert y_mat.shape == (2, 4, 4, 16)
+        np.testing.assert_allclose(np.asarray(y_mat), np.asarray(y_conv),
+                                   atol=1e-5, rtol=1e-5)

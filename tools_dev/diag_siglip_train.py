@@ -111,6 +111,10 @@ def main():
 
     tower = SigLIPVisionTower(config, dtype=jnp.bfloat16,
                               param_dtype=jnp.float32)
+    # stem ablation arm: the module tower with the old nn.Conv-style stem
+    # (the default module stem is now the matmul patchify)
+    tower_conv = SigLIPVisionTower(config, dtype=jnp.bfloat16,
+                                   param_dtype=jnp.float32, patchify="conv")
 
     def vary(x, i):
         return x + (i.astype(jnp.bfloat16) * 1e-3)
@@ -165,6 +169,10 @@ def main():
             pooled = tower.apply({"params": vp}, x)
             return jnp.sum(pooled.astype(jnp.float32))
 
+        def fwd_module_conv(vp, x):
+            pooled = tower_conv.apply({"params": vp}, x)
+            return jnp.sum(pooled.astype(jnp.float32))
+
         def fwd_purefn(vp, x):
             return jnp.sum(purefn_encode(vp, x).astype(jnp.float32))
 
@@ -174,6 +182,8 @@ def main():
 
         results["fwd-module"] = timed_chain(chain(fwd_module),
                                             label="fwd-module")
+        results["fwd-module-conv"] = timed_chain(chain(fwd_module_conv),
+                                                 label="fwd-module-conv")
         results["fwd-purefn"] = timed_chain(chain(fwd_purefn),
                                             label="fwd-purefn")
         if dev.platform == "tpu":  # Pallas kernels
@@ -220,8 +230,14 @@ def main():
         def module_encode(vpm, x):
             return tower.apply({"params": vpm}, x)
 
+        def module_conv_encode(vpm, x):
+            return tower_conv.apply({"params": vpm}, x)
+
         results["sufgrad-module"] = timed_chain(
             chain(make_sufgrad(module_encode)), label="sufgrad-module")
+        results["sufgrad-module-conv"] = timed_chain(
+            chain(make_sufgrad(module_conv_encode)),
+            label="sufgrad-module-conv")
         results["sufgrad-purefn"] = timed_chain(
             chain(make_sufgrad(purefn_encode)), label="sufgrad-purefn")
 
