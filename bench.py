@@ -49,7 +49,43 @@ def chip_peak_tflops(device) -> float:
     return 197.0
 
 
+def _probe_devices(timeout_s: float = 900.0):
+    """`jax.devices()` with a watchdog: when the axon tunnel is down the
+    backend retries connection attempts indefinitely, which would hang the
+    driver's bench run — after `timeout_s` we emit the one JSON line
+    (value 0, error noted) and exit instead."""
+    import threading
+
+    import jax
+
+    result: list = []
+
+    def probe():
+        try:
+            result.append(jax.devices())
+        except Exception as exc:  # backend init failure
+            result.append(exc)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not result or isinstance(result[0], Exception):
+        why = ("device backend unavailable (tunnel down?)" if not result
+               else f"{type(result[0]).__name__}: {result[0]}")
+        log(f"FATAL: {why}")
+        print(json.dumps({"metric": "ViT-B/16 image encode throughput",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": why}), flush=True)
+        raise SystemExit(0)
+    return result[0]
+
+
 def main() -> None:
+    from aihab_clip_tpu.utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # let `env JAX_PLATFORMS=cpu python bench.py`
+    # run a CPU smoke despite the axon sitecustomize re-export
+
     import jax
 
     # persistent compilation cache: repeat driver runs skip the multi-minute
@@ -70,7 +106,7 @@ def main() -> None:
     from aihab_clip_tpu.models.fast_vit import vit_encode_block_fused
     from aihab_clip_tpu.ops.preprocess import eval_transform
 
-    dev = jax.devices()[0]
+    dev = _probe_devices()[0]
     on_tpu = dev.platform == "tpu"
     log(f"device: {dev} ({getattr(dev, 'device_kind', '?')})")
 
