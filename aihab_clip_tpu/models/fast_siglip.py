@@ -203,6 +203,46 @@ def _canonical_siglip_block(x, blk, heads: int, dtype):
     return x + proj(h, blk["mlp"]["c_proj"])
 
 
+def stack_block_params(vp: Dict, start: int, stop: int) -> Dict:
+    """Stack the per-block param trees ``resblocks_[start, stop)`` along a
+    leading layer axis (every SigLIP block has identical shapes), for
+    ``canonical_blocks_scan``.  Host-side / outside-jit: do it once and
+    pass the stacked tree as a jit argument."""
+    blocks = [vp["transformer"][f"resblocks_{i}"] for i in range(start, stop)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def canonical_blocks_scan(x: jax.Array, stacked: Dict, heads: int, dtype):
+    """Apply a stack of canonical SigLIP blocks via ``lax.scan`` — the
+    same math as the unrolled loop, but the compiled program contains ONE
+    block body instead of L copies.  Cuts compile time ~L-fold for deep
+    towers (the unrolled canonical SO400M train graph compiled in 1484 s)
+    and gives XLA a loop to schedule instead of a 27-block straight-line
+    region; differentiable (scan has a native VJP)."""
+    def body(h, bp):
+        return _canonical_siglip_block(h, bp, heads, dtype), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
+def siglip_encode_scan(params: Dict, images: jax.Array,
+                       config: SigLIPConfig, *, project: bool = False,
+                       dtype=jnp.bfloat16,
+                       stacked: Optional[Dict] = None):
+    """Canonical SigLIP encode with the block stack under ``lax.scan``
+    (numerically the module tower; see ``canonical_blocks_scan``)."""
+    vp = params["visual"]
+    if stacked is None:
+        stacked = stack_block_params(vp, 0, config.vision_layers)
+    x = _siglip_embed(vp, images, config, dtype)
+    x = canonical_blocks_scan(x, stacked, config.vision_heads, dtype)
+    pooled = _map_pool(vp, x, config, dtype)
+    if project:
+        return pooled, pooled
+    return pooled
+
+
 def siglip_encode_hybrid(params: Dict, images: jax.Array,
                          config: SigLIPConfig, n_prefix: int, *,
                          project: bool = False, dtype=jnp.bfloat16,

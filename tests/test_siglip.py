@@ -305,3 +305,25 @@ def test_siglip_hybrid_quant_prefix(tiny_bundle):
     suffix = [k for k in g
               if k[:3] == ("visual", "transformer", "resblocks_1")]
     assert suffix and any(np.any(np.asarray(g[k])) for k in suffix)
+
+
+def test_siglip_encode_scan_matches_module():
+    """scan-over-blocks canonical encode == unrolled module tower."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import siglip_encode_scan
+
+    bundle = load("random:SigLIP-Tiny", seed=0)
+    cfg = bundle.config
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (3, cfg.image_resolution, cfg.image_resolution, 3)), jnp.float32)
+    ref = bundle.model.apply(
+        {"params": bundle.params}, x,
+        method=type(bundle.model).encode_image)
+    got = siglip_encode_scan(bundle.params, x, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

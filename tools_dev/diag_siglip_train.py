@@ -71,7 +71,9 @@ def main():
         _canonical_siglip_block,
         _map_pool,
         _siglip_embed,
+        canonical_blocks_scan,
         siglip_encode_fast,
+        stack_block_params,
     )
     from aihab_clip_tpu.models.siglip import SigLIPVisionTower
 
@@ -190,6 +192,29 @@ def main():
             results["fwd-fused"] = timed_chain(chain(fwd_fused),
                                                label="fwd-fused")
 
+        # scan-over-blocks: same math, ONE block body in the compiled
+        # program instead of 27 — isolates unrolled-graph scheduling.
+        # stacked params ride as a jit ARGUMENT (closure would bake ~GBs
+        # into the compile payload)
+        stacked_all = stack_block_params(vp, 0, config.vision_layers)
+
+        def fwd_scan(vp, stacked, x):
+            h = _siglip_embed(vp, x, config, jnp.bfloat16)
+            h = canonical_blocks_scan(h, stacked, config.vision_heads,
+                                      jnp.bfloat16)
+            return jnp.sum(
+                _map_pool(vp, h, config, jnp.bfloat16).astype(jnp.float32))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run_scan(vp, stacked, x, n):
+            def step(i, acc):
+                return acc + fwd_scan(vp, stacked, vary(x, i))
+            return jax.lax.fori_loop(0, n, step, jnp.zeros((), jnp.float32))
+
+        results["fwd-scan"] = timed_chain(
+            lambda n: float(run_scan(vp, stacked_all, x0, n)),
+            label="fwd-scan")
+
     # --- suffix-grad (the PEFT step sans Adam/aug/text) ------------------
     if want("sufgrad"):
         # unlocked_groups=11 -> top 10 blocks + head trainable (SO400M: 17)
@@ -240,6 +265,41 @@ def main():
             label="sufgrad-module-conv")
         results["sufgrad-purefn"] = timed_chain(
             chain(make_sufgrad(purefn_encode)), label="sufgrad-purefn")
+
+        # scan both regions: frozen prefix scanned without grads, the
+        # trainable suffix scanned as the diff'd (stacked) argument
+        stacked_pre = stack_block_params(vp, 0, n_prefix)
+        stacked_suf = stack_block_params(vp, n_prefix, config.vision_layers)
+
+        def sufgrad_scan(vp, pre, suf, x):
+            def loss(diff):
+                sufp, pool = diff
+                h = _siglip_embed(vp, x, config, jnp.bfloat16)
+                h = canonical_blocks_scan(h, pre, config.vision_heads,
+                                          jnp.bfloat16)
+                h = canonical_blocks_scan(h, sufp, config.vision_heads,
+                                          jnp.bfloat16)
+                vpm = dict(vp)
+                vpm["attnpool"] = pool["attnpool"]
+                vpm["ln_post"] = pool["ln_post"]
+                pooled = _map_pool(vpm, h, config, jnp.bfloat16)
+                return jnp.sum(jnp.square(pooled.astype(jnp.float32)))
+
+            diff = (suf, {"attnpool": vp["attnpool"],
+                          "ln_post": vp["ln_post"]})
+            l, g = jax.value_and_grad(loss)(diff)
+            gleaf = g[0]["mlp"]["c_fc"]["kernel"]
+            return l + jnp.sum(gleaf.astype(jnp.float32)) * 0.0
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run_sufscan(vp, pre, suf, x, n):
+            def step(i, acc):
+                return acc + sufgrad_scan(vp, pre, suf, vary(x, i))
+            return jax.lax.fori_loop(0, n, step, jnp.zeros((), jnp.float32))
+
+        results["sufgrad-scan"] = timed_chain(
+            lambda n: float(run_sufscan(vp, stacked_pre, stacked_suf, x0, n)),
+            label="sufgrad-scan")
 
         # ablate the attention impl: FUSED_MIN_SEQ raised past S forces
         # the plain-XLA dispatch at trace time (each timed_chain call
