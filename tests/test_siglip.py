@@ -327,3 +327,46 @@ def test_siglip_encode_scan_matches_module():
     got = siglip_encode_scan(bundle.params, x, cfg, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_siglip_scan_grad_matches_unrolled():
+    """d(loss)/d(block params) through lax.scan == through the unrolled
+    loop (stacked grads vs per-block grads)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import (
+        _canonical_siglip_block, canonical_blocks_scan, stack_block_params)
+
+    bundle = load("random:SigLIP-Tiny", seed=0)
+    cfg = bundle.config
+    vp = bundle.params["visual"]
+    rng = np.random.default_rng(1)
+    s = (cfg.image_resolution // cfg.patch_size) ** 2
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.vision_width)),
+                    jnp.float32)
+
+    stacked = stack_block_params(vp, 0, cfg.vision_layers)
+
+    def loss_scan(stk):
+        h = canonical_blocks_scan(x, stk, cfg.vision_heads, jnp.float32)
+        return jnp.sum(jnp.square(h))
+
+    def loss_unrolled(blocks):
+        h = x
+        for i in range(cfg.vision_layers):
+            h = _canonical_siglip_block(h, blocks[f"resblocks_{i}"],
+                                        cfg.vision_heads, jnp.float32)
+        return jnp.sum(jnp.square(h))
+
+    g_scan = jax.grad(loss_scan)(stacked)
+    g_unr = jax.grad(loss_unrolled)(
+        {f"resblocks_{i}": vp["transformer"][f"resblocks_{i}"]
+         for i in range(cfg.vision_layers)})
+    for i in range(cfg.vision_layers):
+        gs = jax.tree.map(lambda t: np.asarray(t[i]), g_scan)
+        gu = jax.tree.map(np.asarray, g_unr[f"resblocks_{i}"])
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a, b, atol=1e-4, rtol=1e-4), gs, gu)
