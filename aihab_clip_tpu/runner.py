@@ -352,6 +352,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         checkpoint_interval=int(ft_cfg.get("checkpoint_interval", 0)),
         fused_prefix=_resolve_fused_prefix(ft_cfg.get("fused_prefix", "auto")),
         prefix_quant=bool(ft_cfg.get("fused_prefix_quant", False)),
+        scan_blocks=bool(ft_cfg.get("scan_blocks", False)),
     )
 
     mesh = _build_mesh(cfg)

@@ -198,6 +198,11 @@ def rn_bundle():
     return load("random:tiny-rn-peft", random_cfg=RN_TINY, seed=1)
 
 
+@pytest.fixture(scope="module")
+def siglip_bundle():
+    return load("random:SigLIP-Tiny", seed=1)
+
+
 def _trainable_names(mask):
     flat = traverse_util.flatten_dict(mask)
     return {"/".join(k) for k, v in flat.items() if v}
@@ -383,3 +388,33 @@ def test_finetune_explicit_fused_prefix_validated(bundle, data):
                             fused_prefix=3),
                  text_weights=head["text_weights"], unlocked_groups=2,
                  seed=0, verbose=False)
+
+
+@pytest.mark.slow
+def test_finetune_scan_blocks_matches_canonical(siglip_bundle, data):
+    """finetune.scan_blocks (lax.scan over SigLIP blocks) trains to the
+    same params as the unrolled canonical step."""
+    from aihab_clip_tpu.models.siglip import SigLIPConfig
+
+    assert isinstance(siglip_bundle.model.config, SigLIPConfig)
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(siglip_bundle.model, siglip_bundle.params,
+                           prompts, 20, tpc)
+    base = dict(resolution=32, num_classes=20, lr=2e-3, epochs=1,
+                crop_mode="center", tune_text=False, fused_prefix=0)
+    kw = dict(text_weights=head["text_weights"], unlocked_groups=2, seed=0,
+              verbose=False)
+    out_s = finetune(siglip_bundle.model, siglip_bundle.params, data.train,
+                     None, data.test,
+                     PEFTConfig(scan_blocks=True, **base), **kw)
+    out_c = finetune(siglip_bundle.model, siglip_bundle.params, data.train,
+                     None, data.test,
+                     PEFTConfig(scan_blocks=False, **base), **kw)
+
+    flat_s = traverse_util.flatten_dict(out_s["params"])
+    flat_c = traverse_util.flatten_dict(out_c["params"])
+    for k in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(flat_s[k], np.float32),
+            np.asarray(flat_c[k], np.float32), atol=5e-4, rtol=5e-3,
+            err_msg=f"leaf {'/'.join(k)}")
