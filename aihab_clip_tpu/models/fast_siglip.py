@@ -243,6 +243,27 @@ def siglip_encode_scan(params: Dict, images: jax.Array,
     return pooled
 
 
+def siglip_text_scan(params: Dict, tokens: jax.Array, config: SigLIPConfig,
+                     *, dtype=jnp.bfloat16, stacked: Optional[Dict] = None):
+    """Canonical SigLIP text encode (-> (pre, projected), the
+    ``SigLIPTextTower`` contract) with the block stack under ``lax.scan``
+    — the text blocks share the vision blocks' structure, so the same
+    scanned body applies.  tune_text PEFT re-encodes the whole prompt
+    ensemble inside every train step; at SO400M depth (27 text blocks)
+    the unrolled re-encode doubles the compiled program size."""
+    tp = params["text"]
+    if stacked is None:
+        stacked = stack_block_params(tp, 0, config.text_layers)
+    x = jnp.asarray(tp["token_embedding"])[tokens].astype(dtype)
+    x = x + jnp.asarray(tp["positional_embedding"], dtype)
+    x = canonical_blocks_scan(x, stacked, config.text_heads, dtype)
+    x = _ln(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
+    pre = x[:, -1, :]  # SigLIP pools the LAST token (fixed-pad inputs)
+    projected = (pre @ jnp.asarray(tp["head"]["kernel"], dtype)
+                 + jnp.asarray(tp["head"]["bias"], dtype))
+    return pre, projected
+
+
 def siglip_encode_hybrid(params: Dict, images: jax.Array,
                          config: SigLIPConfig, n_prefix: int, *,
                          project: bool = False, dtype=jnp.bfloat16,

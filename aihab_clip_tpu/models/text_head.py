@@ -37,15 +37,28 @@ def compute_text_weights(
     tokens: jax.Array,
     num_classes: int,
     num_templates: int,
+    scan_blocks: bool = False,
 ) -> jax.Array:
-    """Jittable: [C*T, ctx] tokens -> [dim, C] ensemble classifier weights."""
+    """Jittable: [C*T, ctx] tokens -> [dim, C] ensemble classifier weights.
+
+    ``scan_blocks`` (SigLIP towers) runs the text blocks under ``lax.scan``
+    — identical math, one block body in the compiled program (see
+    ``fast_siglip.canonical_blocks_scan``)."""
     expected = num_classes * num_templates
     if tokens.shape[0] != expected:
         raise ValueError(
             f"Prompt token count mismatch: got {tokens.shape[0]}, expected "
             f"{expected} (= num_classes {num_classes} * num_templates {num_templates}).")
-    _, feats = model.apply({"params": params}, tokens,
-                           method=CLIPModel.encode_text)
+    from ..models.siglip import SigLIPConfig
+
+    if scan_blocks and isinstance(model.config, SigLIPConfig):
+        from .fast_siglip import siglip_text_scan
+
+        _, feats = siglip_text_scan(params, tokens, model.config,
+                                    dtype=model.dtype)
+    else:
+        _, feats = model.apply({"params": params}, tokens,
+                               method=CLIPModel.encode_text)
     feats = l2_normalize(feats.astype(jnp.float32))
     feats = feats.reshape(num_classes, num_templates, -1).mean(axis=1)
     feats = l2_normalize(feats)

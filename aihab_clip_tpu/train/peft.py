@@ -302,7 +302,8 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
 
         if cfg.tune_text:
             w = compute_text_weights(model, params, prompt_tokens,
-                                     cfg.num_classes, cfg.num_templates)
+                                     cfg.num_classes, cfg.num_templates,
+                                     scan_blocks=cfg.scan_blocks)
         else:
             w = text_weights
         logits = 100.0 * feats @ w
@@ -374,7 +375,8 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
         if cfg.tune_text:
             w = compute_text_weights(model, params, prompt_tokens,
-                                     cfg.num_classes, cfg.num_templates)
+                                     cfg.num_classes, cfg.num_templates,
+                                     scan_blocks=cfg.scan_blocks)
         else:
             w = text_weights
         logits = 100.0 * feats @ w
@@ -624,7 +626,8 @@ def finetune(
     def current_text_weights(par) -> jax.Array:
         if cfg.tune_text:
             return compute_text_weights(model, par, prompt_tokens,
-                                        cfg.num_classes, cfg.num_templates)
+                                        cfg.num_classes, cfg.num_templates,
+                                        scan_blocks=cfg.scan_blocks)
         return text_weights
 
     eval_step = make_eval_step(model, cfg.resolution, cfg.num_classes,

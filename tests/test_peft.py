@@ -418,3 +418,32 @@ def test_finetune_scan_blocks_matches_canonical(siglip_bundle, data):
             np.asarray(flat_s[k], np.float32),
             np.asarray(flat_c[k], np.float32), atol=5e-4, rtol=5e-3,
             err_msg=f"leaf {'/'.join(k)}")
+
+
+@pytest.mark.slow
+def test_finetune_scan_blocks_tune_text_matches_canonical(siglip_bundle,
+                                                          data):
+    """scan_blocks with tune_text (scanned in-step text-head recompute)
+    matches the canonical unrolled step."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(siglip_bundle.model, siglip_bundle.params,
+                           prompts, 20, tpc)
+    base = dict(resolution=32, num_classes=20, lr=2e-3, epochs=1,
+                crop_mode="center", tune_text=True, num_templates=tpc,
+                fused_prefix=0)
+    kw = dict(prompt_tokens=jnp.asarray(head["prompt_tokens"]),
+              unlocked_groups=1, unlocked_text_layers=1, seed=0,
+              verbose=False)
+    out_s = finetune(siglip_bundle.model, siglip_bundle.params, data.train,
+                     None, data.test,
+                     PEFTConfig(scan_blocks=True, **base), **kw)
+    out_c = finetune(siglip_bundle.model, siglip_bundle.params, data.train,
+                     None, data.test,
+                     PEFTConfig(scan_blocks=False, **base), **kw)
+    flat_s = traverse_util.flatten_dict(out_s["params"])
+    flat_c = traverse_util.flatten_dict(out_c["params"])
+    for k in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(flat_s[k], np.float32),
+            np.asarray(flat_c[k], np.float32), atol=5e-4, rtol=5e-3,
+            err_msg=f"leaf {'/'.join(k)}")

@@ -370,3 +370,28 @@ def test_siglip_scan_grad_matches_unrolled():
         gu = jax.tree.map(np.asarray, g_unr[f"resblocks_{i}"])
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             a, b, atol=1e-4, rtol=1e-4), gs, gu)
+
+
+def test_siglip_text_scan_matches_module():
+    """scan-over-blocks text encode == unrolled text tower (pre and
+    projected)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import siglip_text_scan
+
+    bundle = load("random:SigLIP-Tiny", seed=0)
+    cfg = bundle.config
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(
+        0, cfg.vocab_size, (5, cfg.context_length)), jnp.int32)
+    ref_pre, ref_proj = bundle.model.apply(
+        {"params": bundle.params}, tokens,
+        method=type(bundle.model).encode_text)
+    pre, proj = siglip_text_scan(bundle.params, tokens, cfg,
+                                 dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(ref_pre),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(ref_proj),
+                               atol=2e-5, rtol=2e-5)
