@@ -432,3 +432,57 @@ def test_dp8_int8_prefix_hybrid_grads_match_single_device(bundle, head):
                                    err_msg="/".join(map(str, k)))
     assert not any(k[:3] == ("visual", "transformer", "resblocks_0")
                    for k in g_ref)
+
+
+def test_scan_blocks_step_matches_canonical_under_mesh():
+    """finetune.scan_blocks composes with a pure-DP mesh (and FSDP): the
+    scanned SigLIP step produces the canonical step's loss and params —
+    GSPMD partitions the in-jit stack -> lax.scan chain like any other
+    jnp program."""
+    sl_bundle = load("random:SigLIP-Tiny", seed=0)
+    cfg_m = sl_bundle.config
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    sl_head = build_text_head(sl_bundle.model, sl_bundle.params, prompts,
+                              20, tpc)
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    res = cfg_m.image_resolution
+    images = rng.integers(0, 256, size=(16, res, res, 3), dtype=np.uint8)
+    labels = rng.integers(0, 20, size=16).astype(np.int32)
+    valid = np.ones(16, bool)
+
+    results = {}
+    for name, kw in [("canonical", {}), ("scan", {"scan_blocks": True}),
+                     ("scan_fsdp", {"scan_blocks": True})]:
+        fsdp = name.endswith("fsdp")
+        with jax.set_mesh(mesh):
+            params = shard_params(mesh, sl_bundle.params, fsdp=fsdp)
+            mask = build_lock_mask(params, cfg_m.vision_layers,
+                                   cfg_m.transformer_layers,
+                                   unlocked_groups=2, tune_text=False)
+            trainable, frozen = partition_params(params, mask)
+            cfg = PEFTConfig(resolution=res, num_classes=20, lr=1e-3,
+                             epochs=1, crop_mode="center", fused_prefix=0,
+                             **kw)
+            opt, step = make_train_step(
+                sl_bundle.model, cfg, jnp.asarray(sl_head["text_weights"]),
+                None, mesh=mesh)
+            opt_state = opt.init(trainable)
+            imgs, labs, val = shard_batch(mesh, images, labels, valid)
+            trainable, opt_state, m = step(
+                trainable, frozen, opt_state, imgs, labs, val,
+                jax.random.key(0), 1e-3)
+            results[name] = (float(m["loss"]),
+                             np.asarray(jax.tree_util.tree_leaves(
+                                 trainable)[0]))
+
+    for name in ("scan", "scan_fsdp"):
+        assert results[name][0] == pytest.approx(results["canonical"][0],
+                                                 rel=1e-4), name
+        # post-update params: Adam's first step is ~lr*sign(g), so
+        # f32 reduction-order noise in near-zero grads (random labels)
+        # can flip an update's sign — bound by the step size (2*lr),
+        # which still catches structural errors (those fail the loss
+        # assert above / the strict single-device parity tests)
+        np.testing.assert_allclose(results[name][1],
+                                   results["canonical"][1], atol=2.1e-3)
