@@ -158,17 +158,30 @@ def load_configs(base_config: str, dataset_config: Optional[str] = None,
 def merge_from_pairs(cfg: ConfigNode, pairs: Sequence[str]) -> ConfigNode:
     """Apply ``--opts KEY VALUE ...`` overrides.
 
-    Keeps the reference semantic: the *last* dotted segment must name an
-    existing top-level key, the value is literal-eval'd and type-coerced.
+    A fully-dotted key that resolves in the nested tree is set in place
+    (``--opts finetune.lora_rank 8`` — the sweep launcher's semantics);
+    otherwise the reference semantic applies: the *last* dotted segment
+    must name an existing top-level key (`/root/reference/utils.py:197-210`).
+    Unknown keys raise either way.  Values are literal-eval'd and
+    type-coerced against the existing value.
     """
     new_cfg = copy.deepcopy(cfg)
     if len(pairs) % 2 != 0:
         raise ValueError(f"--opts expects KEY VALUE pairs, got: {list(pairs)}")
+    _missing = object()
     for full_key, v in zip(pairs[0::2], pairs[1::2]):
+        value = decode_value(v)
+        nested = get_by_dotted_path(cfg, full_key, _missing)
+        if "." in full_key and nested is not _missing:
+            node = new_cfg
+            parts = full_key.split(".")
+            for part in parts[:-1]:
+                node = node[part]
+            node[parts[-1]] = coerce_value_type(value, nested, full_key)
+            continue
         subkey = full_key.split(".")[-1]
         if subkey not in cfg:
             raise KeyError(f"Non-existent key: {full_key}")
-        value = decode_value(v)
         value = coerce_value_type(value, cfg[subkey], full_key)
         setattr(new_cfg, subkey, value)
     return new_cfg

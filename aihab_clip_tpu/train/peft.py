@@ -212,6 +212,15 @@ class PEFTConfig:
     # compiled in 1484 s).  Applies when the fused prefix is off; grads
     # flow through the in-jit stack -> lax.scan -> slice chain.
     scan_blocks: bool = False
+    # LoRA adapter fine-tuning (beyond-reference PEFT): rank > 0 freezes
+    # the ENTIRE tower and trains low-rank (A, B) pairs on the block
+    # attention (and optionally MLP) kernels; W_eff = W + (alpha/r)·A·B is
+    # merged in-jit each step (one rank-r GEMM per target) so every encode
+    # path runs the canonical tower on the effective weights.  See
+    # ``train/lora.py``.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_mlp: bool = False
 
 
 def _quantize_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
@@ -267,6 +276,16 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
                        method=type(model).encode_image, project=True)
 
 
+def _merge_for_step(cfg: "PEFTConfig", trainable, frozen):
+    """trainable+frozen -> full param tree: plain dict merge for
+    partial-unfreeze; LoRA merges W_eff = W + (alpha/r)·A·B in-jit."""
+    if cfg.lora_rank > 0:
+        from .lora import lora_merge
+
+        return lora_merge(frozen, trainable, cfg.lora_alpha)
+    return merge_params(trainable, frozen)
+
+
 def make_train_step(model: CLIPModel, cfg: PEFTConfig,
                     text_weights: Optional[jax.Array],
                     prompt_tokens: Optional[jax.Array], mesh=None):
@@ -290,7 +309,7 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
 
     def loss_fn(trainable, frozen, images_u8, labels, valid, key,
                 qprefix=None):
-        params = merge_params(trainable, frozen)
+        params = _merge_for_step(cfg, trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution,
                    crop_mode=cfg.crop_mode, flip=cfg.flip,
                    rotation=cfg.rotation, dtype=cfg.compute_dtype)
@@ -365,7 +384,7 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
 
     def loss_fn(trainable, frozen, images_u8, labels, valid, key,
                 qprefix=None):
-        params = merge_params(trainable, frozen)
+        params = _merge_for_step(cfg, trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
                    flip=cfg.flip, rotation=cfg.rotation,
                    dtype=cfg.compute_dtype)
@@ -500,12 +519,30 @@ def finetune(
     ccfg = model.config
     if fsdp and mesh is None:
         raise ValueError("fsdp=True requires a mesh")
+    if cfg.lora_rank > 0:
+        # LoRA mode: the whole tower freezes; the lock-mask / fused-prefix
+        # machinery below does not apply (adapters sit on every block)
+        if resume_from is not None:
+            raise ValueError("finetune.resume is not supported with LoRA "
+                             "(checkpoints store merged weights, not "
+                             "adapters); restart the adapter run instead")
+        if mesh is not None:
+            from ..parallel import MODEL_AXIS
+
+            if mesh.shape[MODEL_AXIS] > 1:
+                raise ValueError("LoRA does not compose with tensor "
+                                 "parallelism (adapter deltas are "
+                                 "replicated; base kernels would be "
+                                 "column/row-sharded)")
+        if cfg.fused_prefix != 0:
+            cfg = dataclasses.replace(cfg, fused_prefix=0, prefix_quant=False)
     mask = build_lock_mask(
         params,
         vision_layers=(ccfg.vision_layers if ccfg.is_vit else 0),
         text_layers=ccfg.transformer_layers,
-        unlocked_groups=unlocked_groups,
-        tune_text=cfg.tune_text,
+        # LoRA: every base param freezes (adapters are the trainables)
+        unlocked_groups=0 if cfg.lora_rank > 0 else unlocked_groups,
+        tune_text=cfg.tune_text and cfg.lora_rank == 0,
         unlocked_text_layers=unlocked_text_layers,
         is_vit=ccfg.is_vit,
     )
@@ -545,19 +582,49 @@ def finetune(
                 f"frozen bottom depth ({max_prefix} blocks at "
                 f"unlocked_groups={unlocked_groups}); the prefix must be "
                 "entirely frozen")
-    trainable, frozen = partition_params(params, mask)
-    if mesh is not None:
-        from ..parallel import shard_params
+    if cfg.lora_rank > 0:
+        from .lora import lora_init, lora_param_count
 
-        trainable = shard_params(mesh, trainable, fsdp=fsdp)
-        frozen = shard_params(mesh, frozen, fsdp=fsdp)
-    report = trainable_report(mask)
-    if verbose:
-        print(f"Trainable params: {report['num_trainable']} "
-              f"({report['fraction_trainable']:.1%})")
-        print(f"Frozen params   : {report['num_frozen']}")
-        for top, cnt in sorted(report["by_top_module"].items()):
-            print(f"  {top}: {cnt} params")
+        towers = ("visual", "text") if cfg.tune_text else ("visual",)
+        trainable = lora_init(params, cfg.lora_rank,
+                              jax.random.key(seed + 7919),
+                              towers=towers, include_mlp=cfg.lora_mlp)
+        frozen = params
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            # adapters replicate (tiny); the frozen base follows the
+            # DP/FSDP placement rules
+            trainable = shard_params(mesh, trainable, fsdp=False)
+            frozen = shard_params(mesh, frozen, fsdp=fsdp)
+        report = trainable_report(mask)
+        report.update({
+            "method": "lora",
+            "lora_rank": cfg.lora_rank,
+            "lora_alpha": cfg.lora_alpha,
+            "num_adapted_kernels": len(trainable),
+            "num_trainable": 2 * len(trainable),
+            "lora_params": lora_param_count(trainable),
+        })
+        if verbose:
+            print(f"LoRA r={cfg.lora_rank} alpha={cfg.lora_alpha}: "
+                  f"{len(trainable)} adapted kernels, "
+                  f"{report['lora_params']:,} trainable params "
+                  f"(base tower fully frozen)")
+    else:
+        trainable, frozen = partition_params(params, mask)
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            trainable = shard_params(mesh, trainable, fsdp=fsdp)
+            frozen = shard_params(mesh, frozen, fsdp=fsdp)
+        report = trainable_report(mask)
+        if verbose:
+            print(f"Trainable params: {report['num_trainable']} "
+                  f"({report['fraction_trainable']:.1%})")
+            print(f"Frozen params   : {report['num_frozen']}")
+            for top, cnt in sorted(report["by_top_module"].items()):
+                print(f"  {top}: {cnt} params")
 
     if cfg.tune_text and prompt_tokens is None:
         raise ValueError("tune_text=True requires prompt_tokens")
@@ -635,7 +702,7 @@ def finetune(
                                sharded_weights=fsdp)
 
     def run_eval(view, **kw):
-        par = merge_params(trainable, frozen)
+        par = _merge_for_step(cfg, trainable, frozen)
         return evaluate(model, par, view, current_text_weights(par),
                         cfg.resolution, cfg.num_classes,
                         compute_dtype=cfg.compute_dtype, eval_step=eval_step,
@@ -800,16 +867,16 @@ def finetune(
         if (checkpoint_fn is not None and cfg.checkpoint_interval
                 and (epoch + 1) % cfg.checkpoint_interval == 0
                 and (epoch + 1) < cfg.epochs):
-            checkpoint_fn(merge_params(trainable, frozen), opt_state,
-                          epoch + 1)
+            checkpoint_fn(_merge_for_step(cfg, trainable, frozen),
+                          opt_state, epoch + 1)
 
         if interrupted["flag"]:
             interrupted["epoch"] = epoch + 1
             if checkpoint_fn is not None and not (
                     cfg.checkpoint_interval
                     and (epoch + 1) % cfg.checkpoint_interval == 0):
-                checkpoint_fn(merge_params(trainable, frozen), opt_state,
-                              epoch + 1)
+                checkpoint_fn(_merge_for_step(cfg, trainable, frozen),
+                              opt_state, epoch + 1)
             if verbose:
                 print(f"[peft] interrupted after epoch {epoch + 1}; "
                       "resume with finetune.resume: true")
@@ -839,7 +906,7 @@ def finetune(
     elif verbose:
         print("[test] skipped (no test split)")
 
-    final_params = merge_params(trainable, frozen)
+    final_params = _merge_for_step(cfg, trainable, frozen)
     if timer is not None:
         report["first_epoch_throughput"] = timer.summary()
     return {

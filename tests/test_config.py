@@ -121,3 +121,16 @@ def test_clone_and_to_dict(base_yaml):
     c = cfg.clone()
     c.seed = 99
     assert cfg.seed == 1
+
+
+def test_opts_dotted_nested_key(tmp_path):
+    from aihab_clip_tpu.config import load_configs
+
+    cfg = load_configs("configs/base.yaml", "configs/cs.yaml",
+                       ["finetune.lora_rank", "8", "lr_v", "0.01"])
+    assert cfg["finetune"]["lora_rank"] == 8
+    assert cfg["lr_v"] == 0.01
+    # unknown dotted keys still raise (reference semantics)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        load_configs("configs/base.yaml", None, ["finetune.nope", "1"])
