@@ -403,6 +403,21 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
             print(f"[ckpt] saved -> {saved_path}")
         except Exception as exc:
             print(f"[ckpt] save failed: {exc}")
+        if out.get("adapters"):
+            # LoRA: the adapters alone reproduce the run from the base
+            # checkpoint (merged weights are in the checkpoint above)
+            try:
+                apath = Path(str(saved_path or
+                                 ft_cfg.get("save_model_dir",
+                                            "./model_ckpt"))).parent \
+                    / "lora_adapters.npz"
+                flat = {f"{k}/{n}": np.asarray(v)
+                        for k, ab in out["adapters"].items()
+                        for n, v in ab.items()}
+                np.savez(apath, **flat)
+                print(f"[ckpt] LoRA adapters -> {apath}")
+            except Exception as exc:
+                print(f"[ckpt] adapter save failed: {exc}")
 
     # embedding cache
     if bool(ft_cfg.get("cache_embeddings", False)):

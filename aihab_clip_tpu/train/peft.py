@@ -917,5 +917,6 @@ def finetune(
         "tracker": tracker,
         "report": report,
         "mask": mask,
+        "adapters": trainable if cfg.lora_rank > 0 else None,
         "interrupted_at_epoch": interrupted["epoch"],
     }
