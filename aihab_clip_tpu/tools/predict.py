@@ -40,6 +40,11 @@ def main(argv=None):
                    help="0 = model native")
     p.add_argument("--flat", action="store_true",
                    help="flat prompts (default: hierarchical descriptive)")
+    p.add_argument("--lora", default=None, metavar="ADAPTERS_NPZ",
+                   help="merge LoRA adapters (lora_adapters.npz from a "
+                        "finetune.lora_rank run) into the model weights")
+    p.add_argument("--lora_alpha", type=float, default=16.0,
+                   help="LoRA scale used at training time")
     p.add_argument("--quantize", default="none", choices=["none", "int8"],
                    help="int8 = W8A8 dynamic-quantized ViT tower "
                         "(~1.x encode speedup on TPU, see PERF_NOTES.md)")
@@ -61,6 +66,17 @@ def main(argv=None):
                      else jnp.float32)
     bundle = load(args.model, dtype=compute_dtype)
     model, params = bundle.model, bundle.params
+    if args.lora:
+        from ..train.lora import lora_merge
+
+        blob = np.load(args.lora)
+        adapters: dict = {}
+        for name in blob.files:  # "<target path>/a" | "<target path>/b"
+            path, leaf = name.rsplit("/", 1)
+            adapters.setdefault(path, {})[leaf] = jnp.asarray(blob[name])
+        params = lora_merge(params, adapters, alpha=args.lora_alpha)
+        print(f"[predict] merged {len(adapters)} LoRA adapters "
+              f"(alpha={args.lora_alpha}) from {args.lora}")
     res = args.resolution or bundle.config.image_resolution
     if res != bundle.config.image_resolution:
         raise SystemExit(
