@@ -39,6 +39,7 @@ def main():
         siglip = argv[i + 1] == "siglip"
         del argv[i:i + 2]
     quant = "--quant" in argv
+    scan = "--scan" in argv  # scan_blocks arm (SigLIP only)
     skip_canonical = "--skip-canonical" in argv
     args = [a for a in argv if not a.startswith("--")]
     e_long = int(args[0]) if args else 10
@@ -87,20 +88,27 @@ def main():
         frozen = jax.device_put(frozen, dev)
     trainable0_host = jax.tree.map(np.asarray, trainable0)
 
-    variants = [(0, False), (prefix, False), (0, False)]
+    # (fused_prefix, prefix_quant, scan_blocks) arms; canonical repeated
+    # last as the A/B/A control
+    variants = [(0, False, False), (prefix, False, False), (0, False, False)]
     if quant:
-        variants = [(0, False), (prefix, False), (prefix, True), (0, False)]
+        variants = [(0, False, False), (prefix, False, False),
+                    (prefix, True, False), (0, False, False)]
+    if scan:
+        variants = [(0, False, False), (0, False, True),
+                    (prefix, False, False), (0, False, False)]
     if skip_canonical:
-        variants = [v for v in variants if v[0] != 0]
+        variants = [v for v in variants if v[0] != 0 or v[2]]
 
     results = {}
-    for fused_prefix, pq in variants:
+    for fused_prefix, pq, sb in variants:
         cfg = PEFTConfig(resolution=res, num_classes=20, lr=5e-5, epochs=1,
                          crop_mode="random", flip=True, rotation=True,
                          compute_dtype=jnp.bfloat16,
-                         fused_prefix=fused_prefix, prefix_quant=pq)
+                         fused_prefix=fused_prefix, prefix_quant=pq,
+                         scan_blocks=sb)
         opt, epoch_fn = make_epoch_scan(model, cfg, tw, None)
-        base_tag = (f"fused_prefix={fused_prefix}"
+        base_tag = ("scan_blocks" if sb else f"fused_prefix={fused_prefix}"
                     + (" int8" if pq else ""))
         tag = base_tag + ("" if base_tag not in results else " (re)")
 

@@ -30,7 +30,7 @@ for s in $steps; do
   case "$s" in
     1) run diag python tools_dev/diag_siglip_train.py ;;
     2) run quant python tools_dev/ab_peft_hybrid.py --quant ;;
-    3) run siglip_ab python tools_dev/ab_peft_hybrid.py --model siglip ;;
+    3) run siglip_ab python tools_dev/ab_peft_hybrid.py --model siglip --scan ;;
     4) run bench python bench.py ;;
   esac
 done
