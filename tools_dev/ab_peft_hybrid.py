@@ -36,7 +36,8 @@ def main():
     siglip = False
     if "--model" in argv:
         i = argv.index("--model")
-        siglip = argv[i + 1] == "siglip"
+        siglip = ("tiny" if argv[i + 1] == "tiny-siglip"
+                  else argv[i + 1] == "siglip")
         del argv[i:i + 2]
     quant = "--quant" in argv
     scan = "--scan" in argv  # scan_blocks arm (SigLIP only)
@@ -49,7 +50,12 @@ def main():
     # with compute_dtype_for_backend() (bf16 on TPU); loading with the
     # fp32 default would pit an fp32 canonical arm against a bf16 hybrid
     # and invalidate the A/B (params stay fp32, as in production)
-    if siglip:
+    if siglip == "tiny":
+        # CPU smoke of the siglip arms (incl. --scan) without SO400M cost
+        bundle = load("random:SigLIP-Tiny", seed=0, dtype=jnp.bfloat16)
+        n, bs, groups = 16, 8, 1
+        siglip = True
+    elif siglip:
         # init on the host CPU backend: the full fp32 model (incl. the
         # ~1.2 GB text embedding) next to Adam state + b16@384 backward
         # activations exceeds v5e HBM if initialized on device
@@ -62,7 +68,7 @@ def main():
         n, bs, groups = 512, 64, 2
     model, params, config = bundle.model, bundle.params, bundle.config
     prefix = config.vision_layers + 1 - groups
-    res, res_in = config.image_resolution, 439
+    res, res_in = config.image_resolution, (64 if bs <= 8 else 439)
 
     steps = n // bs
     rng = np.random.default_rng(0)
