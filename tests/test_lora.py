@@ -151,3 +151,26 @@ def test_lora_rejects_resume(bundle, data):
         finetune(bundle.model, bundle.params, data.train, None, None, cfg,
                  text_weights=jnp.zeros((32, 20)), resume_from="/tmp/x",
                  verbose=False)
+
+
+@pytest.mark.slow
+def test_lora_epoch_scan_matches_per_step(bundle, data):
+    """LoRA trains step-for-step identically through the per-step loop
+    and the device_dataset epoch scan (same batch order + aug keys)."""
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(bundle.model, bundle.params, prompts, 20, tpc)
+    base = dict(resolution=24, num_classes=20, lr=5e-3, epochs=2,
+                crop_mode="center", tune_text=False, lora_rank=4)
+    kw = dict(text_weights=head["text_weights"], unlocked_groups=0, seed=0,
+              verbose=False)
+    out_a = finetune(bundle.model, bundle.params, data.train, None, None,
+                     PEFTConfig(device_dataset=False, **base), **kw)
+    out_b = finetune(bundle.model, bundle.params, data.train, None, None,
+                     PEFTConfig(device_dataset=True, **base), **kw)
+    fa = traverse_util.flatten_dict(out_a["adapters"])
+    fb = traverse_util.flatten_dict(out_b["adapters"])
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg="/".join(k))
