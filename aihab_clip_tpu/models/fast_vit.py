@@ -129,6 +129,50 @@ def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
     return pre, projected
 
 
+def _canonical_clip_block(x, blk, heads: int, dtype):
+    """One differentiable CLIP-ViT transformer block in plain jnp,
+    numerically the Flax ``ResidualAttentionBlock`` (fp32 LN eps 1e-5,
+    packed in_proj, QuickGELU in compute dtype, same attention
+    dispatch)."""
+    from ..ops.attention import attention
+
+    def proj(t, pr):
+        return (t @ jnp.asarray(pr["kernel"], dtype)
+                + jnp.asarray(pr["bias"], dtype))
+
+    ln1 = _ln(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+    qkv = proj(ln1, blk["attn"]["in_proj"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    x = x + proj(attention(q, k, v, heads), blk["attn"]["out_proj"])
+    ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+    h = proj(ln2, blk["mlp"]["c_fc"])
+    h = h * jax.nn.sigmoid(1.702 * h)
+    return x + proj(h, blk["mlp"]["c_proj"])
+
+
+def vit_encode_scan(params, images: jax.Array, config: CLIPConfig, *,
+                    project: bool = False, dtype=jnp.bfloat16,
+                    stacked=None):
+    """Canonical CLIP-ViT encode with the block stack under ``lax.scan``
+    (numerically the module tower; one block body in the compiled program
+    instead of L — see ``fast_siglip.canonical_blocks_scan``)."""
+    from .fast_siglip import stack_block_params
+
+    vp = params["visual"]
+    if stacked is None:
+        stacked = stack_block_params(vp, 0, config.vision_layers)
+    x = _vit_embed(vp, images, config, dtype)
+
+    def body(h, bp):
+        return _canonical_clip_block(h, bp, config.vision_heads, dtype), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
+    pre = _ln(x[:, 0, :], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if not project:
+        return pre
+    return pre, pre @ jnp.asarray(vp["proj"], dtype)
+
+
 def encode_image_fastest(model, params, x: jax.Array, config, *,
                          project: bool = False, mesh=None, packed=None):
     """Fastest parity-tested image encode for the current backend.

@@ -271,3 +271,62 @@ def test_hybrid_quant_prefix_forward_and_grads(bundle, rng):
     assert prefix
     for k in prefix:
         assert not np.any(np.asarray(g[k])), "/".join(map(str, k))
+
+
+def test_vit_encode_scan_matches_module():
+    """scan-over-blocks canonical CLIP-ViT encode == unrolled module."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import CLIPModel, load
+    from aihab_clip_tpu.models.fast_vit import vit_encode_scan
+
+    bundle = load("random:Tiny")
+    cfg = bundle.config
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (3, cfg.image_resolution, cfg.image_resolution, 3)), jnp.float32)
+    ref_pre, ref_proj = bundle.model.apply(
+        {"params": bundle.params}, x,
+        method=CLIPModel.encode_image, project=True)
+    pre, proj = vit_encode_scan(bundle.params, x, cfg, project=True,
+                                dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(ref_pre),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(ref_proj),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_vit_scan_grads_match_module():
+    """d(loss)/d(params) through the scanned encode == through the module
+    tower (no optimizer amplification; tight tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import CLIPModel, load
+    from aihab_clip_tpu.models.fast_vit import vit_encode_scan
+
+    bundle = load("random:Tiny")
+    cfg = bundle.config
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(
+        (2, cfg.image_resolution, cfg.image_resolution, 3)), jnp.float32)
+
+    def loss_scan(params):
+        pre = vit_encode_scan(params, x, cfg, dtype=jnp.float32)
+        return jnp.sum(jnp.square(pre))
+
+    def loss_module(params):
+        pre = bundle.model.apply({"params": params}, x,
+                                 method=CLIPModel.encode_image)
+        return jnp.sum(jnp.square(pre))
+
+    g_s = jax.grad(loss_scan)(bundle.params)
+    g_m = jax.grad(loss_module)(bundle.params)
+    flat_s = jax.tree_util.tree_leaves_with_path(g_s)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(g_m))
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_m[path]), atol=2e-4,
+            rtol=2e-4, err_msg=jax.tree_util.keystr(path))
