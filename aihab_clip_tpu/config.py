@@ -173,11 +173,10 @@ def merge_from_pairs(cfg: ConfigNode, pairs: Sequence[str]) -> ConfigNode:
         value = decode_value(v)
         nested = get_by_dotted_path(cfg, full_key, _missing)
         if "." in full_key and nested is not _missing:
-            node = new_cfg
-            parts = full_key.split(".")
-            for part in parts[:-1]:
-                node = node[part]
-            node[parts[-1]] = coerce_value_type(value, nested, full_key)
+            # strict --opts coercion, then the shared dotted writer
+            set_by_dotted_path(new_cfg, full_key,
+                               coerce_value_type(value, nested, full_key),
+                               coerce=False)
             continue
         subkey = full_key.split(".")[-1]
         if subkey not in cfg:

@@ -30,6 +30,7 @@ from ..backend import dispatch_backend
 from ..ops.attention import _xla_attention
 from ..ops.fused_linear import ln_matmul, matmul_residual
 from .clip import CLIPConfig
+from .layers import quick_gelu
 
 # combined c_fc+c_proj VMEM budget for the one-kernel MLP path
 MLP_WHOLE_KERNEL_MAX_BYTES = 11 * 2 ** 20
@@ -145,8 +146,7 @@ def _canonical_clip_block(x, blk, heads: int, dtype):
     q, k, v = jnp.split(qkv, 3, axis=-1)
     x = x + proj(attention(q, k, v, heads), blk["attn"]["out_proj"])
     ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-    h = proj(ln2, blk["mlp"]["c_fc"])
-    h = h * jax.nn.sigmoid(1.702 * h)
+    h = quick_gelu(proj(ln2, blk["mlp"]["c_fc"]))
     return x + proj(h, blk["mlp"]["c_proj"])
 
 

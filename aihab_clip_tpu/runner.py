@@ -407,10 +407,11 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
             # LoRA: the adapters alone reproduce the run from the base
             # checkpoint (merged weights are in the checkpoint above)
             try:
-                apath = Path(str(saved_path or
-                                 ft_cfg.get("save_model_dir",
-                                            "./model_ckpt"))).parent \
-                    / "lora_adapters.npz"
+                adir = (Path(str(saved_path)).parent if saved_path
+                        else Path(str(ft_cfg.get("save_model_dir",
+                                                 "./model_ckpt"))))
+                adir.mkdir(parents=True, exist_ok=True)
+                apath = adir / "lora_adapters.npz"
                 flat = {f"{k}/{n}": np.asarray(v)
                         for k, ab in out["adapters"].items()
                         for n, v in ab.items()}

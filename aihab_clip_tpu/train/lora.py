@@ -59,9 +59,10 @@ def lora_init(params: Dict, rank: int, key: jax.Array, *,
     target kernel.  A ~ N(0, 1/r) f32, B = 0 (delta starts at zero, so
     step 0 reproduces the base model exactly)."""
     adapters = {}
+    flat = traverse_util.flatten_dict(params)
     for path in lora_target_paths(params, towers=towers,
                                   include_mlp=include_mlp):
-        w = traverse_util.flatten_dict(params)[path]
+        w = flat[path]
         key, sub = jax.random.split(key)
         a = (jax.random.normal(sub, (w.shape[0], rank), jnp.float32)
              * (1.0 / rank))

@@ -597,11 +597,16 @@ def finetune(
                               towers=towers, include_mlp=cfg.lora_mlp)
         frozen = params
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from ..parallel import shard_params
 
-            # adapters replicate (tiny); the frozen base follows the
-            # DP/FSDP placement rules
-            trainable = shard_params(mesh, trainable, fsdp=False)
+            # adapters replicate explicitly (tiny; their joined '/'-keys
+            # would confuse shard_params' path rules); the frozen base
+            # follows the DP/FSDP placement rules
+            rep = NamedSharding(mesh, PartitionSpec())
+            trainable = jax.tree_util.tree_map(
+                lambda t: jax.device_put(t, rep), trainable)
             frozen = shard_params(mesh, frozen, fsdp=fsdp)
         report = trainable_report(mask)
         report.update({

@@ -174,3 +174,33 @@ def test_lora_epoch_scan_matches_per_step(bundle, data):
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    atol=1e-5, rtol=1e-5,
                                    err_msg="/".join(k))
+
+
+def test_lora_step_under_dp_mesh(siglip_bundle, data):
+    """LoRA composes with a pure-DP mesh: adapters replicate, the step
+    runs, only adapters update."""
+    import jax as _jax
+
+    from aihab_clip_tpu.parallel import make_mesh, shard_batch
+    from aihab_clip_tpu.train.peft import make_train_step, _merge_for_step
+
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    head = build_text_head(siglip_bundle.model, siglip_bundle.params,
+                           prompts, 20, tpc)
+    mesh = make_mesh()
+    res = siglip_bundle.config.image_resolution
+    cfg = PEFTConfig(resolution=res, num_classes=20, lr=5e-3, epochs=1,
+                     crop_mode="center", lora_rank=2)
+    with _jax.set_mesh(mesh):
+        out = finetune(
+            siglip_bundle.model, siglip_bundle.params, data.train, None,
+            data.test, cfg, text_weights=head["text_weights"],
+            unlocked_groups=0, seed=0, verbose=False, mesh=mesh)
+    assert out["adapters"] is not None
+    assert out["test"] is not None
+    targets = set(lora_target_paths(siglip_bundle.params))
+    fa = traverse_util.flatten_dict(siglip_bundle.params)
+    fb = traverse_util.flatten_dict(out["params"])
+    changed = {k for k in fa
+               if not np.array_equal(np.asarray(fa[k]), np.asarray(fb[k]))}
+    assert changed and changed <= targets
