@@ -9,8 +9,8 @@
 // Resize matches cv2.resize INTER_LINEAR semantics (half-pixel centers,
 // edge clamp) so arrays are interchangeable with the cv2 path.
 //
-// Build: g++ -O3 -fopenmp -shared -fPIC -o libimage_pipeline.so \
-//        image_pipeline.cpp -ljpeg
+// Build: g++ -O3 -fopenmp -shared -fPIC -o libimage_pipeline.so
+//        image_pipeline.cpp -ljpeg   (see Makefile)
 
 #include <cstddef>
 #include <cstdio>
@@ -60,9 +60,19 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   h = static_cast<int>(cinfo.output_height);
   rgb.resize(static_cast<size_t>(w) * h * 3);
   const int stride = w * 3;
+  // read up to rec_outbuf_height rows per call (fewer per-call overheads
+  // than scanline-at-a-time; the decoder caps the count itself)
+  JSAMPROW rows[8];
+  const int max_rows =
+      cinfo.rec_outbuf_height > 8 ? 8
+      : (cinfo.rec_outbuf_height < 1 ? 1 : cinfo.rec_outbuf_height);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * stride;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    const JDIMENSION base = cinfo.output_scanline;
+    int n = max_rows;
+    if (base + n > cinfo.output_height) n = cinfo.output_height - base;
+    for (int r = 0; r < n; ++r)
+      rows[r] = rgb.data() + static_cast<size_t>(base + r) * stride;
+    jpeg_read_scanlines(&cinfo, rows, n);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
