@@ -16,7 +16,7 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_pending
-steps="${*:-1 2 3 4}"
+steps="${*:-4 1 2 3}"   # bench first: cheap headline regression guard
 
 run() {
   name="$1"; shift
