@@ -28,7 +28,8 @@ from .tracker import ClassificationTracker
 
 def make_eval_step(model, resolution: int, num_classes: int,
                    compute_dtype=jnp.float32, ks=(1, 3), project: bool = True,
-                   mesh=None, sharded_weights: bool = False):
+                   mesh=None, sharded_weights: bool = False,
+                   scan_blocks: bool = False):
     """Build the jitted (params, text_weights, batch, state) -> state step.
 
     Single-device steps dispatch to the whole-block fused encode; under a
@@ -45,6 +46,23 @@ def make_eval_step(model, resolution: int, num_classes: int,
 
     def encode_proj(params, x):
         if sharded_weights:
+            # FSDP-sharded weights keep the GSPMD-partitionable canonical
+            # math; scan_blocks shrinks the compiled program L-fold for
+            # deep towers (identical numerics — see fast_siglip)
+            if scan_blocks:
+                from ..models.siglip import SigLIPConfig
+
+                cfgm = getattr(model, "config", None)
+                if isinstance(cfgm, SigLIPConfig):
+                    from ..models.fast_siglip import siglip_encode_scan
+
+                    return siglip_encode_scan(params, x, cfgm, project=True,
+                                              dtype=compute_dtype)
+                if cfgm is not None and cfgm.is_vit:
+                    from ..models.fast_vit import vit_encode_scan
+
+                    return vit_encode_scan(params, x, cfgm, project=True,
+                                           dtype=compute_dtype)
             return model.apply({"params": params}, x,
                                method=type(model).encode_image, project=True)
         return encode_image_fastest(model, params, x,

@@ -710,7 +710,8 @@ def finetune(
 
     eval_step = make_eval_step(model, cfg.resolution, cfg.num_classes,
                                cfg.compute_dtype, project=True, mesh=mesh,
-                               sharded_weights=fsdp)
+                               sharded_weights=fsdp,
+                               scan_blocks=cfg.scan_blocks)
 
     def run_eval(view, **kw):
         par = _merge_for_step(cfg, trainable, frozen)

@@ -486,3 +486,36 @@ def test_scan_blocks_step_matches_canonical_under_mesh():
         # assert above / the strict single-device parity tests)
         np.testing.assert_allclose(results[name][1],
                                    results["canonical"][1], atol=2.1e-3)
+
+
+def test_fsdp_eval_scan_blocks_matches_canonical():
+    """FSDP eval with scan_blocks produces the canonical eval metrics."""
+    from aihab_clip_tpu.ops.metrics import init_metric_state
+    from aihab_clip_tpu.train.evaluate import make_eval_step
+
+    sl_bundle = load("random:SigLIP-Tiny", seed=0)
+    cfg_m = sl_bundle.config
+    prompts, tpc = gen_prompts(use_hierarchy=False, use_descriptive=False)
+    sl_head = build_text_head(sl_bundle.model, sl_bundle.params, prompts,
+                              20, tpc)
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    res = cfg_m.image_resolution
+    images = rng.integers(0, 256, size=(16, res, res, 3), dtype=np.uint8)
+    targets = rng.integers(0, 20, size=16).astype(np.int32)
+    valid = np.ones(16, bool)
+
+    outs = {}
+    for name, sb in [("canonical", False), ("scan", True)]:
+        with jax.set_mesh(mesh):
+            params = shard_params(mesh, sl_bundle.params, fsdp=True)
+            step = make_eval_step(sl_bundle.model, res, 20,
+                                  jnp.float32, mesh=mesh,
+                                  sharded_weights=True, scan_blocks=sb)
+            state = init_metric_state(20)
+            imgs, tgt, val = shard_batch(mesh, images, targets, valid)
+            state, logits = step(params, jnp.asarray(
+                sl_head["text_weights"]), imgs, tgt, val, state)
+            outs[name] = np.asarray(logits)
+    np.testing.assert_allclose(outs["scan"], outs["canonical"],
+                               atol=2e-4, rtol=2e-4)
