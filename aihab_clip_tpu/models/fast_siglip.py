@@ -69,16 +69,18 @@ def siglip_attn_groups(config: SigLIPConfig) -> int:
 
 
 def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
-                            dtype=jnp.bfloat16) -> Dict:
+                            dtype=jnp.bfloat16, *, start: int = 0,
+                            stop: Optional[int] = None) -> Dict:
     """One-time regrouping of the separate q/k/v projections into
     per-head-group tensors for the split whole-block attention kernel.
     Done at load time so the packing never re-runs inside the jitted
     encode; pass the result through a JIT ARGUMENT (arrays only — safe
-    to trace)."""
+    to trace).  ``start``/``stop`` restrict packing to a block range
+    (the PEFT hybrid packs only its frozen prefix)."""
     n_groups = siglip_attn_groups(config)
     vp = params["visual"]
     packed: Dict = {}
-    for i in range(config.vision_layers):
+    for i in range(start, config.vision_layers if stop is None else stop):
         blk = vp["transformer"][f"resblocks_{i}"]
         w = jnp.concatenate(
             [jnp.asarray(blk["attn"][n]["kernel"], dtype)
@@ -119,10 +121,18 @@ def _siglip_mlp_chunks(config: SigLIPConfig, dtype) -> int:
     hidden = config.vision_mlp_dim
     width = config.vision_width
     pair_bytes = 2 * width * hidden * jnp.dtype(dtype).itemsize
-    return next(
-        (n for n in (1, 2, 3, 4)
+    fit = next(
+        (n for n in (1, 2, 3, 4, 6, 8)
          if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES),
-        2 if hidden % 2 == 0 else 1)
+        None)
+    if fit is not None:
+        return fit
+    # nothing fits the budget: take the largest divisor <= 8 (the
+    # smallest per-chunk weight pair we can reach) — Mosaic's real
+    # liveness repeatedly measures below the naive estimate, so this
+    # degrades gracefully instead of guessing 2
+    return max((n for n in (8, 6, 4, 3, 2, 1) if hidden % n == 0),
+               default=1)
 
 
 def _apply_fused_siglip_blocks(vp, packed, x, config: SigLIPConfig, dtype,
@@ -267,7 +277,8 @@ def siglip_text_scan(params: Dict, tokens: jax.Array, config: SigLIPConfig,
 def siglip_encode_hybrid(params: Dict, images: jax.Array,
                          config: SigLIPConfig, n_prefix: int, *,
                          project: bool = False, dtype=jnp.bfloat16,
-                         interpret: bool = False, mesh=None, qprefix=None):
+                         interpret: bool = False, mesh=None, qprefix=None,
+                         packed_prefix=None):
     """PEFT-training encode: fused forward-only Pallas kernels for the
     ``n_prefix`` FROZEN bottom blocks, canonical differentiable math for
     the trainable suffix + MAP pooling head (mirrors
@@ -297,12 +308,23 @@ def siglip_encode_hybrid(params: Dict, images: jax.Array,
                     w, xs, config, start=0, stop=n_prefix,
                     use_pallas=True, use_split_attn=True,
                     interpret=interpret)
+        elif packed_prefix is not None:
+            # prefix weights pre-packed ONCE by the caller (invariant
+            # across steps — packing in-step costs ~16 MB of weight
+            # reshuffling per block per step)
+            w_sg = jax.lax.stop_gradient((vp, packed_prefix))
+
+            def prefix_fn(w, xs):
+                vpw, packed = w
+                return _apply_fused_siglip_blocks(
+                    vpw, packed, xs, config, dtype, start=0, stop=n_prefix,
+                    interpret=interpret)
         else:
             w_sg = jax.lax.stop_gradient(vp)
 
             def prefix_fn(w, xs):
                 packed = pack_siglip_fast_params({"visual": w}, config,
-                                                 dtype)
+                                                 dtype, stop=n_prefix)
                 return _apply_fused_siglip_blocks(
                     w, packed, xs, config, dtype, start=0, stop=n_prefix,
                     interpret=interpret)

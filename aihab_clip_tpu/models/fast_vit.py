@@ -182,9 +182,13 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
     PERF_NOTES.md).  Under a data-parallel mesh the same kernels run per
     shard via ``shard_map`` (GSPMD cannot partition a ``pallas_call``,
     but manual sharding composes fine — each device encodes its batch
-    shard with replicated weights).  Everything else (CPU, RN, SigLIP,
-    tensor-parallel meshes where the weights themselves are sharded,
-    training steps that need gradients) uses the canonical Flax module.
+    shard with replicated weights).  Everything else (CPU, RN,
+    meshes with any non-'data' axis > 1 — TP/pipeline shard the weights —
+    and training steps that need gradients) uses the canonical Flax
+    module.  FSDP shards weights over the 'data' axis itself and is NOT
+    detectable from the mesh shape: callers with data-axis-sharded
+    weights must route around this function (``make_eval_step`` passes
+    ``sharded_weights=True``).
     SigLIP towers take the split-whole-block-attention path
     (``models/fast_siglip.py``: +20% at SO400M-384; the quantized
     serving path is int8, ``models/quant_siglip.py``)."""
@@ -195,7 +199,8 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
         if mesh is None:
             return vit_encode_block_fused(params, x, config, project=project,
                                           dtype=x.dtype)
-        if (dict(mesh.shape).get("model", 1) == 1
+        if (all(v == 1 for k, v in dict(mesh.shape).items()
+                if k != "data")
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
             return vit_encode_block_fused_sharded(
                 params, x, config, mesh, project=project, dtype=x.dtype)
@@ -208,7 +213,8 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
         if mesh is None:
             return siglip_encode_fast(params, x, config, project=project,
                                       dtype=x.dtype, packed=packed)
-        if (dict(mesh.shape).get("model", 1) == 1
+        if (all(v == 1 for k, v in dict(mesh.shape).items()
+                if k != "data")
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
             # `packed` rides inside the weights operand (closing over it
             # would embed the packed arrays as compile-time constants)

@@ -137,7 +137,7 @@ def _quick_gelu_grad_f32(h_pre):
     return s * (1.0 + 1.702 * h_pre * (1.0 - s))
 
 
-def _mlp_bwd_train_kernel(x_ref, hpre_ref, dy_ref, ln_s_ref, ln_b_ref,
+def _mlp_bwd_train_kernel(x_ref, hpre_ref, dy_ref, ln_s_ref,
                           wfc_ref, wpr_ref, dx_ref, dhpre_ref, dln_ref,
                           *, eps: float = 1e-5):
     """dx chain of the MLP block in ONE program (both weights resident):
@@ -267,7 +267,6 @@ def _mlp_train_bwd(interpret, tile_m, res, dy):
             pl.BlockSpec((tile_m, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((w, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, w), lambda i: (0, 0),
@@ -283,7 +282,7 @@ def _mlp_train_bwd(interpret, tile_m, res, dy):
         ),
         interpret=interpret,
     )(pad(x), pad(h_pre), pad(dy),
-      jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
+      jnp.asarray(ln_scale, jnp.float32),
       w_fc, w_proj)
     dx, dh_pre, dln = dx[:m], dh_pre[:m], dln[:m]
 
@@ -537,6 +536,9 @@ def attn_block_split(x, wqkv_g, b_qkv_g, wout_g, b_out, ln_scale, ln_bias,
     ``wout_g`` [n_groups, g*D, W] — use ``regroup_attn_weights_f`` to
     build these from a packed [W, 3W] QKV and [W, W] out-proj."""
     b, s, w = x.shape
+    if heads % n_groups:
+        raise ValueError(f"n_groups {n_groups} must divide heads {heads} "
+                         "(a floored group size would silently drop heads)")
     g = heads // n_groups
     head_dim = w // heads
     s_pad = ((s + 15) // 16) * 16

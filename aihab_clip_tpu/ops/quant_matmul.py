@@ -59,18 +59,32 @@ def _kernel(x_ref, w8_ref, ws_ref, b_ref, o_ref, *, act: str,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _pick_tile(m: int, k: int, n: int) -> int:
+def _pick_tile(m: int, k: int, n: int, x_itemsize: int = 2) -> int:
     """M-tile size: keep x-tile + int32 acc + out within ~12 MB VMEM
-    alongside the resident weights."""
-    for tm in (512, 256, 128):
-        vmem = (tm * k * 2          # x tile bf16
-                + tm * n * 4        # int32 acc
-                + tm * n * 2        # out bf16
-                + k * n             # w8 resident
-                + tm * k)           # x8
-        if vmem <= 12 * 1024 * 1024 and m % tm == 0:
+    alongside the resident weights.  ``x_itemsize`` sizes the activation
+    tile (bf16 by default; f32 activations double it).  Shrinks to 64/32
+    rows before giving up so large-K shapes degrade instead of blowing
+    the budget (an M=32 GEMM underfills the MXU but still compiles)."""
+    budget = 12 * 1024 * 1024
+
+    def fits(tm):
+        return (tm * k * x_itemsize  # x tile
+                + tm * n * 4         # int32 acc
+                + tm * n * 2         # out bf16
+                + k * n              # w8 resident
+                + tm * k             # x8
+                ) <= budget
+
+    tiles = (512, 256, 128, 64, 32)
+    for tm in tiles:                 # prefer a tile that divides m exactly
+        if fits(tm) and m % tm == 0:
             return tm
-    return 128
+    for tm in tiles:                 # otherwise the largest fitting tile
+        if fits(tm):                 # (callers pad m up to a multiple)
+            return tm
+    raise ValueError(
+        f"no M-tile fits VMEM for quant matmul shape [{m}, {k}] x "
+        f"[{k}, {n}] (weights alone: {k * n / 2 ** 20:.1f} MB)")
 
 
 def _kernel_qout(x_ref, w8_ref, ws_ref, b_ref, ln_s_ref, ln_b_ref,
@@ -114,7 +128,7 @@ def quant_matmul_fused_qout(x, w8, w_scale, bias, ln_scale, ln_bias,
     y_scale [M, 1] f32)."""
     m, k = x.shape
     n = w8.shape[1]
-    tm = _pick_tile(m, k, n)
+    tm = _pick_tile(m, k, n, x.dtype.itemsize)
     m_pad = ((m + tm - 1) // tm) * tm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -292,7 +306,7 @@ def quant_matmul_fused(x, w8, w_scale, bias, act: str = "none",
     """
     m, k = x.shape
     n = w8.shape[1]
-    tm = _pick_tile(m, k, n)
+    tm = _pick_tile(m, k, n, x.dtype.itemsize)
     m_pad = ((m + tm - 1) // tm) * tm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -534,6 +548,9 @@ def quant_attn_block_split(x, wqkv8_g, qkv_scale_g, b_qkv_g, wout8_g,
     (S=736, W=1152) run whole-block where the unsplit kernel fails to
     compile."""
     b, s, w = x.shape
+    if heads % n_groups:
+        raise ValueError(f"n_groups {n_groups} must divide heads {heads} "
+                         "(a floored group size would silently drop heads)")
     g = heads // n_groups
     head_dim = w // heads
     s_pad = ((s + 15) // 16) * 16

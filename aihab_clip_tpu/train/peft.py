@@ -241,8 +241,26 @@ def _quantize_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
             for i in range(cfg.fused_prefix)}
 
 
+def _pack_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
+    """Pre-pack the SigLIP hybrid prefix's q/k/v group tensors ONCE (they
+    are invariant across steps; packing in-step reshuffles ~16 MB of
+    weights per block per step).  None when not applicable (bf16 SigLIP
+    hybrid only — the int8 path packs inside quantization, the CLIP
+    hybrid reads raw weights)."""
+    if cfg.fused_prefix <= 0 or cfg.prefix_quant:
+        return None
+    from ..models.siglip import SigLIPConfig
+
+    if not isinstance(model.config, SigLIPConfig):
+        return None
+    from ..models.fast_siglip import pack_siglip_fast_params
+
+    return pack_siglip_fast_params(frozen, model.config, cfg.compute_dtype,
+                                   stop=cfg.fused_prefix)
+
+
 def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
-                      mesh=None, qprefix=None):
+                      mesh=None, qprefix=None, pprefix=None):
     """The train-step image encode: frozen-prefix hybrid when enabled
     (TPU + ViT-family tower; pure-DP meshes run the fused prefix per
     shard — see ``peft_fused_prefix_len``; ``qprefix`` switches the
@@ -257,7 +275,7 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
             return siglip_encode_hybrid(
                 params, x, model.config, cfg.fused_prefix, project=True,
                 dtype=cfg.compute_dtype, interpret=interpret, mesh=mesh,
-                qprefix=qprefix)
+                qprefix=qprefix, packed_prefix=pprefix)
         from ..models.fast_vit import vit_encode_hybrid
 
         return vit_encode_hybrid(
@@ -314,13 +332,13 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
     aug_fn = fast_train_transform if cfg.aug_impl == "fast" else train_transform
 
     def loss_fn(trainable, frozen, images_u8, labels, valid, key,
-                qprefix=None):
+                qprefix=None, pprefix=None):
         params = _merge_for_step(cfg, trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution,
                    crop_mode=cfg.crop_mode, flip=cfg.flip,
                    rotation=cfg.rotation, dtype=cfg.compute_dtype)
         _, feats = _encode_projected(model, cfg, params, x, mesh=mesh,
-                                     qprefix=qprefix)
+                                     qprefix=qprefix, pprefix=pprefix)
         feats = feats.astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -343,10 +361,10 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
 
     @jax.jit
     def jit_step(trainable, frozen, opt_state, images_u8, labels, valid,
-                 key, lr, qprefix=None):
+                 key, lr, qprefix=None, pprefix=None):
         (loss, (correct, n_valid)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable, frozen, images_u8, labels,
-                                   valid, key, qprefix)
+                                   valid, key, qprefix, pprefix)
         opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = opt.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
@@ -389,12 +407,13 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
               else exact_train_transform)
 
     def loss_fn(trainable, frozen, images_u8, labels, valid, key,
-                qprefix=None):
+                qprefix=None, pprefix=None):
         params = _merge_for_step(cfg, trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
                    flip=cfg.flip, rotation=cfg.rotation,
                    dtype=cfg.compute_dtype)
-        _, feats = _encode_projected(model, cfg, params, x, qprefix=qprefix)
+        _, feats = _encode_projected(model, cfg, params, x, qprefix=qprefix,
+                                     pprefix=pprefix)
         feats = feats.astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -422,9 +441,10 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
         the global step offset of this call within the epoch (nonzero for
         chunked epochs), keeping augmentation keys identical to one
         whole-epoch scan."""
-        # quantize the int8 frozen prefix ONCE per epoch call, outside the
-        # scan body (frozen never changes within an epoch)
+        # quantize/pack the frozen prefix ONCE per epoch call, outside
+        # the scan body (frozen never changes within an epoch)
         qprefix = _quantize_prefix(model, cfg, frozen)
+        pprefix = _pack_prefix(model, cfg, frozen)
 
         def body(carry, sb):
             trainable, opt_state = carry
@@ -434,7 +454,7 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
             key = jax.random.fold_in(epoch_key, step0 + bi)
             (loss, (correct, n_valid)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable, frozen, images, labels,
-                                       valid, key, qprefix)
+                                       valid, key, qprefix, pprefix)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
@@ -698,8 +718,12 @@ def finetune(
     # the scan/chunked regimes quantize once per epoch call inside their
     # own jitted program
     qprefix = None
-    if step is not None and cfg.fused_prefix > 0 and cfg.prefix_quant:
-        qprefix = jax.jit(partial(_quantize_prefix, model, cfg))(frozen)
+    pprefix = None
+    if step is not None and cfg.fused_prefix > 0:
+        if cfg.prefix_quant:
+            qprefix = jax.jit(partial(_quantize_prefix, model, cfg))(frozen)
+        else:
+            pprefix = jax.jit(partial(_pack_prefix, model, cfg))(frozen)
 
     def current_text_weights(par) -> jax.Array:
         if cfg.tune_text:
@@ -827,7 +851,7 @@ def finetune(
                                                       step_num=bi):
                     trainable, opt_state, m = step(
                         trainable, frozen, opt_state, imgs, labs, val,
-                        key, lr_e, qprefix)
+                        key, lr_e, qprefix, pprefix)
                 run_loss += float(m["loss"])
                 run_batches += 1
                 correct += float(m["correct"])

@@ -395,3 +395,26 @@ def test_siglip_text_scan_matches_module():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(proj), np.asarray(ref_proj),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_siglip_hybrid_packed_prefix_matches_inplace(tiny_bundle):
+    """Pre-packed prefix weights (the per-run hoist the PEFT step uses)
+    produce the same hybrid encode as packing inside the call."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models.fast_siglip import (
+        pack_siglip_fast_params, siglip_encode_hybrid)
+
+    bundle = tiny_bundle
+    cfg = bundle.config
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(
+        (2, cfg.image_resolution, cfg.image_resolution, 3)), jnp.float32)
+    packed = pack_siglip_fast_params(bundle.params, cfg, jnp.float32,
+                                     stop=1)
+    a = siglip_encode_hybrid(bundle.params, x, cfg, 1, dtype=jnp.float32,
+                             interpret=True)
+    b = siglip_encode_hybrid(bundle.params, x, cfg, 1, dtype=jnp.float32,
+                             interpret=True, packed_prefix=packed)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
