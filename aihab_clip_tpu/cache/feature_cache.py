@@ -80,6 +80,7 @@ def write_preprojection_cache(
     expected_n: Optional[int] = None,
     feature_dtype=np.float16,
     shard_index: Optional[int] = None,
+    shard_count: Optional[int] = None,
 ) -> Dict:
     """Write the cache: ``encode_view(v)`` returns (features [N, D] np,
     labels [N] np) for augmentation view ``v``.
@@ -96,7 +97,8 @@ def write_preprojection_cache(
     suffix = "" if shard_index is None else f".shard{shard_index}"
 
     manifest: Dict = {"views": [], "aug_views": aug_views,
-                      "shard_index": shard_index}
+                      "shard_index": shard_index,
+                      "shard_count": shard_count}
     t0 = time.perf_counter()
     total_bytes = 0
     labels_ref: Optional[np.ndarray] = None
@@ -125,8 +127,12 @@ def write_preprojection_cache(
         print(f"[cache] view {v} -> {fpath} shape={feats.shape} "
               f"dtype={feats.dtype} reload_ok={ok_shape} "
               f"rows_match_labels={ok_count} rows_match_expected={ok_expected}")
-        if not (ok_shape and ok_count):
-            raise RuntimeError(f"Feature cache validation failed for view {v}")
+        if not (ok_shape and ok_count and ok_expected):
+            raise RuntimeError(
+                f"Feature cache validation failed for view {v}: "
+                f"reload_ok={ok_shape} rows_match_labels={ok_count} "
+                f"rows_match_expected={ok_expected} "
+                f"(got {feats.shape[0]} rows, expected {expected_n})")
 
         manifest["views"].append({
             "file": f"f{v}{suffix}", "shape": list(feats.shape),
@@ -182,6 +188,28 @@ def _load_maybe_sharded(store, stem: str, mmap: bool = False):
     shards = _shard_names(store, stem)
     if not shards:
         raise FileNotFoundError(f"no cache array '{stem}' in {store.root}")
+    # completeness: indices must be contiguous from 0, and when a shard
+    # manifest records the writer fleet's size, ALL shards must be present
+    # (a faster host must not silently train on a truncated dataset)
+    idx = [int(n.split("shard")[-1]) for n in shards]
+    if idx != list(range(len(idx))):
+        raise RuntimeError(
+            f"cache '{stem}' has non-contiguous shards {idx} in "
+            f"{store.root} — a writer shard is missing or still running")
+    expected = None
+    for k in idx:
+        try:
+            expected = store.read_json(f"manifest.shard{k}.json").get(
+                "shard_count")
+            if expected:
+                break
+        except Exception:
+            continue
+    if expected and len(idx) != int(expected):
+        raise RuntimeError(
+            f"cache '{stem}' has {len(idx)} shards but the writer fleet "
+            f"had {expected} processes — wait for all hosts to finish "
+            f"writing (or check for failed writers)")
     return np.concatenate([store.load(n) for n in shards], axis=0)
 
 
@@ -309,4 +337,5 @@ def cache_features_from_loader(
 
     return write_preprojection_cache(
         cache_dir, encode_view, aug_views,
-        expected_n=expected_n, shard_index=shard_index)
+        expected_n=expected_n, shard_index=shard_index,
+        shard_count=shard_count if shard_count and shard_count > 1 else None)

@@ -91,7 +91,7 @@ def init_clip_and_text_head(cfg) -> Dict[str, Any]:
         bundle = load_model(backbone, dtype=dtype,
                             cache_dir=cfg.get("clip_cache_dir", None),
                             remat=bool(cfg.get("remat", False)))
-    except (FileNotFoundError, Exception) as exc:  # zero-egress fallback
+    except Exception as exc:  # zero-egress fallback
         if str(backbone).startswith("random:"):
             raise
         arch = cfg.get("fallback_arch", "ViT-B/16")
@@ -312,6 +312,18 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         from .train.evaluate import evaluate
         from .train.tracker import ClassificationTracker
 
+        if resume_from is not None:
+            # finetune.resume + eval_only: evaluate the CHECKPOINT (the
+            # restore normally happens inside finetune, which eval_only
+            # bypasses)
+            from .utils import load_checkpoint
+
+            restored = load_checkpoint(Path(resume_from),
+                                       bundle["params"], None)
+            bundle["params"] = restored["params"]
+            restored_from = str(resume_from)
+            print(f"[eval_only] restored params from {resume_from}")
+
         tracker = ClassificationTracker()
         test = evaluate(
             bundle["model"], bundle["params"], loaders.test,
@@ -323,6 +335,8 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
             tracker=tracker, mesh=_build_mesh(cfg))
         print(f"[eval_only] top1={test['top1']:.4f} top3={test['top3']:.4f} "
               f"f1={test['f1']:.4f} mcc={test['mcc']:.4f}")
+        if logger is not None:
+            tracker.save_classification(logger)
         if bool(ft_cfg.get("cache_embeddings", False)):
             split = str(ft_cfg.get("cache_embeddings_split", "test")).lower()
             view = {"train": loaders.train, "val": loaders.val,
@@ -467,6 +481,33 @@ def _cache_shard_kwargs(cfg) -> Dict[str, Optional[int]]:
             "shard_count": None if sc is None else int(sc)}
 
 
+def _cache_write_barrier() -> None:
+    """Multi-host: every process writes only its own cache shard — block
+    until ALL processes have finished writing before anyone reads (the
+    sharded reader refuses incomplete shard sets, but the barrier avoids
+    the race entirely)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("feature_cache_written")
+
+
+def _refuse_poisoned_cache(bundle) -> None:
+    """A failed weight load falls back to random init (zero-egress dev
+    environments) — but the feature cache is keyed by the REQUESTED
+    backbone name, so writing features from fallback weights would poison
+    the cache for every later run with working weights.  Fail loudly."""
+    if (str(bundle.get("source", "")) == "random"
+            and not str(bundle.get("backbone_name", "")).startswith(
+                "random:")):
+        raise RuntimeError(
+            f"refusing to write a feature cache for "
+            f"'{bundle.get('backbone_name')}' from fallback RANDOM weights "
+            "(the cache is keyed by the requested backbone; later runs "
+            "with real weights would silently consume random features). "
+            "Fix the weight load or use an explicit 'random:' backbone.")
+
+
 def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
                ) -> Dict[str, Any]:
     """ProLIP projector tuning on cached pre-projection features
@@ -491,10 +532,12 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
                 f"Cached features not found in {cache_dir}; run with "
                 f"save_features=True first.")
         print(f"[warn] Cached features missing in {cache_dir}; generating now.")
+        _refuse_poisoned_cache(bundle)
         cache_features_from_loader(cfg, model, params, loaders.train,
                                    resolution, loaders.info,
                                    compute_dtype=compute_dtype_for_backend(),
                                    **_cache_shard_kwargs(cfg))
+        _cache_write_barrier()
 
     views, labels = read_preprojection_cache(cache_dir, aug_views,
                                              max_label=num_classes)
@@ -568,15 +611,15 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         from .data import SplitView, load_folders
         from .train.prolip import evaluate_multi_testsets
 
-        views = {}
-        for name, spec in extra.items():
+        extra_views = {}  # (NOT 'views' — that name holds the cached
+        for name, spec in extra.items():  # feature arrays above)
             ds_extra = load_folders(
                 spec["dataset_paths"], spec["index_file_names"],
                 int(cfg["data"]["preprocessing"].get("resize", 256)))
-            views[name] = SplitView(ds_extra, np.arange(len(ds_extra)),
-                                    int(cfg["data"]["batch_size"]))
+            extra_views[name] = SplitView(ds_extra, np.arange(len(ds_extra)),
+                                          int(cfg["data"]["batch_size"]))
         extra_results = evaluate_multi_testsets(
-            proj, encode_split, views, {}, text_weights)
+            proj, encode_split, extra_views, {}, text_weights)
         for name, acc in extra_results.items():
             print(f"[extra testset {name}] acc={acc:.4f}")
 
@@ -622,11 +665,13 @@ def run(cfg, inspect_only: bool = False, config_file: str = "cfg",
         return result
 
     if bool(cfg.get("save_features", False)):
+        _refuse_poisoned_cache(bundle)
         cache_features_from_loader(
             cfg, bundle["model"], bundle["params"], loaders.train,
             bundle["resolution"], loaders.info,
             compute_dtype=compute_dtype_for_backend(),
             **_cache_shard_kwargs(cfg))
+        _cache_write_barrier()
 
     do_finetune = cfg.get("finetune", {}).get("enabled", False)
     if do_finetune and backend == "openclip":

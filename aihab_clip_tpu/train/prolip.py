@@ -210,40 +210,34 @@ def train_projector(
         x = views_d[view_for_epoch(epoch, aug_views)]
         lr_e = cosine_lr(lr, epoch, epochs)
 
-        if feat_batch_size and feat_batch_size > 0 and n > feat_batch_size:
-            num_chunks = math.ceil(n / feat_batch_size)
-            lam_scaled = lam / float(max(num_chunks, 1))
-            correct = 0.0
-            seen = 0.0
-            ce_sum, mse_sum = 0.0, 0.0
-            for start, k in _chunk_batches(n, feat_batch_size):
-                if k < feat_batch_size:
-                    # keep the static chunk shape: take the LAST B rows and
-                    # mask out the (already-trained) overlap prefix
-                    xi = x[n - feat_batch_size:n]
-                    yi = labels_d[n - feat_batch_size:n]
-                    valid = jnp.arange(feat_batch_size) >= (feat_batch_size - k)
-                else:
-                    xi = x[start:start + k]
-                    yi = labels_d[start:start + k]
-                    valid = jnp.ones((k,), bool)
-                weight, opt_state, loss, (ce, mse, corr, nv) = step(
-                    weight, opt_state, xi, yi, valid, lr_e, lam_scaled)
-                correct += float(corr)
-                seen += float(nv)
-                ce_sum += float(ce)
-                mse_sum += float(mse)
-                last_loss = float(loss)
-            epoch_stats = {"acc": correct / max(seen, 1), "ce": ce_sum / num_chunks,
-                           "mse": mse_sum / num_chunks, "lr": lr_e}
-        else:
-            valid = jnp.ones((n,), bool)
+        # chunked regime (the full-batch case returned above):
+        # lambda scales by 1/num_chunks, reference semantics
+        # `/root/reference/methods/ProLIP.py:189-226`
+        num_chunks = math.ceil(n / feat_batch_size)
+        lam_scaled = lam / float(max(num_chunks, 1))
+        correct = 0.0
+        seen = 0.0
+        ce_sum, mse_sum = 0.0, 0.0
+        for start, k in _chunk_batches(n, feat_batch_size):
+            if k < feat_batch_size:
+                # keep the static chunk shape: take the LAST B rows and
+                # mask out the (already-trained) overlap prefix
+                xi = x[n - feat_batch_size:n]
+                yi = labels_d[n - feat_batch_size:n]
+                valid = jnp.arange(feat_batch_size) >= (feat_batch_size - k)
+            else:
+                xi = x[start:start + k]
+                yi = labels_d[start:start + k]
+                valid = jnp.ones((k,), bool)
             weight, opt_state, loss, (ce, mse, corr, nv) = step(
-                weight, opt_state, x, labels_d, valid, lr_e, lam)
+                weight, opt_state, xi, yi, valid, lr_e, lam_scaled)
+            correct += float(corr)
+            seen += float(nv)
+            ce_sum += float(ce)
+            mse_sum += float(mse)
             last_loss = float(loss)
-            epoch_stats = {"acc": float(corr) / max(float(nv), 1),
-                           "ce": float(ce), "mse": float(mse), "lr": lr_e}
-
+        epoch_stats = {"acc": correct / max(seen, 1), "ce": ce_sum / num_chunks,
+                       "mse": mse_sum / num_chunks, "lr": lr_e}
         stats["epochs"].append(epoch_stats)
         if verbose:
             print(f"Train Epoch: {epoch} / {epochs}  "
@@ -254,19 +248,23 @@ def train_projector(
     return ProjectorSpec(weight=weight, bias=init_spec.bias), stats
 
 
+@jax.jit
+def _predict_top1(w, b, x, text_weights):
+    """Module-level jit (compiled once per shape, not per call — the grid
+    fallback scores 49 projectors; text_weights rides as an ARGUMENT per
+    the no-closure rule)."""
+    y = x.astype(jnp.float32) @ w
+    if b is not None:
+        y = y + b
+    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    return jnp.argmax(100.0 * y @ text_weights, axis=-1)
+
+
 def projector_accuracy(proj: ProjectorSpec, feats: np.ndarray,
                        labels: np.ndarray, text_weights: jnp.ndarray) -> float:
     """top-1 accuracy (%) of projected+normalized features vs the text head."""
-
-    @jax.jit
-    def predict(w, b, x):
-        y = x.astype(jnp.float32) @ w
-        if b is not None:
-            y = y + b
-        y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
-        return jnp.argmax(100.0 * y @ text_weights, axis=-1)
-
-    preds = np.asarray(predict(proj.weight, proj.bias, jnp.asarray(feats)))
+    preds = np.asarray(_predict_top1(proj.weight, proj.bias,
+                                     jnp.asarray(feats), text_weights))
     return float((preds == np.asarray(labels)).mean() * 100.0)
 
 
@@ -288,7 +286,7 @@ def _vmapped_grid_train(
     views_arg = views_d
     labels_arg = labels_d
 
-    def loss_fn(weight, x, lam, labels_d):
+    def loss_fn(weight, x, lam, labels_d, text_weights, init_weight):
         feats = x @ weight
         if bias is not None:
             feats = feats + bias
@@ -299,8 +297,10 @@ def _vmapped_grid_train(
         ce = jnp.mean(-jnp.take_along_axis(logp, labels_d[:, None], 1)[:, 0])
         return ce + lam * jnp.sum(jnp.square(weight - init_weight))
 
+    # init_weight/text_weights ride as ARGUMENTS (closure would bake them
+    # into the compile payload — the no-closure rule, CLAUDE.md)
     @jax.jit
-    def train_all(views_d, labels_d, lrs, lams):
+    def train_all(views_d, labels_d, lrs, lams, text_weights, init_weight):
         def train_one(lr, lam):
             opt_state = opt.init(init_weight)
 
@@ -309,7 +309,8 @@ def _vmapped_grid_train(
                 x = jax.lax.dynamic_index_in_dim(
                     views_d, (e + 1) % aug_views, axis=0, keepdims=False)
                 lr_e = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / epochs))
-                grads = jax.grad(loss_fn)(weight, x, lam, labels_d)
+                grads = jax.grad(loss_fn)(weight, x, lam, labels_d,
+                                          text_weights, init_weight)
                 opt_state.hyperparams["learning_rate"] = lr_e
                 updates, opt_state = opt.update(grads, opt_state, weight)
                 return optax.apply_updates(weight, updates), opt_state
@@ -320,7 +321,8 @@ def _vmapped_grid_train(
 
         return jax.vmap(train_one)(lrs, lams)  # [K, pre, emb]
 
-    return train_all(views_arg, labels_arg, lrs, lams)
+    return train_all(views_arg, labels_arg, lrs, lams, text_weights,
+                     init_weight)
 
 
 def grid_search(
@@ -379,12 +381,15 @@ def grid_search(
         best_i = int(np.argmax(accs))
         return combos[best_i][0], combos[best_i][1], float(accs[best_i])
 
-    # chunked regime: sequential (optimizer state per chunk, cheap anyway)
+    # memory fallback: sequential trainings.  The reference's search
+    # ALWAYS trains full-batch with unscaled lambda regardless of
+    # feat_batch_size (`/root/reference/methods/ProLIP.py:302-361` has no
+    # chunking) — matching that keeps the selected (lr, lambda) identical
     best = (-1.0, lr_grid[0], lambda_grid[0])
     for lr, lam in combos:
         proj, _ = train_projector(
             views, labels, text_weights, init_spec, lr, lam, epochs,
-            feat_batch_size=feat_batch_size, verbose=False)
+            feat_batch_size=0, verbose=False)
         acc = projector_accuracy(proj, val_feats, val_labels, text_weights)
         if verbose:
             print(f"lr={lr:g} lambda={lam:g} val_acc={acc:.4f}")
