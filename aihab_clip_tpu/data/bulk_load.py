@@ -131,13 +131,17 @@ def load_folder(
 
     # native C++ fast path (OpenMP JPEG decode + bilinear resize, RGB)
     decoded = None
+    decoded_stack = None  # pre-stacked [N, R, R, 3] when all decodes succeed
     if channel_order == "rgb" and paths:
         from ..native import native_bulk_decode_resize
 
         native_out = native_bulk_decode_resize(paths, resize_dim, workers)
         if native_out is not None:
             arr, ok = native_out
+            # views, not copies: np.stack below would transiently double
+            # peak RAM for the all-success case, so reuse arr directly
             decoded = [arr[i] if ok[i] else None for i in range(len(paths))]
+            decoded_stack = arr if ok.all() else None
     if decoded is None:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             decoded = list(pool.map(
@@ -160,9 +164,14 @@ def load_folder(
         plot_idx.append(rec.plot_id)
 
     n = len(images)
+    if decoded_stack is not None and n == len(decoded_stack):
+        images_arr = decoded_stack  # already one contiguous array
+    elif n:
+        images_arr = np.stack(images, 0)
+    else:
+        images_arr = np.zeros((0, resize_dim, resize_dim, 3), np.uint8)
     return ImageArrayDataset(
-        images=(np.stack(images, 0) if n else
-                np.zeros((0, resize_dim, resize_dim, 3), np.uint8)),
+        images=images_arr,
         labels=np.asarray(labels, np.int64),
         l2_labels=np.asarray(l2_labels, np.int64),
         poly_labels=np.asarray(poly_labels, np.int64),
@@ -188,9 +197,23 @@ def load_folders(
         raise ValueError("folder_paths and index_file_names length mismatch")
 
     if cache_dir is not None:
+        # the key must change when the DATASET changes, not just its
+        # paths: include every folder's image listing and each index
+        # CSV's (size, mtime) so edits invalidate the cache
+        content = []
+        for folder, idx_name in zip(folder_paths, index_file_names):
+            fp = Path(folder)
+            content.append(sorted(
+                f.name for f in fp.iterdir()
+                if f.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp"))
+                if fp.is_dir() else [])
+            ip = fp / idx_name
+            st = ip.stat() if ip.is_file() else None
+            content.append([st.st_size, st.st_mtime_ns] if st else None)
         key = hashlib.sha1(json.dumps(
-            [list(folder_paths), list(index_file_names), resize_dim,
-             channel_order]).encode()).hexdigest()[:16]
+            [list(map(str, folder_paths)), list(index_file_names),
+             resize_dim, channel_order, content]).encode()
+        ).hexdigest()[:16]
         cpath = Path(cache_dir) / f"bulk_{key}"
         if (cpath / "images.npy").is_file():
             return _load_cache(cpath)
@@ -217,7 +240,11 @@ def _save_cache(cpath: Path, ds: ImageArrayDataset) -> None:
         "plot_word_labels": ds.plot_word_labels,
         "poly_word_labels": ds.poly_word_labels,
         "file_names": ds.file_names,
-        "plot_idx": [str(p) for p in ds.plot_idx],
+        # keep native int/str types (json round-trips both) so cached
+        # and fresh runs return identical values
+        "plot_idx": [p if isinstance(p, (int, str)) else str(p)
+                     for p in (int(p) if isinstance(p, np.integer) else p
+                               for p in ds.plot_idx)],
         "image_sources": ds.image_sources,
     }
     (cpath / "meta.json").write_text(json.dumps(meta))

@@ -34,15 +34,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .preprocess import _random_resized_crop_params, normalize
-
-
-def _cubic_weight(t: jax.Array, a: float = -0.5) -> jax.Array:
-    at = jnp.abs(t)
-    at2, at3 = at * at, at * at * at
-    w1 = (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0
-    w2 = a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a
-    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+from .preprocess import (
+    _cubic_kernel as _cubic_weight,  # ONE Keys-kernel implementation
+    _random_resized_crop_params,
+    normalize,
+)
 
 
 def _linear_weight(t: jax.Array) -> jax.Array:

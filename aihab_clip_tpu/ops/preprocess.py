@@ -292,8 +292,7 @@ def _random_resized_crop_params(key, h: int, w: int,
     in_ratio = w / h
     fb_w = jnp.where(in_ratio < ratio[0], w, jnp.where(in_ratio > ratio[1],
                                                        jnp.round(h * ratio[1]), w))
-    fb_h = jnp.where(in_ratio < ratio[0], jnp.round(w / ratio[0]),
-                     jnp.where(in_ratio > ratio[1], h, h))
+    fb_h = jnp.where(in_ratio < ratio[0], jnp.round(w / ratio[0]), h)
     fb_top = jnp.round((h - fb_h) / 2.0)
     fb_left = jnp.round((w - fb_w) / 2.0)
 
@@ -352,11 +351,34 @@ def train_transform(
 
         if rotation:
             theta = jax.random.uniform(k_rot, minval=-30.0, maxval=30.0)
-            mat = _compose(mat, _rotation_matrix(jnp.deg2rad(theta), resolution))
-        return mat
+            rot = _rotation_matrix(jnp.deg2rad(theta), resolution)
+            mat = _compose(mat, rot)
+        else:
+            rot = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        return mat, rot
 
-    mats = jax.vmap(per_image_matrix)(keys)
+    mats, rots = jax.vmap(per_image_matrix)(keys)
     warped = affine_warp(images_u8, mats, resolution, method=method)
+    if rotation:
+        # the reference rotates the CROPPED image with fill=0
+        # (`/root/reference/data/clip_transforms.py`): black corners
+        # whenever the rotated grid leaves the crop FRAME — mask at the
+        # output frame, not just the source-image bounds (an interior
+        # crop would otherwise sample real pixels beyond the crop box)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(resolution, dtype=jnp.float32),
+            jnp.arange(resolution, dtype=jnp.float32), indexing="ij")
+        coords = jnp.stack([xs.ravel() + 0.5, ys.ravel() + 0.5,
+                            jnp.ones_like(xs).ravel()], 0)
+
+        def frame_mask(rot):
+            src = rot @ coords
+            return ((src[0] >= 0.0) & (src[0] <= resolution)
+                    & (src[1] >= 0.0) & (src[1] <= resolution))
+
+        mask = jax.vmap(frame_mask)(rots).reshape(b, resolution,
+                                                  resolution, 1)
+        warped = jnp.where(mask, warped, 0.0)
     warped = jnp.clip(warped, 0.0, 255.0)
     return normalize(warped, dtype=dtype)
 
