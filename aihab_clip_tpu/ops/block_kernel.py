@@ -319,42 +319,64 @@ def _act_f32(h, act: str):
     raise ValueError(f"unknown activation {act!r}")
 
 
-def _mlp_split_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
-                      wpr_ref, bpr_ref, acc_ref, o_ref, *, first: bool,
-                      act: str, ln_eps: float = 1e-5):
-    """One hidden-dim chunk of the MLP block: out = acc + act(LN(x) @
-    Wfc_chunk + bfc_chunk) @ Wpr_chunk  (+ x + b_proj on the first chunk).
-
-    LN(x) is recomputed per chunk (cheap VPU work) so only x and the
-    [TM, W] partial cross HBM between chunks — never the [TM, hidden]
-    activation."""
-    x = x_ref[:].astype(jnp.float32)                       # [TM, W]
-    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
-    h = jax.lax.dot(ln2.astype(o_ref.dtype), wfc_ref[:],
+def _mlp_split_chunk(x, ln2_f32, wfc_ref, bfc_ref, wpr_ref, *, act, cdt):
+    """Shared chunk math: act(LN(x) @ Wfc_chunk + bfc_chunk) @ Wpr_chunk,
+    GEMMs in ``cdt`` (the tower compute dtype) with fp32 accumulation."""
+    h = jax.lax.dot(ln2_f32.astype(cdt), wfc_ref[:],
                     preferred_element_type=jnp.float32)
     h = _act_f32(h + bfc_ref[:][None, :], act)
-    part = jax.lax.dot(h.astype(o_ref.dtype), wpr_ref[:],
+    return jax.lax.dot(h.astype(cdt), wpr_ref[:],
                        preferred_element_type=jnp.float32)
-    if first:
-        part = part + bpr_ref[:][None, :] + x
-    else:
-        part = part + acc_ref[:].astype(jnp.float32)
-    o_ref[:] = part.astype(o_ref.dtype)
+
+
+def _mlp_split_first_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
+                            wpr_ref, bpr_ref, o_ref, *, act: str,
+                            cdt, ln_eps: float = 1e-5):
+    """First hidden-dim chunk: out = x + b_proj + chunk(x).  No acc
+    operand — the pre-split kernel DMA'd the x tile twice here (an unread
+    placeholder); this variant saves that input traffic."""
+    x = x_ref[:].astype(jnp.float32)                       # [TM, W]
+    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
+    part = _mlp_split_chunk(x, ln2, wfc_ref, bfc_ref, wpr_ref,
+                            act=act, cdt=cdt)
+    o_ref[:] = (part + bpr_ref[:][None, :] + x).astype(o_ref.dtype)
+
+
+def _mlp_split_rest_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
+                           wpr_ref, acc_ref, o_ref, *, act: str,
+                           cdt, ln_eps: float = 1e-5):
+    """Later chunks: out = acc + chunk(x).  LN(x) is recomputed per chunk
+    (cheap VPU work) so only x and the [TM, W] partial cross HBM between
+    chunks — never the [TM, hidden] activation.  b_proj already lives in
+    the chunk-0 partial, so it is not an operand here."""
+    x = x_ref[:].astype(jnp.float32)                       # [TM, W]
+    ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
+    part = _mlp_split_chunk(x, ln2, wfc_ref, bfc_ref, wpr_ref,
+                            act=act, cdt=cdt)
+    o_ref[:] = (part + acc_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                     *, n_chunks: int = 2, act: str = "quick_gelu",
                     ln_eps: float = 1e-5, interpret: bool = False,
-                    tile_m: int = 0):
+                    tile_m: int = 0, f32_partial: bool = False):
     """x: [M, W] -> x + c_proj(act(c_fc(LN(x)))), hidden dim split across
     ``n_chunks`` sequential kernels so each chunk's weight pair fits VMEM
     (towers whose full MLP pair exceeds the one-kernel budget: ViT-L,
     SigLIP SO400M).  Versus the per-op split path this never materializes
-    the [M, hidden] activation in HBM — only the [M, W] running partial."""
+    the [M, hidden] activation in HBM — only the [M, W] running partial.
+
+    ``f32_partial`` keeps that running partial in fp32 through HBM
+    (removes one bf16 rounding per chunk boundary at the cost of 2x the
+    inter-chunk traffic; GEMMs stay in the tower compute dtype either
+    way).  Off by default pending a TPU accuracy/throughput A/B
+    (tools_dev/ab_mlp_split.py)."""
     m, w = x.shape
     hidden = w_fc.shape[1]
     assert hidden % n_chunks == 0, (hidden, n_chunks)
     ch = hidden // n_chunks
+    cdt = x.dtype  # GEMM compute dtype (independent of the partial dtype)
+    part_dt = jnp.float32 if f32_partial else x.dtype
     if not tile_m:
         # 14 MiB: measured safe in-tower at ViT-L (tile 256 edged out 128,
         # 6.96 vs 6.99 ms/block); the one-kernel path keeps its stricter
@@ -362,7 +384,8 @@ def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
         # (f32 doubles it).
         wbytes = jnp.dtype(x.dtype).itemsize * (w * ch + ch * w)
         budget = 14 * 1024 * 1024 - wbytes
-        tile_m = 256 if 256 * (ch * 4 + w * 10) <= budget else 128
+        acc_extra = w * jnp.dtype(part_dt).itemsize * 2  # acc in + out tiles
+        tile_m = 256 if 256 * (ch * 4 + w * 10 + acc_extra) <= budget else 128
     m_pad = ((m + tile_m - 1) // tile_m) * tile_m
     xp = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
 
@@ -371,33 +394,39 @@ def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     b_fc = jnp.asarray(b_fc, jnp.float32)
     b_proj = jnp.asarray(b_proj, jnp.float32)
 
-    acc = xp  # placeholder input for the first chunk (unread)
+    row_spec = pl.BlockSpec((tile_m, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_w = pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM)
+    chunk_specs = [
+        pl.BlockSpec((w, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    acc = None
     for k in range(n_chunks):
-        acc = pl.pallas_call(
-            partial(_mlp_split_kernel, first=(k == 0), act=act,
-                    ln_eps=ln_eps),
-            out_shape=jax.ShapeDtypeStruct((m_pad, w), x.dtype),
-            grid=(m_pad // tile_m,),
-            in_specs=[
-                pl.BlockSpec((tile_m, w), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((w, ch), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ch,), lambda i: (0,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((ch, w), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_m, w), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tile_m, w), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(xp, ln_scale, ln_bias,
-          w_fc[:, k * ch:(k + 1) * ch], b_fc[k * ch:(k + 1) * ch],
-          w_proj[k * ch:(k + 1) * ch, :], b_proj, acc)
+        out_dt = x.dtype if k == n_chunks - 1 else part_dt
+        chunk_w = (w_fc[:, k * ch:(k + 1) * ch], b_fc[k * ch:(k + 1) * ch],
+                   w_proj[k * ch:(k + 1) * ch, :])
+        if k == 0:
+            acc = pl.pallas_call(
+                partial(_mlp_split_first_kernel, act=act, cdt=cdt,
+                        ln_eps=ln_eps),
+                out_shape=jax.ShapeDtypeStruct((m_pad, w), out_dt),
+                grid=(m_pad // tile_m,),
+                in_specs=[row_spec, vec_w, vec_w, *chunk_specs, vec_w],
+                out_specs=row_spec,
+                interpret=interpret,
+            )(xp, ln_scale, ln_bias, *chunk_w, b_proj)
+        else:
+            acc = pl.pallas_call(
+                partial(_mlp_split_rest_kernel, act=act, cdt=cdt,
+                        ln_eps=ln_eps),
+                out_shape=jax.ShapeDtypeStruct((m_pad, w), out_dt),
+                grid=(m_pad // tile_m,),
+                in_specs=[row_spec, vec_w, vec_w, *chunk_specs, row_spec],
+                out_specs=row_spec,
+                interpret=interpret,
+            )(xp, ln_scale, ln_bias, *chunk_w, acc)
     return acc[:m]
 
 

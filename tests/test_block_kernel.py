@@ -77,11 +77,28 @@ def test_mlp_block_split_matches_fused(rng):
 
     ref = mlp_block_fused(x, g, beta, wfc, bfc, wpr, bpr, interpret=True,
                           tile_m=64)
-    for n_chunks in (2, 4):
-        out = mlp_block_split(x, g, beta, wfc, bfc, wpr, bpr,
-                              n_chunks=n_chunks, interpret=True, tile_m=64)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-4, rtol=2e-4)
+    for n_chunks in (1, 2, 4):
+        for f32_partial in (False, True):
+            out = mlp_block_split(x, g, beta, wfc, bfc, wpr, bpr,
+                                  n_chunks=n_chunks, interpret=True,
+                                  tile_m=64, f32_partial=f32_partial)
+            assert out.dtype == x.dtype
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4)
+
+    # bf16 towers: the f32 partial must round at most once per element
+    # (strictly closer-or-equal to the fp32 reference than the bf16 chain)
+    xb = x.astype(jnp.bfloat16)
+    wfcb, wprb = wfc.astype(jnp.bfloat16), wpr.astype(jnp.bfloat16)
+    ref32 = np.asarray(
+        mlp_block_split(xb, g, beta, wfcb, bfc, wprb, bpr, n_chunks=4,
+                        interpret=True, tile_m=64, f32_partial=True),
+        dtype=np.float32)
+    out16 = np.asarray(
+        mlp_block_split(xb, g, beta, wfcb, bfc, wprb, bpr, n_chunks=4,
+                        interpret=True, tile_m=64),
+        dtype=np.float32)
+    np.testing.assert_allclose(out16, ref32, atol=0.15, rtol=0.15)
 
     # gelu_tanh (SigLIP) against plain jnp math
     ln2 = _ln(x, g, beta)

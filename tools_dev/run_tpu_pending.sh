@@ -10,13 +10,15 @@
 #   3. ab_peft_hybrid --model siglip — re-measure the canonical-vs-hybrid
 #      SO400M step with the matmul-patchify module stem.
 #   4. bench.py — headline regression check.
+#   5. ab_mlp_split — f32-partial vs bf16-partial running accumulator in
+#      the hidden-dim-split MLP kernel (ViT-L + SigLIP shapes) + drift.
 #
-# Usage: bash tools_dev/run_tpu_pending.sh [1|2|3|4 ...]  (default: all)
+# Usage: bash tools_dev/run_tpu_pending.sh [1|2|3|4|5 ...]  (default: all)
 
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_pending
-steps="${*:-4 1 2 3}"   # bench first: cheap headline regression guard
+steps="${*:-4 1 2 3 5}"   # bench first: cheap headline regression guard
 
 run() {
   name="$1"; shift
