@@ -34,5 +34,6 @@ for s in $steps; do
     2) run quant python tools_dev/ab_peft_hybrid.py --quant ;;
     3) run siglip_ab python tools_dev/ab_peft_hybrid.py --model siglip --scan ;;
     4) run bench python bench.py ;;
+    5) run mlp_split python tools_dev/ab_mlp_split.py ;;
   esac
 done
