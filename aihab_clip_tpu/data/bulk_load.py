@@ -107,6 +107,7 @@ def load_folder(
     channel_order: str = "rgb",
     num_workers: int = 0,
     verbose: bool = False,
+    prescale: bool = True,
 ) -> ImageArrayDataset:
     """Load every labeled, non-corrupt image in a folder into RAM."""
     folder = Path(folder_path)
@@ -135,7 +136,15 @@ def load_folder(
     if channel_order == "rgb" and paths:
         from ..native import native_bulk_decode_resize
 
-        native_out = native_bulk_decode_resize(paths, resize_dim, workers)
+        # prescale: DCT-domain scaled decode down to >= 2x the target size
+        # (the remaining >=2x is bilinear). Sources much larger than the
+        # target decode several times faster; output differs from the
+        # full-resolution decode only in detail already discarded by the
+        # downsample (tests bound the difference). 2x keeps a quality
+        # margin for the on-device random-crop augmentations downstream.
+        native_out = native_bulk_decode_resize(
+            paths, resize_dim, workers,
+            prescale_min=2 * resize_dim if prescale else 0)
         if native_out is not None:
             arr, ok = native_out
             # views, not copies: np.stack below would transiently double
@@ -191,6 +200,7 @@ def load_folders(
     num_workers: int = 0,
     cache_dir: Optional[str] = None,
     verbose: bool = False,
+    prescale: bool = True,
 ) -> ImageArrayDataset:
     """Load + merge several folders; optional decoded-array disk cache."""
     if len(folder_paths) != len(index_file_names):
@@ -212,7 +222,7 @@ def load_folders(
             content.append([st.st_size, st.st_mtime_ns] if st else None)
         key = hashlib.sha1(json.dumps(
             [list(map(str, folder_paths)), list(index_file_names),
-             resize_dim, channel_order, content]).encode()
+             resize_dim, channel_order, bool(prescale), content]).encode()
         ).hexdigest()[:16]
         cpath = Path(cache_dir) / f"bulk_{key}"
         if (cpath / "images.npy").is_file():
@@ -221,7 +231,7 @@ def load_folders(
     ds: Optional[ImageArrayDataset] = None
     for folder, idx_name in zip(folder_paths, index_file_names):
         part = load_folder(folder, idx_name, resize_dim, channel_order,
-                           num_workers, verbose)
+                           num_workers, verbose, prescale=prescale)
         ds = part if ds is None else ds.concat(part)
     assert ds is not None
 

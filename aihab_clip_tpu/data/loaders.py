@@ -52,6 +52,9 @@ def build_loaders(cfg, channel_order: Optional[str] = None) -> LoaderBundle:
     channel_order = channel_order or str(data_cfg.get("channel_order", "rgb"))
     cache_dir = data_cfg.get("decode_cache_dir", None)
     num_workers = int(data_cfg.get("num_workers", 0))
+    # DCT-domain scaled JPEG decode (native path only; decodes to >= 2x the
+    # resize target). Turn off for bit-parity with full-resolution decode.
+    prescale = bool(data_cfg.get("decode_prescale", True))
 
     # subset spec (names/ids)
     subset_l3 = cfg.get("subset_l3", []) or []
@@ -64,7 +67,8 @@ def build_loaders(cfg, channel_order: Optional[str] = None) -> LoaderBundle:
     train_paths = _as_list(data_cfg["dataset_paths"])
     index_names = _as_list(data_cfg["index_file_names"])
     ds_tr = load_folders(train_paths, index_names, resize, channel_order,
-                         num_workers, cache_dir, verbose=False)
+                         num_workers, cache_dir, verbose=False,
+                         prescale=prescale)
 
     test_paths = _as_list(data_cfg.get("test_dataset_paths", None)) or \
         derive_test_paths(train_paths)
@@ -74,7 +78,8 @@ def build_loaders(cfg, channel_order: Optional[str] = None) -> LoaderBundle:
             f"Mismatch: test_dataset_paths has {len(test_paths)} entries but "
             f"test_index_file_names has {len(test_index)}.")
     ds_te = load_folders(test_paths, test_index, resize, channel_order,
-                         num_workers, cache_dir, verbose=False)
+                         num_workers, cache_dir, verbose=False,
+                         prescale=prescale)
 
     if use_subset:
         ds_tr = _subset_filter(ds_tr, subset_l3_ids)

@@ -36,8 +36,10 @@ def _try_build() -> None:
 @lru_cache()
 def _load_lib(name: str) -> Optional[ctypes.CDLL]:
     path = NATIVE_DIR / name
-    if not path.is_file():
-        _try_build()
+    # make is incremental (rebuilds only when a source is newer than its
+    # .so), so always running it keeps a checked-out stale binary from
+    # shadowing newer sources; one no-op make per process is ~20 ms.
+    _try_build()
     if not path.is_file():
         return None
     try:
@@ -109,6 +111,15 @@ def _img_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int]
+    try:  # v2 adds prescale_min (DCT-domain scaled decode); absent in
+        lib.bulk_decode_resize2.restype = ctypes.c_int  # stale builds
+        lib.bulk_decode_resize2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
+    except AttributeError:
+        pass
     return lib
 
 
@@ -118,9 +129,15 @@ def native_image_available() -> bool:
 
 def native_bulk_decode_resize(
     paths: List[str], resize_dim: int, num_threads: int = 0,
+    prescale_min: int = 0,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Decode+resize JPEGs -> ([N, R, R, 3] uint8 RGB, ok mask [N] bool).
-    Returns None if the native library is unavailable."""
+    Returns None if the native library is unavailable.
+
+    ``prescale_min > 0`` decodes each JPEG at the smallest libjpeg m/8
+    scale that keeps both dimensions >= prescale_min (DCT-domain scaling —
+    large sources decode several times faster) before the bilinear resize;
+    0 always decodes at full resolution."""
     lib = _img_lib()
     if lib is None or not paths:
         return None
@@ -135,8 +152,12 @@ def native_bulk_decode_resize(
     # run SLOWER than serial (measured 2x worse at 8 threads on 1 core)
     cores = os.cpu_count() or 4
     threads = min(num_threads, cores) if num_threads > 0 else min(32, cores)
-    lib.bulk_decode_resize(
-        blob, len(blob), n, resize_dim,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    ok_p = ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if hasattr(lib, "bulk_decode_resize2"):
+        lib.bulk_decode_resize2(blob, len(blob), n, resize_dim,
+                                int(prescale_min), out_p, ok_p, threads)
+    else:  # stale binary without the v2 symbol: full-resolution decode
+        lib.bulk_decode_resize(blob, len(blob), n, resize_dim, out_p, ok_p,
+                               threads)
     return out, ok.astype(bool)

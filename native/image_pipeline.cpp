@@ -36,7 +36,14 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG file into an RGB buffer. Returns true on success.
-bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
+//
+// prescale_min > 0 enables DCT-domain scaled decode: the smallest libjpeg
+// m/8 scale whose output keeps BOTH dimensions >= prescale_min is used, so
+// the IDCT runs on fewer coefficients (large sources decode several times
+// faster). The scaled image is then bilinear-resized as usual. 0 = always
+// decode at full resolution (bit-identical to the cv2 fallback path).
+bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h,
+                 int prescale_min) {
   FILE* f = fopen(path, "rb");
   if (f == nullptr) return false;
 
@@ -54,6 +61,23 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (prescale_min > 0) {
+    // smallest m in 1..8 keeping ceil(dim*m/8) >= prescale_min for both
+    // dims; if the source is already smaller than prescale_min this stays
+    // at 8/8 (full resolution, unchanged output).
+    unsigned int m = 8;
+    for (unsigned int c = 1; c < 8; ++c) {
+      const unsigned long sw = (cinfo.image_width * c + 7) / 8;
+      const unsigned long sh = (cinfo.image_height * c + 7) / 8;
+      if (sw >= static_cast<unsigned long>(prescale_min) &&
+          sh >= static_cast<unsigned long>(prescale_min)) {
+        m = c;
+        break;
+      }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
 
   w = static_cast<int>(cinfo.output_width);
@@ -165,9 +189,12 @@ extern "C" {
 // Decode+resize a list of JPEG paths into out [n, resize_dim, resize_dim, 3]
 // (RGB, uint8, preallocated). paths: '\n'-joined. ok[i] set 1 on success.
 // Returns the number of successfully decoded images.
-int bulk_decode_resize(const char* paths_blob, int64_t blob_len, int n,
-                       int resize_dim, uint8_t* out, uint8_t* ok,
-                       int num_threads) {
+//
+// prescale_min: see decode_jpeg — 0 decodes at full resolution; a positive
+// value enables DCT-domain scaled decode with that minimum dimension.
+int bulk_decode_resize2(const char* paths_blob, int64_t blob_len, int n,
+                        int resize_dim, int prescale_min, uint8_t* out,
+                        uint8_t* ok, int num_threads) {
   // split paths
   std::vector<std::pair<const char*, size_t>> paths;
   paths.reserve(n);
@@ -190,7 +217,7 @@ int bulk_decode_resize(const char* paths_blob, int64_t blob_len, int n,
     std::string path(paths[i].first, paths[i].second);
     std::vector<uint8_t> rgb;
     int w = 0, h = 0;
-    if (decode_jpeg(path.c_str(), rgb, w, h)) {
+    if (decode_jpeg(path.c_str(), rgb, w, h, prescale_min)) {
       resize_bilinear(rgb.data(), w, h, out + img_bytes * i, resize_dim,
                       resize_dim);
       ok[i] = 1;
@@ -201,6 +228,15 @@ int bulk_decode_resize(const char* paths_blob, int64_t blob_len, int n,
     }
   }
   return n_ok;
+}
+
+// Legacy entry point (full-resolution decode), kept so a stale caller
+// bound to the old symbol keeps working.
+int bulk_decode_resize(const char* paths_blob, int64_t blob_len, int n,
+                       int resize_dim, uint8_t* out, uint8_t* ok,
+                       int num_threads) {
+  return bulk_decode_resize2(paths_blob, blob_len, n, resize_dim, 0, out, ok,
+                             num_threads);
 }
 
 }  // extern "C"

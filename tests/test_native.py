@@ -95,6 +95,41 @@ def test_native_bulk_decode_matches_cv2(tmp_path, rng):
         assert np.percentile(diff, 99) <= 12
 
 
+def test_native_bulk_decode_prescale(tmp_path, rng):
+    """DCT-domain scaled decode: no-op below the threshold, bounded drift
+    and identical shapes above it."""
+    if not native.native_image_available():
+        pytest.skip("image pipeline lib not built")
+    import cv2
+
+    # small source (< prescale_min): m stays 8/8 -> bit-identical output
+    small = rng.integers(0, 256, size=(60, 80, 3), dtype=np.uint8)
+    sp = tmp_path / "small.jpg"
+    cv2.imwrite(str(sp), small[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+    full, ok1 = native.native_bulk_decode_resize([str(sp)], 32)
+    pre, ok2 = native.native_bulk_decode_resize([str(sp)], 32,
+                                                prescale_min=64)
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(full, pre)
+
+    # large smooth source (>> prescale_min): scaled decode kicks in; the
+    # resized outputs must agree except in detail the downsample discards
+    yy, xx = np.mgrid[0:540, 0:720]
+    img = np.stack([128 + 60 * np.sin(xx / 40), 128 + 50 * np.cos(yy / 30),
+                    np.full_like(xx, 90, dtype=np.float64)], -1)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    lp = tmp_path / "large.jpg"
+    cv2.imwrite(str(lp), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 92])
+    full, ok1 = native.native_bulk_decode_resize([str(lp)], 64)
+    pre, ok2 = native.native_bulk_decode_resize([str(lp)], 64,
+                                                prescale_min=128)
+    assert ok1.all() and ok2.all()
+    assert pre.shape == full.shape
+    diff = np.abs(pre[0].astype(int) - full[0].astype(int))
+    assert diff.mean() < 2.0
+    assert np.percentile(diff, 99) <= 12
+
+
 def test_native_bulk_decode_bad_file(tmp_path):
     if not native.native_image_available():
         pytest.skip("image pipeline lib not built")
