@@ -206,6 +206,14 @@ def load_folders(
     if len(folder_paths) != len(index_file_names):
         raise ValueError("folder_paths and index_file_names length mismatch")
 
+    if prescale:
+        # a stale native binary without the v2 entry point would decode at
+        # full resolution; fold that into the EFFECTIVE setting so the
+        # cache key below always matches the pixels actually produced
+        from ..native import native_prescale_supported
+
+        prescale = native_prescale_supported()
+
     if cache_dir is not None:
         # the key must change when the DATASET changes, not just its
         # paths: include every folder's image listing and each index

@@ -127,6 +127,15 @@ def native_image_available() -> bool:
     return _img_lib() is not None
 
 
+def native_prescale_supported() -> bool:
+    """True when the loaded library has the v2 (prescale-capable) entry
+    point. Callers that key caches on the prescale setting must check this
+    so a stale binary can't write full-resolution pixels under a
+    prescale=True cache key."""
+    lib = _img_lib()
+    return lib is not None and hasattr(lib, "bulk_decode_resize2")
+
+
 def native_bulk_decode_resize(
     paths: List[str], resize_dim: int, num_threads: int = 0,
     prescale_min: int = 0,

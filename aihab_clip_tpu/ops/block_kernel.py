@@ -319,7 +319,7 @@ def _act_f32(h, act: str):
     raise ValueError(f"unknown activation {act!r}")
 
 
-def _mlp_split_chunk(x, ln2_f32, wfc_ref, bfc_ref, wpr_ref, *, act, cdt):
+def _mlp_split_chunk(ln2_f32, wfc_ref, bfc_ref, wpr_ref, *, act, cdt):
     """Shared chunk math: act(LN(x) @ Wfc_chunk + bfc_chunk) @ Wpr_chunk,
     GEMMs in ``cdt`` (the tower compute dtype) with fp32 accumulation."""
     h = jax.lax.dot(ln2_f32.astype(cdt), wfc_ref[:],
@@ -337,7 +337,7 @@ def _mlp_split_first_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
     placeholder); this variant saves that input traffic."""
     x = x_ref[:].astype(jnp.float32)                       # [TM, W]
     ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
-    part = _mlp_split_chunk(x, ln2, wfc_ref, bfc_ref, wpr_ref,
+    part = _mlp_split_chunk(ln2, wfc_ref, bfc_ref, wpr_ref,
                             act=act, cdt=cdt)
     o_ref[:] = (part + bpr_ref[:][None, :] + x).astype(o_ref.dtype)
 
@@ -351,7 +351,7 @@ def _mlp_split_rest_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
     the chunk-0 partial, so it is not an operand here."""
     x = x_ref[:].astype(jnp.float32)                       # [TM, W]
     ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
-    part = _mlp_split_chunk(x, ln2, wfc_ref, bfc_ref, wpr_ref,
+    part = _mlp_split_chunk(ln2, wfc_ref, bfc_ref, wpr_ref,
                             act=act, cdt=cdt)
     o_ref[:] = (part + acc_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 

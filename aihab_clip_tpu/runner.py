@@ -615,7 +615,11 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         for name, spec in extra.items():  # feature arrays above)
             ds_extra = load_folders(
                 spec["dataset_paths"], spec["index_file_names"],
-                int(cfg["data"]["preprocessing"].get("resize", 256)))
+                int(cfg["data"]["preprocessing"].get("resize", 256)),
+                # decode settings must match the main loaders, or the
+                # extra-testset pixels silently differ from the test set
+                channel_order=str(cfg["data"].get("channel_order", "rgb")),
+                prescale=bool(cfg["data"].get("decode_prescale", True)))
             extra_views[name] = SplitView(ds_extra, np.arange(len(ds_extra)),
                                           int(cfg["data"]["batch_size"]))
         extra_results = evaluate_multi_testsets(

@@ -127,7 +127,9 @@ def run(shape_key, iters):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # >= 4: timing subtracts a 2-iter short run, so iters <= 2 would divide
+    # by zero after the expensive compile
+    iters = max(int(sys.argv[2]) if len(sys.argv) > 2 else 8, 4)
     log(f"device: {jax.devices()[0]}")
     out = {}
     for key in (("vitl", "siglip") if mode == "both" else (mode,)):
