@@ -38,14 +38,29 @@ def global_mesh(model_parallel: int = 1):
 
 def process_shard_indices(n: int, seed: int = 0,
                           process_index: Optional[int] = None,
-                          process_count: Optional[int] = None) -> np.ndarray:
+                          process_count: Optional[int] = None,
+                          even: bool = False) -> np.ndarray:
     """Deterministic per-process shard of the sample index space.
 
     Every process computes the same permutation (seeded) and takes its
-    contiguous slice, so hosts load disjoint data without coordination."""
+    contiguous slice, so hosts load disjoint data without coordination.
+
+    Default shards are UNEVEN when ``process_count`` does not divide ``n``
+    (the last process takes the remainder) — fine for independent
+    per-host work such as sharded cache writing, but a lockstep SPMD
+    consumer that batches its local shard would dispatch a different step
+    count per host and hang the pod on the first collective.  Pass
+    ``even=True`` for that case: every process gets exactly
+    ceil(n / process_count) samples, the short shards padded by wrapping
+    into the front of the permutation (duplicates across processes, never
+    within one process)."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     order = np.random.RandomState(seed).permutation(n)
+    if even:
+        per = -(-n // pc)  # ceil
+        idx = (np.arange(pi * per, (pi + 1) * per) % n)
+        return np.sort(order[idx])
     per = n // pc
     start = pi * per
     end = start + per if pi < pc - 1 else n

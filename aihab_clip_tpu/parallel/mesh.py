@@ -29,6 +29,24 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def device_grid(devices: Sequence, shape: Tuple[int, ...]) -> np.ndarray:
+    """Topology-aware device placement for a mesh of ``shape``.
+
+    ``jax.devices()`` order is not torus-adjacent on real multi-chip
+    slices, so a naive reshape can scatter a minor-axis group (the
+    per-block TP all-reduces, the pipeline's stage-neighbor ppermute hops)
+    across non-neighbor chips.  ``mesh_utils.create_device_mesh`` searches
+    the physical topology for an assignment whose minor axis rides ICI
+    neighbors; fall back to the plain reshape where no topology info
+    exists (CPU/virtual devices, explicit device subsets)."""
+    try:
+        from jax.experimental import mesh_utils
+
+        return mesh_utils.create_device_mesh(shape, devices=list(devices))
+    except Exception:
+        return np.asarray(devices).reshape(shape)
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               model_parallel: int = 1) -> Mesh:
     """Build a (data, model) mesh over the given devices."""
@@ -36,7 +54,7 @@ def make_mesh(devices: Optional[Sequence] = None,
     n = len(devices)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    grid = device_grid(devices, (n // model_parallel, model_parallel))
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

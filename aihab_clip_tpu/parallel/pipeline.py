@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, device_grid
 
 STAGE_AXIS = "stage"
 
@@ -57,8 +57,9 @@ def make_pipeline_mesh(n_stages: int,
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
     if data_parallel == 1:
-        return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
-    grid = np.asarray(devices[:need]).reshape(data_parallel, n_stages)
+        return Mesh(device_grid(devices[:n_stages], (n_stages,)),
+                    (STAGE_AXIS,))
+    grid = device_grid(devices[:need], (data_parallel, n_stages))
     return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
 
 

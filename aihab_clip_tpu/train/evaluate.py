@@ -26,6 +26,20 @@ from ..ops.preprocess import eval_transform
 from .tracker import ClassificationTracker
 
 
+def masked_ce_metrics(logits, labels, valid):
+    """Masked cross-entropy + (correct, n_valid) — the single definition
+    of the classification objective tail.  Every step builder (per-step,
+    epoch-scan, pipeline-parallel, eval) shares it so a loss change cannot
+    silently diverge between regimes."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+    correct = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == labels,
+                                False))
+    return loss, (correct, n_valid)
+
+
 def make_eval_step(model, resolution: int, num_classes: int,
                    compute_dtype=jnp.float32, ks=(1, 3), project: bool = True,
                    mesh=None, sharded_weights: bool = False,
@@ -83,10 +97,7 @@ def make_eval_step(model, resolution: int, num_classes: int,
         logits = 100.0 * feats @ text_weights
 
         # masked mean CE (padding rows excluded)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+        loss, _ = masked_ce_metrics(logits, targets, valid)
 
         state = M.update_metric_state(state, logits, targets, loss=loss,
                                       ks=ks, valid_mask=valid)

@@ -42,8 +42,7 @@ from ..backend import dispatch_backend
 from ..data.pipeline import SplitView
 from ..models.clip import CLIPModel
 from ..models.text_head import compute_text_weights
-from ..ops.preprocess import train_transform
-from .evaluate import evaluate, make_eval_step
+from .evaluate import evaluate, make_eval_step, masked_ce_metrics
 from .prolip import cosine_lr
 from .tracker import ClassificationTracker
 
@@ -310,9 +309,46 @@ def _merge_for_step(cfg: "PEFTConfig", trainable, frozen):
     return merge_params(trainable, frozen)
 
 
+def _build_loss_fn(model: CLIPModel, cfg: PEFTConfig,
+                   text_weights: Optional[jax.Array],
+                   prompt_tokens: Optional[jax.Array], mesh=None):
+    """The shared PEFT train objective: augment -> encode -> normalize ->
+    (optionally recomputed) text head -> masked CE.  Used verbatim by both
+    the per-step and the epoch-scan regimes, which therefore stay
+    step-for-step identical by construction."""
+    from ..ops.fast_warp import fast_train_transform
+    from ..ops.preprocess import train_transform as exact_train_transform
+
+    aug_fn = (fast_train_transform if cfg.aug_impl == "fast"
+              else exact_train_transform)
+
+    def loss_fn(trainable, frozen, images_u8, labels, valid, key,
+                qprefix=None, pprefix=None):
+        params = _merge_for_step(cfg, trainable, frozen)
+        x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
+                   flip=cfg.flip, rotation=cfg.rotation,
+                   dtype=cfg.compute_dtype)
+        _, feats = _encode_projected(model, cfg, params, x, mesh=mesh,
+                                     qprefix=qprefix, pprefix=pprefix)
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        if cfg.tune_text:
+            w = compute_text_weights(model, params, prompt_tokens,
+                                     cfg.num_classes, cfg.num_templates,
+                                     scan_blocks=cfg.scan_blocks)
+        else:
+            w = text_weights
+        logits = 100.0 * feats @ w
+        return masked_ce_metrics(logits, labels, valid)
+
+    return loss_fn
+
+
 def make_train_step(model: CLIPModel, cfg: PEFTConfig,
                     text_weights: Optional[jax.Array],
-                    prompt_tokens: Optional[jax.Array], mesh=None):
+                    prompt_tokens: Optional[jax.Array], mesh=None,
+                    donate: bool = False):
     """Build the jitted PEFT step.
 
     Returns (opt, step) where step(trainable, frozen, opt_state, images_u8,
@@ -327,39 +363,17 @@ def make_train_step(model: CLIPModel, cfg: PEFTConfig,
     remote-compile payloads) and forces recompilation when they change."""
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
 
-    from ..ops.fast_warp import fast_train_transform
+    loss_fn = _build_loss_fn(model, cfg, text_weights, prompt_tokens,
+                             mesh=mesh)
 
-    aug_fn = fast_train_transform if cfg.aug_impl == "fast" else train_transform
-
-    def loss_fn(trainable, frozen, images_u8, labels, valid, key,
-                qprefix=None, pprefix=None):
-        params = _merge_for_step(cfg, trainable, frozen)
-        x = aug_fn(images_u8, key, cfg.resolution,
-                   crop_mode=cfg.crop_mode, flip=cfg.flip,
-                   rotation=cfg.rotation, dtype=cfg.compute_dtype)
-        _, feats = _encode_projected(model, cfg, params, x, mesh=mesh,
-                                     qprefix=qprefix, pprefix=pprefix)
-        feats = feats.astype(jnp.float32)
-        feats = feats / jnp.maximum(
-            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-
-        if cfg.tune_text:
-            w = compute_text_weights(model, params, prompt_tokens,
-                                     cfg.num_classes, cfg.num_templates,
-                                     scan_blocks=cfg.scan_blocks)
-        else:
-            w = text_weights
-        logits = 100.0 * feats @ w
-
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
-        correct = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == labels,
-                                    False))
-        return loss, (correct, n_valid)
-
-    @jax.jit
+    # donate=True donates the train state: without donation XLA holds old
+    # + new copies of params and both Adam moments live across the update
+    # — a ~2x transient on exactly the footprint FSDP runs shard to fit
+    # HBM.  Opt-in because donation consumes the caller's input buffers:
+    # the finetune driver rebinds both returns every step (and owns its
+    # trainable copy), but direct callers often feed one initial state to
+    # several step functions for A/B comparison.
+    @partial(jax.jit, donate_argnums=(0, 2) if donate else ())
     def jit_step(trainable, frozen, opt_state, images_u8, labels, valid,
                  key, lr, qprefix=None, pprefix=None):
         (loss, (correct, n_valid)), grads = jax.value_and_grad(
@@ -400,51 +414,25 @@ def make_epoch_scan(model: CLIPModel, cfg: PEFTConfig,
     paths are step-for-step equivalent."""
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
 
-    from ..ops.fast_warp import fast_train_transform
-    from ..ops.preprocess import train_transform as exact_train_transform
-
-    aug_fn = (fast_train_transform if cfg.aug_impl == "fast"
-              else exact_train_transform)
-
-    def loss_fn(trainable, frozen, images_u8, labels, valid, key,
-                qprefix=None, pprefix=None):
-        params = _merge_for_step(cfg, trainable, frozen)
-        x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
-                   flip=cfg.flip, rotation=cfg.rotation,
-                   dtype=cfg.compute_dtype)
-        _, feats = _encode_projected(model, cfg, params, x, qprefix=qprefix,
-                                     pprefix=pprefix)
-        feats = feats.astype(jnp.float32)
-        feats = feats / jnp.maximum(
-            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-        if cfg.tune_text:
-            w = compute_text_weights(model, params, prompt_tokens,
-                                     cfg.num_classes, cfg.num_templates,
-                                     scan_blocks=cfg.scan_blocks)
-        else:
-            w = text_weights
-        logits = 100.0 * feats @ w
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
-        correct = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == labels,
-                                    False))
-        return loss, (correct, n_valid)
+    loss_fn = _build_loss_fn(model, cfg, text_weights, prompt_tokens)
 
     @partial(jax.jit, donate_argnums=(0, 2))
     def epoch_fn(trainable, frozen, opt_state, images_all, labels_all,
                  batch_idx, batch_valid, epoch_key, lr,
-                 step0: jax.Array | int = 0):
+                 step0: jax.Array | int = 0, qprefix=None, pprefix=None):
         """batch_idx: [steps, B] int32 gather indices into images_all;
         batch_valid: [steps, B] bool (padding rows False).  ``step0`` is
         the global step offset of this call within the epoch (nonzero for
         chunked epochs), keeping augmentation keys identical to one
         whole-epoch scan."""
-        # quantize/pack the frozen prefix ONCE per epoch call, outside
-        # the scan body (frozen never changes within an epoch)
-        qprefix = _quantize_prefix(model, cfg, frozen)
-        pprefix = _pack_prefix(model, cfg, frozen)
+        if qprefix is None and pprefix is None:
+            # fallback for callers that did not precompute the frozen
+            # prefix: quantize/pack ONCE per epoch call, outside the scan
+            # body.  The driver precomputes per RUN instead — the chunked
+            # regime invokes epoch_fn n_chunks times per epoch, and
+            # requantizing the frozen tower per chunk is pure rework.
+            qprefix = _quantize_prefix(model, cfg, frozen)
+            pprefix = _pack_prefix(model, cfg, frozen)
 
         def body(carry, sb):
             trainable, opt_state = carry
@@ -644,6 +632,11 @@ def finetune(
                   f"(base tower fully frozen)")
     else:
         trainable, frozen = partition_params(params, mask)
+        # own the trainable buffers: every step regime donates (trainable,
+        # opt_state), and partition_params returns views into the CALLER's
+        # param tree — without this copy the first donated step deletes
+        # the caller's arrays out from under it
+        trainable = jax.tree.map(lambda a: jnp.array(a), trainable)
         if mesh is not None:
             from ..parallel import shard_params
 
@@ -666,8 +659,9 @@ def finetune(
                    and cfg.device_dataset.lower() == "chunked")
     use_scan = bool(cfg.device_dataset) and not use_chunked
     if mesh is not None and (use_scan or use_chunked):
-        print("[peft] device_dataset disabled under a mesh "
-              "(per-step SPMD loop instead)")
+        if verbose:
+            print("[peft] device_dataset disabled under a mesh "
+                  "(per-step SPMD loop instead)")
         use_scan = use_chunked = False
     if use_scan:
         opt, epoch_fn = make_epoch_scan(model, cfg, text_weights,
@@ -688,7 +682,7 @@ def finetune(
         step = None
     else:
         opt, step = make_train_step(model, cfg, text_weights,
-                                    prompt_tokens, mesh=mesh)
+                                    prompt_tokens, mesh=mesh, donate=True)
     opt_state = opt.init(trainable)
 
     start_epoch = 0
@@ -699,6 +693,9 @@ def finetune(
 
         restored = load_checkpoint(Path(resume_from), params, opt_state)
         trainable, frozen = partition_params(restored["params"], mask)
+        # donation safety (see above): never donate the restored tree's own
+        # buffers
+        trainable = jax.tree.map(lambda a: jnp.array(a), trainable)
         if "opt_state" in restored:
             # restored onto the opt.init target, so shardings carry over
             opt_state = restored["opt_state"]
@@ -713,13 +710,14 @@ def finetune(
                   f"(params{' + opt state' if 'opt_state' in restored else ''})"
                   f" from {resume_from}")
 
-    # int8 prefix for the per-step regime: quantize ONCE per run, after any
-    # resume re-partition (the frozen tree never changes during training);
-    # the scan/chunked regimes quantize once per epoch call inside their
-    # own jitted program
+    # int8/packed prefix: quantize ONCE per run, after any resume
+    # re-partition (the frozen tree never changes during training).  All
+    # regimes receive it as an argument — the chunked regime in particular
+    # calls epoch_fn n_chunks times per epoch, so computing in-jit there
+    # would requantize the frozen tower per chunk.
     qprefix = None
     pprefix = None
-    if step is not None and cfg.fused_prefix > 0:
+    if cfg.fused_prefix > 0:
         if cfg.prefix_quant:
             qprefix = jax.jit(partial(_quantize_prefix, model, cfg))(frozen)
         else:
@@ -791,7 +789,8 @@ def finetune(
             idx, valid = _epoch_batch_indices(train_view, epoch)
             trainable, opt_state, m = epoch_fn(
                 trainable, frozen, opt_state, images_all, labels_all,
-                jnp.asarray(idx), jnp.asarray(valid), ekey, lr_e)
+                jnp.asarray(idx), jnp.asarray(valid), ekey, lr_e,
+                jnp.asarray(0, jnp.int32), qprefix, pprefix)
             run_loss = float(m["loss_sum"])
             run_batches = int(m["batches"])
             correct = float(m["correct"])
@@ -826,7 +825,7 @@ def finetune(
                 imgs, labs, bidx, bvalid, s0 = buf
                 trainable, opt_state, m = epoch_fn(
                     trainable, frozen, opt_state, imgs, labs, bidx, bvalid,
-                    ekey, lr_e, jnp.asarray(s0, jnp.int32))
+                    ekey, lr_e, jnp.asarray(s0, jnp.int32), qprefix, pprefix)
                 # prefetch the next chunk while this one computes on device
                 if c + 1 < n_chunks:
                     buf = stage(c + 1)
@@ -838,6 +837,11 @@ def finetune(
             if timer is not None:
                 timer.tick(items=int(seen))
         else:
+            # keep step metrics on device until the epoch ends: float()-ing
+            # per batch would block the host on every step and serialize
+            # dispatch with device compute (~100 ms/round-trip through the
+            # remote tunnel — the only regime available under a mesh)
+            step_metrics = []
             for bi, batch in enumerate(train_view.batches(epoch=epoch)):
                 key = jax.random.fold_in(ekey, bi)
                 imgs = jnp.asarray(batch.images)
@@ -852,10 +856,8 @@ def finetune(
                     trainable, opt_state, m = step(
                         trainable, frozen, opt_state, imgs, labs, val,
                         key, lr_e, qprefix, pprefix)
-                run_loss += float(m["loss"])
+                step_metrics.append(m)
                 run_batches += 1
-                correct += float(m["correct"])
-                seen += float(m["n_valid"])
                 if timer is not None:
                     timer.tick(items=batch.n_valid)
                 if profiling and bi >= 4:
@@ -863,6 +865,13 @@ def finetune(
                     profiling = False
                     if verbose:
                         print(f"[profile] trace (5 steps) -> {profile_dir}")
+            if step_metrics:
+                run_loss = float(jnp.sum(
+                    jnp.stack([m["loss"] for m in step_metrics])))
+                correct = float(jnp.sum(
+                    jnp.stack([m["correct"] for m in step_metrics])))
+                seen = float(jnp.sum(
+                    jnp.stack([m["n_valid"] for m in step_metrics])))
         if profiling:
             jax.profiler.stop_trace()
 

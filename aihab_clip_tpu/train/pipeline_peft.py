@@ -33,7 +33,7 @@ import optax
 from ..models.clip import CLIPModel
 from ..models.text_head import compute_text_weights
 from ..parallel.pipeline import pipeline_encode
-from .peft import PEFTConfig
+from .peft import PEFTConfig, masked_ce_metrics
 
 HEAD_LEAVES = ("ln_post", "proj")
 
@@ -105,13 +105,7 @@ def make_pipeline_train_step(model: CLIPModel, cfg: PEFTConfig,
         else:
             w = text_weights
         logits = 100.0 * feats @ w
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
-        correct = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == labels,
-                                    False))
-        return loss, (correct, n_valid)
+        return masked_ce_metrics(logits, labels, valid)
 
     def _mask_grads(grads):
         def apply(leaf):

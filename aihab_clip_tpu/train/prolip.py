@@ -73,31 +73,33 @@ def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
     return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / total_epochs))
 
 
-def _make_step(text_weights: jnp.ndarray, init_weight: jnp.ndarray,
-               bias: Optional[jnp.ndarray]):
-    """Jitted train step over (weight, opt_state, x, y, valid, lr, lam)."""
+def _make_step(bias: Optional[jnp.ndarray]):
+    """Jitted train step over (weight, opt_state, x, y, valid, lr, lam, tw,
+    init_w).  The text head and the init anchor ride as ARGUMENTS — closing
+    over them would bake both matrices into the compiled program as
+    constants (the no-closure rule, CLAUDE.md) and recompile per call."""
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3, eps=1e-4)
 
-    def loss_fn(weight, x, y, valid, lam):
+    def loss_fn(weight, x, y, valid, lam, tw, init_w):
         feats = x.astype(jnp.float32) @ weight
         if bias is not None:
             feats = feats + bias
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-        logits = 100.0 * feats @ text_weights
+        logits = 100.0 * feats @ tw
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
         ce = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
-        mse = jnp.sum(jnp.square(weight - init_weight))
+        mse = jnp.sum(jnp.square(weight - init_w))
         correct = jnp.sum(
             jnp.where(valid, (jnp.argmax(logits, -1) == y), False))
         return ce + lam * mse, (ce, mse, correct, n_valid)
 
     @jax.jit
-    def step(weight, opt_state, x, y, valid, lr, lam):
+    def step(weight, opt_state, x, y, valid, lr, lam, tw, init_w):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            weight, x, y, valid, lam)
+            weight, x, y, valid, lam, tw, init_w)
         opt_state.hyperparams["learning_rate"] = lr
         updates, opt_state = opt.update(grads, opt_state, weight)
         weight = optax.apply_updates(weight, updates)
@@ -201,7 +203,7 @@ def train_projector(
     views_d = [jnp.asarray(v, jnp.float32) for v in views]
     init_weight = init_spec.weight
     weight = init_weight
-    opt, step = _make_step(text_weights, init_weight, init_spec.bias)
+    opt, step = _make_step(init_spec.bias)
     opt_state = opt.init(weight)
 
     stats: Dict = {"epochs": []}
@@ -230,7 +232,8 @@ def train_projector(
                 yi = labels_d[start:start + k]
                 valid = jnp.ones((k,), bool)
             weight, opt_state, loss, (ce, mse, corr, nv) = step(
-                weight, opt_state, xi, yi, valid, lr_e, lam_scaled)
+                weight, opt_state, xi, yi, valid, lr_e, lam_scaled,
+                text_weights, init_weight)
             correct += float(corr)
             seen += float(nv)
             ce_sum += float(ce)
@@ -325,6 +328,22 @@ def _vmapped_grid_train(
                      init_weight)
 
 
+@jax.jit
+def _score_projectors(ws, vf, vl, text_weights, bias):
+    """Validation top-1 per projector: ws [K, pre, emb] -> [K] accuracy.
+    Module-level jit; the validation cache / labels / text head ride as
+    ARGUMENTS per the no-closure rule (a closure would embed the whole
+    validation feature matrix into the compile payload and recompile per
+    grid_search call)."""
+    feats = jnp.einsum("np,kpe->kne", vf, ws)
+    if bias is not None:
+        feats = feats + bias
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+    logits = 100.0 * feats @ text_weights
+    return jnp.mean(jnp.argmax(logits, -1) == vl[None, :], axis=-1)
+
+
 def grid_search(
     views: List[np.ndarray],
     labels: np.ndarray,
@@ -363,18 +382,8 @@ def grid_search(
 
         vf = jnp.asarray(val_feats, jnp.float32)
         vl = jnp.asarray(val_labels, jnp.int32)
-
-        @jax.jit
-        def score_all(ws):
-            feats = jnp.einsum("np,kpe->kne", vf, ws)
-            if init_spec.bias is not None:
-                feats = feats + init_spec.bias
-            feats = feats / jnp.maximum(
-                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-            logits = 100.0 * feats @ text_weights
-            return jnp.mean(jnp.argmax(logits, -1) == vl[None, :], axis=-1)
-
-        accs = np.asarray(score_all(weights)) * 100.0
+        accs = np.asarray(_score_projectors(
+            weights, vf, vl, text_weights, init_spec.bias)) * 100.0
         if verbose:
             for (lr, lam), acc in zip(combos, accs):
                 print(f"lr={lr:g} lambda={lam:g} val_acc={acc:.4f}")

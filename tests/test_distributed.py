@@ -36,6 +36,28 @@ def test_process_shard_indices_partition():
     assert not np.array_equal(shards[2], other)
 
 
+def test_process_shard_indices_even():
+    """even=True: equal per-process counts (lockstep-safe) covering every
+    sample, short shards padded by wrapping (no within-process dupes)."""
+    n = 103
+    shards = [process_shard_indices(n, seed=1, process_index=i,
+                                    process_count=4, even=True)
+              for i in range(4)]
+    per = -(-n // 4)
+    assert all(len(s) == per for s in shards)
+    assert set(np.concatenate(shards).tolist()) == set(range(n))
+    for s in shards:
+        assert len(set(s.tolist())) == len(s)
+    # n divisible: even matches the uneven partition exactly
+    flat = [process_shard_indices(100, seed=1, process_index=i,
+                                  process_count=4) for i in range(4)]
+    even = [process_shard_indices(100, seed=1, process_index=i,
+                                  process_count=4, even=True)
+            for i in range(4)]
+    for a, b in zip(flat, even):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_make_global_batch_single_process():
     mesh = make_mesh()
     imgs = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
