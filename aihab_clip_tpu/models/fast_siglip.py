@@ -63,9 +63,11 @@ def _ln(x, scale, bias, eps=LN_EPS):
 
 def siglip_attn_groups(config: SigLIPConfig) -> int:
     """2 heads/program (the measured/VMEM-fitting grouping at SO400M);
-    1 group for odd head counts (the grouping must divide heads)."""
+    1 head/program for odd head counts (the grouping must divide heads —
+    and falling back to a single UNSPLIT group would hand the kernel the
+    whole-tower working set this split exists to avoid)."""
     heads = config.vision_heads
-    return heads // 2 if heads % 2 == 0 and heads >= 2 else 1
+    return heads // 2 if heads % 2 == 0 and heads >= 2 else heads
 
 
 def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,

@@ -309,16 +309,19 @@ def vit_encode_train(params, images: jax.Array, config: CLIPConfig,
     return pre, projected
 
 
-def use_fused_train_encode(model, config, mesh=None) -> bool:
+def use_fused_train_encode(model, config, mesh=None,
+                           dtype=jnp.bfloat16) -> bool:
     """Fused-training-tower dispatch gate: TPU, CLIP-ViT, no GSPMD mesh
     (Pallas does not partition), MLP weight pair within the one-kernel
-    VMEM budget."""
+    VMEM budget (in the actual compute dtype — an f32 tower doubles the
+    pair bytes)."""
     if mesh is not None or dispatch_backend() != "tpu":
         return False
     if not (isinstance(config, CLIPConfig) and config.is_vit):
         return False
     hidden = config.vision_mlp_dim or 4 * config.vision_width
-    return 2 * config.vision_width * hidden * 2 <= MLP_WHOLE_KERNEL_MAX_BYTES
+    pair_bytes = 2 * config.vision_width * hidden * jnp.dtype(dtype).itemsize
+    return pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
 
 
 def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
@@ -488,27 +491,6 @@ def vit_encode_block_fused(params, images: jax.Array, config: CLIPConfig,
     return pre, projected
 
 
-def _canonical_vit_block(x, blk, heads: int, dtype):
-    """One differentiable transformer block in plain jnp, numerically
-    identical to the Flax ``ResidualAttentionBlock`` (fp32 LN, compute-
-    dtype GEMMs, QuickGELU, same attention dispatch)."""
-    from ..ops.attention import attention
-
-    ln1 = _ln(x, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
-    qkv = ln1 @ jnp.asarray(blk["attn"]["in_proj"]["kernel"], dtype)
-    qkv = qkv + jnp.asarray(blk["attn"]["in_proj"]["bias"], dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = attention(q, k, v, heads)
-    out = out @ jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype)
-    x = x + out + jnp.asarray(blk["attn"]["out_proj"]["bias"], dtype)
-    ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-    h = ln2 @ jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype)
-    h = h + jnp.asarray(blk["mlp"]["c_fc"]["bias"], dtype)
-    h = h * jax.nn.sigmoid(1.702 * h)
-    h = h @ jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype)
-    return x + h + jnp.asarray(blk["mlp"]["c_proj"]["bias"], dtype)
-
-
 def peft_fused_prefix_len(config, unlocked_groups: int, mesh=None,
                           batch_size: int | None = None) -> int:
     """How many bottom visual blocks are FROZEN under ``unlocked_groups``
@@ -599,7 +581,7 @@ def vit_encode_hybrid(params, images: jax.Array, config: CLIPConfig,
         x = x.astype(dtype)
     for i in range(n_prefix, config.vision_layers):
         blk = vp["transformer"][f"resblocks_{i}"]
-        x = _canonical_vit_block(x, blk, config.vision_heads, dtype)
+        x = _canonical_clip_block(x, blk, config.vision_heads, dtype)
     cls_tok = x[:, 0, :]
     pre = _ln(cls_tok, vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     if not project:

@@ -39,10 +39,17 @@ from .siglip import MAPHead, SigLIPConfig
 LN_EPS = 1e-6
 
 
-def quantize_siglip_block(blk: Dict) -> Dict:
+def quantize_siglip_block(blk: Dict, heads: int = 0,
+                          n_groups: int = 0) -> Dict:
     """Quantize one SigLIP transformer block's GEMM weights (jnp ops —
     load time or in-jit; the separate q/k/v projections are PACKED into
-    one [W, 3W] GEMM sharing the ln_1(x) input)."""
+    one [W, 3W] GEMM sharing the ln_1(x) input).
+
+    When ``heads``/``n_groups`` are given, the head-group regrouping for
+    the split whole-block attention kernel is ALSO done here, once —
+    regrouping inside the encode/train step would reshuffle the full
+    QKV+out-proj weight set per block per call (qblocks are jit
+    arguments, so nothing constant-folds)."""
     from ..ops.quant import quantize_weight
 
     q: Dict = {}
@@ -65,6 +72,18 @@ def quantize_siglip_block(blk: Dict) -> Dict:
         }
     q["ln_1"] = blk["ln_1"]
     q["ln_2"] = blk["ln_2"]
+    if heads and n_groups:
+        from ..ops.quant_matmul import regroup_attn_weights
+
+        wg, sg, bg, og = regroup_attn_weights(
+            q["attn/qkv"]["w8"], q["attn/qkv"]["scale"],
+            q["attn/qkv"]["bias"], q["attn/out_proj"]["w8"],
+            heads, n_groups)
+        # (no n_groups entry: the dict crosses jit boundaries, where an
+        # int leaf would become a traced array; consumers re-derive the
+        # grouping from config and the leading axis carries it anyway)
+        q["attn/qkv_g"] = {"w8_g": wg, "scale_g": sg, "bias_g": bg,
+                           "out_g": og}
     return q
 
 
@@ -79,10 +98,13 @@ def quantize_siglip_params(params: Dict, config: SigLIPConfig) -> Dict:
     k8, ks = quantize_weight(conv_kernel.reshape(p * p * 3,
                                                  config.vision_width))
 
+    from .fast_siglip import siglip_attn_groups
+
     blocks = {}
     for i in range(config.vision_layers):
         blocks[f"resblocks_{i}"] = quantize_siglip_block(
-            vp["transformer"][f"resblocks_{i}"])
+            vp["transformer"][f"resblocks_{i}"], config.vision_heads,
+            siglip_attn_groups(config))
 
     return {
         "conv1": {"w8": k8, "scale": ks,
@@ -105,14 +127,15 @@ def apply_int8_siglip_blocks(qblocks: Dict, x: jax.Array,
     quantize_siglip_block(...)}); ``x`` is [B, S, W] tokens.  Forward-only
     — also the int8 frozen-prefix inside the PEFT train step
     (``fast_siglip.siglip_encode_hybrid``)."""
+    from .fast_siglip import siglip_attn_groups
+
     width = config.vision_width
     heads = config.vision_heads
     b, s, _ = x.shape
     x2 = x.reshape(b * s, width)
-    # 2 heads/program: the only grouping that both fits VMEM and compiles
-    # at SO400M shapes (PERF_NOTES.md); odd head counts keep one group
-    # (grouping must divide heads exactly or a head would be dropped)
-    n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else 1
+    # 2 heads/program (odd head counts: 1 head/program) — shared with the
+    # bf16 fast path; the grouping must divide heads exactly
+    n_groups = siglip_attn_groups(config)
     for i in range(start, stop):
         blk = qblocks[f"resblocks_{i}"]
         qkv_q = blk["attn/qkv"]
@@ -123,9 +146,15 @@ def apply_int8_siglip_blocks(qblocks: Dict, x: jax.Array,
                 regroup_attn_weights,
             )
 
-            wg, sg, bg, og = regroup_attn_weights(
-                qkv_q["w8"], qkv_q["scale"], qkv_q["bias"], out_q["w8"],
-                heads, n_groups)
+            if "attn/qkv_g" in blk:  # regrouped once at quantization time
+                g = blk["attn/qkv_g"]
+                wg, sg, bg, og = (g["w8_g"], g["scale_g"], g["bias_g"],
+                                  g["out_g"])
+            else:  # fallback: regroup in place (per call — avoid; pass
+                # heads/n_groups to quantize_siglip_block instead)
+                wg, sg, bg, og = regroup_attn_weights(
+                    qkv_q["w8"], qkv_q["scale"], qkv_q["bias"], out_q["w8"],
+                    heads, n_groups)
             x3 = quant_attn_block_split(
                 x2.reshape(b, s, width), wg, sg, bg, og, out_q["scale"],
                 out_q["bias"], blk["ln_1"]["scale"], blk["ln_1"]["bias"],

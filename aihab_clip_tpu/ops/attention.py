@@ -305,15 +305,27 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
               *, causal: bool = False,
               use_fused: bool | None = None) -> jax.Array:
     """Dispatch by measured crossover: the Pallas kernel for non-causal
-    sequences >= FUSED_MIN_SEQ tokens on TPU, XLA otherwise.  Pass
-    ``use_fused`` to force either path."""
+    sequences >= FUSED_MIN_SEQ tokens on TPU, XLA otherwise.
+
+    ``use_fused=False`` always forces the XLA path.  ``use_fused=True``
+    forces the kernel (overriding the FUSED_MIN_SEQ and S<=1536 perf
+    heuristics) and RAISES where the kernel genuinely cannot run (causal
+    masking, non-TPU backend) — silently measuring the other path would
+    invalidate any A/B the force flag exists for."""
+    forced = use_fused is True
     if use_fused is None:
-        use_fused = (q.shape[1] >= FUSED_MIN_SEQ
+        # auto: measured crossover, honoring xla_attention_dispatch();
+        # upper cap because the kernel materializes one [S_pad, S_pad]
+        # f32 score matrix per program — past ~1500 tokens that alone
+        # exceeds VMEM
+        use_fused = (FUSED_MIN_SEQ <= q.shape[1] <= 1536
                      and not _XLA_ONLY_DEPTH[0])
-    # upper cap: the kernel materializes one [S_pad, S_pad] f32 score
-    # matrix per program — past ~1500 tokens that alone exceeds VMEM
-    if (use_fused and not causal and dispatch_backend() == "tpu"
-            and q.shape[1] <= 1536):
+    if forced and (causal or dispatch_backend() != "tpu"):
+        raise ValueError(
+            "use_fused=True cannot be honored: the fused kernel is "
+            f"non-causal TPU-only (causal={causal}, "
+            f"backend={dispatch_backend()!r})")
+    if use_fused and not causal and dispatch_backend() == "tpu":
         return fused_attention(q, k, v, num_heads, False)
     b, s, w = q.shape
     head_dim = w // num_heads

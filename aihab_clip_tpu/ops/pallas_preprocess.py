@@ -116,10 +116,11 @@ def normalize_u8(images_u8: jax.Array, mean=CLIP_MEAN, std=CLIP_STD,
     default and the kernel is kept as an explicit opt-in (useful when the
     surrounding graph prevents fusion)."""
     if use_pallas and dispatch_backend() == "tpu":
-        try:
-            return normalize_u8_pallas(images_u8, mean, std, dtype)
-        except Exception:
-            pass
+        # no silent fallback: the caller explicitly opted into the kernel,
+        # and swallowing a Mosaic/shape regression here would make tests
+        # pass (and benchmarks measure) the jnp path while claiming the
+        # kernel ran
+        return normalize_u8_pallas(images_u8, mean, std, dtype)
     from .preprocess import normalize
 
     return normalize(images_u8, mean, std, dtype)

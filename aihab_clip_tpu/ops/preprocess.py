@@ -102,8 +102,14 @@ def _eval_weight_mats(h: int, w: int, resolution: int):
     """Rh [res, h], Rw [res, w]: the resize-shorter-side + center-crop
     composition as two 1-D weight matrices (crop = row slice of the full
     resize matrix)."""
-    scale = resolution / min(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
+    # torchvision Resize(size:int) semantics: shorter side = size, longer
+    # side TRUNCATED (`int(size * long / short)`,
+    # torchvision _compute_resized_output_size) — round() deviates by one
+    # pixel for many source sizes and shifts the center-crop window
+    if h <= w:
+        nh, nw = resolution, int(resolution * w / h)
+    else:
+        nh, nw = int(resolution * h / w), resolution
     mh = _resize_weight_mat(h, nh)
     mw = _resize_weight_mat(w, nw)
     top, left = (nh - resolution) // 2, (nw - resolution) // 2

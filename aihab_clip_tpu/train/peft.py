@@ -232,7 +232,14 @@ def _quantize_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
     from ..models.siglip import SigLIPConfig
 
     if isinstance(model.config, SigLIPConfig):
-        from ..models.quant_siglip import quantize_siglip_block as qblock
+        from ..models.fast_siglip import siglip_attn_groups
+        from ..models.quant_siglip import quantize_siglip_block
+
+        def qblock(b):
+            # pass the grouping so the head-group regroup happens HERE
+            # (once per run), not inside every train step
+            return quantize_siglip_block(b, model.config.vision_heads,
+                                         siglip_attn_groups(model.config))
     else:
         from ..models.quant_vit import quantize_vit_block as qblock
     blocks = frozen["visual"]["transformer"]

@@ -52,6 +52,32 @@ def test_eval_transform_non_square(rng):
     assert out.shape == (2, 64, 64, 3)
 
 
+def test_eval_resize_size_truncates_like_torchvision():
+    """torchvision Resize(size:int) TRUNCATES the long side
+    (int(size * long / short)); round() would shift the center-crop window
+    one source row for many sizes (e.g. 305x256 @224 -> long 266, not
+    267)."""
+    from aihab_clip_tpu.ops.preprocess import _eval_weight_mats
+
+    for (h, w, res), (eh, ew) in [
+        ((305, 256, 224), (266, 224)),   # 224*305/256 = 266.875 -> 266
+        ((640, 480, 224), (298, 224)),   # 224*640/480 = 298.67 -> 298
+        ((256, 305, 224), (224, 266)),
+        ((96, 96, 64), (64, 64)),
+    ]:
+        rh, rw = _eval_weight_mats(h, w, res)
+        # crop rows are a slice of the full resize matrix; recover the
+        # pre-crop long side from the weight matrices' source dims and
+        # the crop offset math by rebuilding them directly
+        from aihab_clip_tpu.ops.preprocess import _resize_weight_mat
+        np.testing.assert_allclose(
+            rh, _resize_weight_mat(h, eh)[(eh - res) // 2:
+                                          (eh - res) // 2 + res])
+        np.testing.assert_allclose(
+            rw, _resize_weight_mat(w, ew)[(ew - res) // 2:
+                                          (ew - res) // 2 + res])
+
+
 def test_center_and_bottom_crop(rng):
     img = _rand_u8(rng, b=1, h=96, w=96)
     c = np.asarray(center_crop(jnp.asarray(img), 64))
