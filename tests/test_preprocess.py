@@ -52,6 +52,31 @@ def test_eval_transform_non_square(rng):
     assert out.shape == (2, 64, 64, 3)
 
 
+def test_normalize_stats_per_family(rng):
+    """SigLIP pipelines must normalize with 0.5/0.5, CLIP with CLIP stats;
+    the transforms must honor the (mean, std) arguments."""
+    from aihab_clip_tpu.models.clip import CLIP_ARCHS
+    from aihab_clip_tpu.models.siglip import SIGLIP_ARCHS
+    from aihab_clip_tpu.ops.preprocess import (
+        CLIP_MEAN,
+        CLIP_STD,
+        normalize_stats_for,
+    )
+
+    assert normalize_stats_for(CLIP_ARCHS["Tiny"]) == (CLIP_MEAN, CLIP_STD)
+    sm, ss = normalize_stats_for(SIGLIP_ARCHS["SigLIP-Tiny"])
+    assert sm == (0.5, 0.5, 0.5) and ss == (0.5, 0.5, 0.5)
+
+    img = _rand_u8(rng, b=1, h=64, w=64)
+    a = np.asarray(eval_transform(jnp.asarray(img), 32, mean=sm, std=ss))
+    b = np.asarray(eval_transform(jnp.asarray(img), 32))
+    # (x/255 - 0.5)/0.5 differs from CLIP stats everywhere nonconstant
+    assert not np.allclose(a, b)
+    # invert the 0.5/0.5 normalization: recovered pixels in [0, 1]
+    px = a * 0.5 + 0.5
+    assert px.min() >= -0.01 and px.max() <= 1.01
+
+
 def test_eval_resize_size_truncates_like_torchvision():
     """torchvision Resize(size:int) TRUNCATES the long side
     (int(size * long / short)); round() would shift the center-crop window
