@@ -100,8 +100,18 @@ class TensorStoreStore:
         try:
             ts.open(self._spec(name), open=True).result()
             return True
-        except Exception:
+        except (FileNotFoundError, KeyError) as e:  # genuinely absent
+            del e
             return False
+        except Exception as e:
+            # ONLY absence may map to False: a transient network/auth
+            # error on a remote root must propagate, or the runner would
+            # either abort with "cache not found" or re-encode and
+            # OVERWRITE an existing cache (save uses delete_existing)
+            msg = str(e).upper()
+            if "NOT_FOUND" in msg or "NOT FOUND" in msg:
+                return False
+            raise
 
     def list_arrays(self, prefix: str) -> List[str]:
         import tensorstore as ts

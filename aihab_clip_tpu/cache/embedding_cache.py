@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .array_store import is_remote_root, join_cache_path, open_store
-from .feature_cache import canonical_backbone_name
+from .feature_cache import resolve_model_name
 
 CacheDir = Union[str, Path]
 
@@ -50,12 +50,7 @@ def embedding_cache_dir(cfg, split: str) -> CacheDir:
     elif not Path(out_root).is_absolute():
         out_root = Path(root) / out_root
 
-    backend = str(cfg.get("clip_backend", "openai")).lower()
-    if backend == "openclip":
-        backbone_raw = cfg.get("open_clip_model", cfg.get("backbone", "RN50"))
-    else:
-        backbone_raw = cfg.get("backbone", "RN50")
-    backbone = canonical_backbone_name(backbone_raw)
+    backbone = resolve_model_name(cfg)
     dataset = cfg.get("dataset", "cs")
     seed = int(cfg.get("seed", 1) or 1)
     return join_cache_path(out_root, f"{backbone}_{dataset}",
@@ -76,8 +71,9 @@ def cache_embeddings(
     labels + metadata."""
     import pandas as pd
 
-    from ..ops.preprocess import eval_transform
+    from ..ops.preprocess import eval_transform, normalize_stats_for
 
+    nmean, nstd = normalize_stats_for(model.config)
     ft_cfg = cfg.get("finetune", {})
     do_normalize = bool(ft_cfg.get("cache_embeddings_normalize", True))
     cache_dir = embedding_cache_dir(cfg, split)
@@ -87,7 +83,8 @@ def cache_embeddings(
     @jax.jit
     def encode(params, images_u8):
         # params as an argument, never a closure constant (DEV_NOTES.md)
-        x = eval_transform(images_u8, resolution, dtype=compute_dtype)
+        x = eval_transform(images_u8, resolution, dtype=compute_dtype,
+                           mean=nmean, std=nstd)
         _, post = model.apply({"params": params}, x,
                               method=type(model).encode_image, project=True)
         post = post.astype(jnp.float32)

@@ -50,15 +50,24 @@ def canonical_backbone_name(backbone: str) -> str:
     return name.replace("/", "_").replace(" ", "_").replace(":", "_")
 
 
+def resolve_model_name(cfg, default_backend: str = "openai",
+                       default_backbone: str = "RN50") -> str:
+    """The ONE config -> canonical model name resolution, shared by the
+    feature cache, the embedding cache, and checkpointing so cache and
+    checkpoint trees always agree on a run's model name."""
+    backend = str(cfg.get("clip_backend", default_backend)).lower()
+    if backend == "openclip":
+        raw = cfg.get("open_clip_model",
+                      cfg.get("backbone", default_backbone))
+    else:
+        raw = cfg.get("backbone", default_backbone)
+    return canonical_backbone_name(str(raw))
+
+
 def feature_cache_dir(cfg) -> CacheDir:
     """Cache directory (a Path, or a URI string for remote roots)."""
     root = cfg.get("root_path", "./")
-    backend = str(cfg.get("clip_backend", "openai")).lower()
-    if backend == "openclip":
-        backbone_raw = cfg.get("open_clip_model", cfg.get("backbone", "RN50"))
-    else:
-        backbone_raw = cfg.get("backbone", "RN50")
-    backbone = canonical_backbone_name(backbone_raw)
+    backbone = resolve_model_name(cfg)
     dataset = cfg.get("dataset", "cs")
     shots = int(cfg.get("shots", 0) or 0)
     seed = int(cfg.get("seed", 1) or 1)
@@ -256,8 +265,9 @@ def cache_features_from_loader(
     Reference flow: `/root/reference/aihab_utils/feature_cache.py:189-251`.
     """
     from ..ops.fast_warp import fast_train_transform
-    from ..ops.preprocess import train_transform
+    from ..ops.preprocess import normalize_stats_for, train_transform
 
+    nmean, nstd = normalize_stats_for(getattr(model, "config", None))
     cache_dir = feature_cache_dir(cfg)
     aug_views = int(cfg.get("aug_views", 1) or 1)
     seed = int(cfg.get("seed", 1) or 1)
@@ -309,7 +319,7 @@ def cache_features_from_loader(
         x = aug_fn(images_u8, key, resolution, crop_mode=crop_mode,
                    flip=bool(aug.get("flip", False)),
                    rotation=bool(aug.get("rotation", False)),
-                   dtype=compute_dtype)
+                   dtype=compute_dtype, mean=nmean, std=nstd)
         pre = encode_image_fastest(model, params, x,
                                    getattr(model, "config", None))
         # cast to the on-disk dtype ON DEVICE: numpy's fp32->fp16 convert is

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from .preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
     _cubic_kernel as _cubic_weight,  # ONE Keys-kernel implementation
     _random_resized_crop_params,
     normalize,
@@ -146,6 +148,8 @@ def fast_train_transform(
     dtype=jnp.float32,
     method: str = "bicubic",
     antialias: bool = True,
+    mean=CLIP_MEAN,
+    std=CLIP_STD,
 ) -> jax.Array:
     """MXU-formulated train augmentation: per-image random crop/flip
     (separable matmuls) + per-batch-angle rotation (shear matmuls) +
@@ -181,4 +185,4 @@ def fast_train_transform(
                                                maxval=30.0))
         out = rotate_shear(out, theta, method=method)
     out = jnp.clip(out, 0.0, 255.0)
-    return normalize(out, dtype=dtype)
+    return normalize(out, mean, std, dtype=dtype)

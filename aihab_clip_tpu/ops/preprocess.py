@@ -116,8 +116,23 @@ def _eval_weight_mats(h: int, w: int, resolution: int):
     return (mh[top:top + resolution], mw[left:left + resolution])
 
 
+def normalize_stats_for(config):
+    """Per-model-family pixel normalization stats: SigLIP checkpoints use
+    0.5/0.5 (`models/siglip.py:siglip_normalize_stats`), everything else
+    CLIP's stats.  Pass the result as (mean, std) to the transforms —
+    hardcoded CLIP stats silently degrade every SigLIP pipeline."""
+    from ..models.siglip import SigLIPConfig  # lazy: models imports ops
+
+    if isinstance(config, SigLIPConfig):
+        from ..models.siglip import siglip_normalize_stats
+
+        return siglip_normalize_stats()
+    return CLIP_MEAN, CLIP_STD
+
+
 def eval_transform(images_u8: jax.Array, resolution: int,
-                   dtype=jnp.float32) -> jax.Array:
+                   dtype=jnp.float32, mean=CLIP_MEAN,
+                   std=CLIP_STD) -> jax.Array:
     """Deterministic CLIP eval transform: resize(shorter side, bicubic AA)
     -> center crop -> normalize.
 
@@ -135,8 +150,8 @@ def eval_transform(images_u8: jax.Array, resolution: int,
                    preferred_element_type=jnp.float32)
     o = jnp.einsum("pw,bcow->bcop", jnp.asarray(rw), t, precision="high",
                    preferred_element_type=jnp.float32)
-    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
-    std = jnp.asarray(CLIP_STD, jnp.float32)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
     o = (o * (1.0 / 255.0) - mean[:, None, None]) / std[:, None, None]
     return o.astype(dtype).transpose(0, 2, 3, 1)
 
@@ -320,6 +335,8 @@ def train_transform(
     rotation: bool = False,
     dtype=jnp.float32,
     method: str = "bicubic",
+    mean=CLIP_MEAN,
+    std=CLIP_STD,
 ) -> jax.Array:
     """Batched random augmentation: one fused affine warp + normalize.
 
@@ -386,10 +403,12 @@ def train_transform(
                                                   resolution, 1)
         warped = jnp.where(mask, warped, 0.0)
     warped = jnp.clip(warped, 0.0, 255.0)
-    return normalize(warped, dtype=dtype)
+    return normalize(warped, mean, std, dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("resolution", "dtype"))
+@partial(jax.jit, static_argnames=("resolution", "dtype", "mean", "std"))
 def eval_transform_jit(images_u8: jax.Array, resolution: int,
-                       dtype=jnp.float32) -> jax.Array:
-    return eval_transform(images_u8, resolution, dtype=dtype)
+                       dtype=jnp.float32, mean=CLIP_MEAN,
+                       std=CLIP_STD) -> jax.Array:
+    return eval_transform(images_u8, resolution, dtype=dtype, mean=mean,
+                          std=std)

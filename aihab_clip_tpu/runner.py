@@ -545,13 +545,18 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
 
     from .models.fast_vit import encode_image_fastest
 
+    from .ops.preprocess import normalize_stats_for
+
+    nmean, nstd = normalize_stats_for(model.config)
+
     @jax.jit
     def encode_pre(params, images_u8):
         # params is an ARGUMENT, not a closure constant (closing over a
         # real tower embeds hundreds of MB into the compiled program —
         # see DEV_NOTES.md / make_train_step)
         x = eval_transform(images_u8, resolution,
-                           dtype=compute_dtype_for_backend())
+                           dtype=compute_dtype_for_backend(),
+                           mean=nmean, std=nstd)
         return encode_image_fastest(model, params, x, model.config)
 
     def encode_split(view) -> tuple:

@@ -39,8 +39,12 @@ def bench_cache_io(tmp_dir: Path, n: int = 20000, dim: int = 768,
 
     t0 = time.perf_counter()
     loaded, _ = read_preprojection_cache(tmp_dir / "bench_cache", views)
-    # touch the data (mmap realization)
-    total = sum(float(v[:: max(1, len(v) // 100)].sum()) for v in loaded)
+    # realize EVERY page: reads are mmap'd, and a strided touch would
+    # fault in ~1% of the pages while the GB/s figure divides the FULL
+    # cache size — overstating read_gbps by up to ~100x.  The int16 view
+    # keeps the touch IO-bound (numpy's fp16 arithmetic would measure
+    # conversion at ~0.3 GB/s, not the read path).
+    total = sum(int(v.view(np.int16).sum(dtype=np.int64)) for v in loaded)
     read_s = time.perf_counter() - t0
 
     nbytes = n * dim * 2 * views  # fp16 on disk

@@ -41,7 +41,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def reduce_to_2d(embeddings: np.ndarray, method: str, pca_dim: int = 0,
                  n_neighbors: int = 15, min_dist: float = 0.1,
-                 perplexity: float = 30.0, seed: int = 42) -> np.ndarray:
+                 perplexity: float = 30.0, seed: int = 42):
+    """Returns (coords [N, 2], method_used) — method_used may differ from
+    the request (umap-learn missing -> t-SNE fallback), and output files
+    must be named by what actually ran."""
     x = embeddings.astype(np.float32)
     if pca_dim and pca_dim < x.shape[1]:
         from sklearn.decomposition import PCA
@@ -54,7 +57,7 @@ def reduce_to_2d(embeddings: np.ndarray, method: str, pca_dim: int = 0,
 
             reducer = umap.UMAP(n_neighbors=n_neighbors, min_dist=min_dist,
                                 n_components=2, random_state=seed)
-            return reducer.fit_transform(x)
+            return reducer.fit_transform(x), "umap"
         except ImportError:
             print("[warn] umap-learn not installed; falling back to t-SNE")
             method = "tsne"
@@ -63,7 +66,7 @@ def reduce_to_2d(embeddings: np.ndarray, method: str, pca_dim: int = 0,
 
     perplexity = min(perplexity, max(2.0, (len(x) - 1) / 3.0))
     return TSNE(n_components=2, perplexity=perplexity,
-                random_state=seed, init="pca").fit_transform(x)
+                random_state=seed, init="pca").fit_transform(x), "tsne"
 
 
 def plot_scatter(coords: np.ndarray, labels, out_html: Path,
@@ -110,15 +113,16 @@ def main(argv=None) -> None:
     labels = (meta[args.label_column] if args.label_column in meta.columns
               else cache["labels"])
 
-    coords = reduce_to_2d(emb, args.method, args.pca_dim, args.n_neighbors,
-                          args.min_dist, args.perplexity, args.seed)
+    coords, method = reduce_to_2d(emb, args.method, args.pca_dim,
+                                  args.n_neighbors, args.min_dist,
+                                  args.perplexity, args.seed)
 
     out_dir = Path(args.out_dir or args.cache_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    np.save(out_dir / f"vis_{args.method}_coords.npy", coords)
-    print(f"[feat_vis] coords -> {out_dir / f'vis_{args.method}_coords.npy'}")
-    plot_scatter(coords, labels, out_dir / f"vis_{args.method}.html",
-                 f"{args.method.upper()} of {Path(args.cache_dir).name} "
+    np.save(out_dir / f"vis_{method}_coords.npy", coords)
+    print(f"[feat_vis] coords -> {out_dir / f'vis_{method}_coords.npy'}")
+    plot_scatter(coords, labels, out_dir / f"vis_{method}.html",
+                 f"{method.upper()} of {Path(args.cache_dir).name} "
                  f"({emb.shape[0]} pts)")
 
 

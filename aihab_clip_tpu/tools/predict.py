@@ -86,8 +86,11 @@ def main(argv=None):
 
     prompts, tpc = gen_prompts(use_hierarchy=not args.flat,
                                use_descriptive=not args.flat)
+    # tokenize_fn: SigLIP bundles carry a sentencepiece tokenizer — the
+    # CLIP-BPE fallback would feed out-of-vocab ids to the text tower
     head = build_text_head(model, params, prompts, len(CS_CLASSNAMES), tpc,
-                           context_length=bundle.config.context_length)
+                           context_length=bundle.config.context_length,
+                           tokenize_fn=getattr(bundle, "tokenize_fn", None))
     tw = jnp.asarray(head["text_weights"])
 
     folder = Path(args.images)
@@ -149,9 +152,14 @@ def main(argv=None):
                 return encode_image_fastest(model, p, x, bundle.config,
                                             project=True)[1]
 
+    from ..ops.preprocess import normalize_stats_for
+
+    nmean, nstd = normalize_stats_for(bundle.config)
+
     @jax.jit
     def classify(p, images_u8):
-        x = eval_transform(images_u8, res, dtype=compute_dtype)
+        x = eval_transform(images_u8, res, dtype=compute_dtype,
+                           mean=nmean, std=nstd)
         feats = encode(p, x).astype(jnp.float32)
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)

@@ -83,9 +83,15 @@ def make_eval_step(model, resolution: int, num_classes: int,
                                     getattr(model, "config", None),
                                     project=True, mesh=mesh)
 
+    # per-family pixel stats (SigLIP: 0.5/0.5, CLIP: CLIP stats)
+    from ..ops.preprocess import normalize_stats_for
+
+    nmean, nstd = normalize_stats_for(model.config)
+
     @jax.jit
     def jit_step(params, text_weights, images_u8, targets, valid, state):
-        x = eval_transform(images_u8, resolution, dtype=compute_dtype)
+        x = eval_transform(images_u8, resolution, dtype=compute_dtype,
+                           mean=nmean, std=nstd)
         if project:
             _, feats = encode_proj(params, x)
         else:

@@ -324,17 +324,19 @@ def _build_loss_fn(model: CLIPModel, cfg: PEFTConfig,
     the per-step and the epoch-scan regimes, which therefore stay
     step-for-step identical by construction."""
     from ..ops.fast_warp import fast_train_transform
+    from ..ops.preprocess import normalize_stats_for
     from ..ops.preprocess import train_transform as exact_train_transform
 
     aug_fn = (fast_train_transform if cfg.aug_impl == "fast"
               else exact_train_transform)
+    nmean, nstd = normalize_stats_for(model.config)
 
     def loss_fn(trainable, frozen, images_u8, labels, valid, key,
                 qprefix=None, pprefix=None):
         params = _merge_for_step(cfg, trainable, frozen)
         x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
                    flip=cfg.flip, rotation=cfg.rotation,
-                   dtype=cfg.compute_dtype)
+                   dtype=cfg.compute_dtype, mean=nmean, std=nstd)
         _, feats = _encode_projected(model, cfg, params, x, mesh=mesh,
                                      qprefix=qprefix, pprefix=pprefix)
         feats = feats.astype(jnp.float32)

@@ -82,17 +82,18 @@ def make_pipeline_train_step(model: CLIPModel, cfg: PEFTConfig,
     mask = stacked_layer_mask(ccfg.vision_layers, n_stages, unlocked_layers)
 
     from ..ops.fast_warp import fast_train_transform
-    from ..ops.preprocess import train_transform
+    from ..ops.preprocess import normalize_stats_for, train_transform
 
     aug_fn = (fast_train_transform if cfg.aug_impl == "fast"
               else train_transform)
+    nmean, nstd = normalize_stats_for(model.config)
 
     def loss_fn(trainable, frozen, images_u8, labels, valid, key):
         params = (_with_head(frozen, trainable["head"])
                   if "head" in trainable else frozen)
         x = aug_fn(images_u8, key, cfg.resolution, crop_mode=cfg.crop_mode,
                    flip=cfg.flip, rotation=cfg.rotation,
-                   dtype=cfg.compute_dtype)
+                   dtype=cfg.compute_dtype, mean=nmean, std=nstd)
         _, feats = pipeline_encode(params, trainable["blocks"], x, ccfg,
                                    mesh, num_microbatches=num_microbatches,
                                    project=True, dtype=cfg.compute_dtype)

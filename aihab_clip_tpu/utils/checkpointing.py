@@ -23,7 +23,7 @@ from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
-from ..cache.feature_cache import canonical_backbone_name
+from ..cache.feature_cache import resolve_model_name
 
 
 def _resolve_dir(root: Path, path: str) -> Path:
@@ -35,12 +35,9 @@ def checkpoint_path(cfg, epoch: int, timestamp: Optional[str] = None) -> Path:
     ft_cfg = cfg.get("finetune", {})
     root = Path(cfg.get("root_path", "./"))
     ckpt_dir = _resolve_dir(root, ft_cfg.get("save_model_dir", "model_ckpt"))
-    backend = str(cfg.get("clip_backend", "openclip")).lower()
-    if backend == "openclip":
-        model_raw = cfg.get("open_clip_model", cfg.get("backbone", "openclip"))
-    else:
-        model_raw = cfg.get("backbone", "openai")
-    name = canonical_backbone_name(str(model_raw))
+    # shared resolution: the checkpoint tree and the cache trees must
+    # agree on a run's model name (the copies had diverging defaults)
+    name = resolve_model_name(cfg)
     ts = timestamp or datetime.now().strftime("%Y%m%d_%H")
     return ckpt_dir / f"{name}_{int(epoch)}_{ts}".replace("/", "_")
 
@@ -150,13 +147,15 @@ def latest_checkpoint(cfg) -> Optional[Path]:
     ckpt_dir = _resolve_dir(root, ft_cfg.get("save_model_dir", "model_ckpt"))
     if not ckpt_dir.is_dir():
         return None
-    backend = str(cfg.get("clip_backend", "openclip")).lower()
-    model_raw = (cfg.get("open_clip_model", cfg.get("backbone", ""))
-                 if backend == "openclip" else cfg.get("backbone", ""))
-    prefix = canonical_backbone_name(str(model_raw))
+    prefix = resolve_model_name(cfg)
+    # prefix + "_" (the path scheme's separator): a bare prefix match lets
+    # "ViT-B-16-SigLIP2..." shadow "ViT-B-16".  Requiring the committed
+    # "state" dir (Orbax renames on commit) skips checkpoints whose async
+    # write never finished — meta.json alone is written eagerly.
     candidates = [p for p in ckpt_dir.iterdir()
-                  if p.is_dir() and p.name.startswith(prefix)
-                  and (p / "meta.json").is_file()]
+                  if p.is_dir() and p.name.startswith(prefix + "_")
+                  and (p / "meta.json").is_file()
+                  and (p / "state").is_dir()]
     if not candidates:
         return None
 

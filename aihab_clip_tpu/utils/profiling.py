@@ -62,7 +62,10 @@ class StepTimer:
     """Rolling window step timer: call ``tick(items)`` once per step."""
 
     def __init__(self, window: int = 50):
-        self._times = deque(maxlen=window + 1)
+        # SAME maxlen for both: each appended interval pairs with one item
+        # count; mismatched windows paired N items with N+1 intervals and
+        # under-reported items_per_second by ~1/window
+        self._times = deque(maxlen=window)
         self._items = deque(maxlen=window)
         self._t_last: Optional[float] = None
         self.total_steps = 0
