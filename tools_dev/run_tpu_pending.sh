@@ -17,6 +17,7 @@
 
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p /tmp/tpu_pending
 steps="${*:-4 1 2 3 5}"   # bench first: cheap headline regression guard
 
