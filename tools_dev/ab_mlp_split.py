@@ -29,6 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from aihab_clip_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 # (rows M, width W, hidden H, n_chunks, layers)
 SHAPES = {
     "vitl": (128 * 257, 1024, 4096, 2, 12),

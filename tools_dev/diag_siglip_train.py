@@ -43,6 +43,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from aihab_clip_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
