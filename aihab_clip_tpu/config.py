@@ -49,18 +49,18 @@ class ConfigNode(dict):
         self[name] = value
 
     def __str__(self) -> str:
-        def _indent(s: str, n: int) -> str:
-            lines = s.split("\n")
-            if len(lines) == 1:
-                return s
-            first = lines.pop(0)
-            return first + "\n" + "\n".join((n * " ") + ln for ln in lines)
+        return "\n".join(self._render_lines(""))
 
-        parts = []
-        for k, v in sorted(self.items()):
-            sep = "\n" if isinstance(v, ConfigNode) else " "
-            parts.append(_indent(f"{k}:{sep}{v}", 2))
-        return "\n".join(parts)
+    def _render_lines(self, prefix: str):
+        """Yield pretty-printed ``key: value`` lines, nesting by two-space
+        prefixes (subtrees recurse with a deeper prefix)."""
+        for key in sorted(self):
+            value = self[key]
+            if isinstance(value, ConfigNode):
+                yield f"{prefix}{key}:"
+                yield from value._render_lines(prefix + "  ")
+            else:
+                yield f"{prefix}{key}: {value}"
 
     def __repr__(self) -> str:
         return f"{self.__class__.__name__}({super().__repr__()})"

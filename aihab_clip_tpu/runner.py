@@ -87,12 +87,21 @@ def init_clip_and_text_head(cfg) -> Dict[str, Any]:
         prompts = None
         tpc = len(CS_TEMPLATES)
 
+    allow_random = bool(cfg.get("allow_random_weights", False))
     try:
         bundle = load_model(backbone, dtype=dtype,
                             cache_dir=cfg.get("clip_cache_dir", None),
-                            remat=bool(cfg.get("remat", False)))
+                            remat=bool(cfg.get("remat", False)),
+                            allow_random_fallback=allow_random)
     except Exception as exc:  # zero-egress fallback
+        from .models.zoo import SigLIPAssetsMissingError
+
         if str(backbone).startswith("random:"):
+            raise
+        if isinstance(exc, SigLIPAssetsMissingError):
+            # hard, early error: SigLIP text encoding without the
+            # snapshot's tokenizer would silently produce wrong token ids
+            # (set `allow_random_weights: true` to develop without assets)
             raise
         arch = cfg.get("fallback_arch", "ViT-B/16")
         print(f"[warn] could not load weights for '{backbone}' ({exc}); "

@@ -20,15 +20,30 @@ import jax
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Persistent XLA compilation cache: repeat runs skip multi-minute
-    remote compiles (no-op when the backend doesn't support it)."""
-    import os
+    remote compiles (no-op when the backend doesn't support it).
 
+    Set ``AIHAB_NO_COMPILE_CACHE=1`` to disable — required when a tool's
+    "compile+run Xs" output is being used as a COLD-compile measurement
+    (with the cache on, those figures are warm-cache numbers).  The cache
+    state is logged to stderr so readings stay interpretable (ADVICE.md r1).
+    """
+    import os
+    import sys
+
+    if os.environ.get("AIHAB_NO_COMPILE_CACHE"):
+        print("[compile-cache] disabled via AIHAB_NO_COMPILE_CACHE; "
+              "compile timings are cold", file=sys.stderr)
+        return
     try:
         path = os.path.expanduser(
             cache_dir or "~/.cache/aihab_clip_tpu/xla_cache")
         os.makedirs(path, exist_ok=True)
+        n_entries = sum(1 for _ in os.scandir(path))
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        print(f"[compile-cache] enabled at {path} ({n_entries} entries); "
+              "compile timings may be warm-cache "
+              "(AIHAB_NO_COMPILE_CACHE=1 for cold)", file=sys.stderr)
     except Exception:
         pass
 

@@ -128,8 +128,8 @@ def test_zoo_siglip_random_fallback():
 
 
 def test_zoo_hf_hub_name_resolves_offline():
-    """The reference's default backbone name resolves (random init when no
-    local snapshot exists)."""
+    """The reference's default backbone name resolves (random init only
+    with the explicit opt-in when no local snapshot exists)."""
     import warnings as w
 
     from aihab_clip_tpu.models import load
@@ -137,8 +137,138 @@ def test_zoo_hf_hub_name_resolves_offline():
 
     with w.catch_warnings():
         w.simplefilter("ignore")
-        b = load("hf-hub:timm/ViT-B-16-SigLIP-224")
+        b = load("hf-hub:timm/ViT-B-16-SigLIP-224",
+                 allow_random_fallback=True)
     assert b.config == SIGLIP_ARCHS["ViT-B-16-SigLIP-224"] or b.source == "hf-local"
+
+
+def test_zoo_siglip_missing_assets_is_hard_error(tmp_path, monkeypatch):
+    """A real SigLIP name without a local snapshot must raise early with
+    the snapshot recipe — NOT silently random-init (the CLIP BPE vocab
+    would produce wrong token ids for the text head)."""
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.zoo import SigLIPAssetsMissingError
+
+    monkeypatch.setenv("HF_HOME", str(tmp_path))  # empty hub
+    with pytest.raises(SigLIPAssetsMissingError) as ei:
+        load("hf-hub:timm/ViT-SO400M-16-SigLIP2-384")
+    msg = str(ei.value)
+    assert "hf download" in msg and "allow_random_fallback" in msg
+
+
+def _fake_snapshot(tmp_path, repo="google/siglip2-tiny-test",
+                   with_tokenizer=True):
+    """Build a real tiny SiglipModel snapshot (+ fast tokenizer) in the HF
+    hub cache layout, exactly as `hf download` would lay it out."""
+    snap = (tmp_path / "hub" / f"models--{repo.replace('/', '--')}"
+            / "snapshots" / "deadbeef")
+    snap.mkdir(parents=True)
+    _tiny_hf_siglip().save_pretrained(str(snap), safe_serialization=True)
+    if with_tokenizer:
+        from tokenizers import Tokenizer, models, pre_tokenizers
+
+        words = ["a", "habitat", "photo", "of", "grassland", "woodland",
+                 "heath", "bog", "specifically", "improved", "broadleaved"]
+        vocab = {"<pad>": 0, "<unk>": 1, "</s>": 2}
+        vocab.update({w: i + 3 for i, w in enumerate(words)})
+        tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        fast = transformers.PreTrainedTokenizerFast(
+            tokenizer_object=tok, pad_token="<pad>", unk_token="<unk>",
+            eos_token="</s>")
+        fast.save_pretrained(str(snap))
+    return snap
+
+
+def test_zoo_local_snapshot_end_to_end(tmp_path, monkeypatch, rng):
+    """SO400M-style load path end-to-end given ONLY a local snapshot dir:
+    find snapshot -> SiglipModel weights -> converted params -> snapshot
+    tokenizer -> text head -> zero-shot logits vs the HF oracle."""
+    import torch
+
+    import jax
+
+    from aihab_clip_tpu.models import build_text_head, load
+
+    repo = "google/siglip2-tiny-test"
+    snap = _fake_snapshot(tmp_path, repo)
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+
+    b = load(f"hf-hub:{repo}")
+    assert b.source == "hf-local"
+    assert b.tokenize_fn is not None
+
+    # tokenizer round-trip: ids come from the snapshot tokenizer, padded
+    # to context length
+    prompts = ["a habitat photo of grassland", "a habitat photo of bog"]
+    ids = b.tokenize_fn(prompts, b.config.context_length)
+    assert ids.shape == (2, b.config.context_length)
+    assert ids.dtype == np.int32
+    ref_tok = transformers.AutoTokenizer.from_pretrained(str(snap))
+    ref_ids = ref_tok(prompts, padding="max_length", truncation=True,
+                      max_length=b.config.context_length,
+                      return_tensors="np")["input_ids"]
+    np.testing.assert_array_equal(ids, ref_ids.astype(np.int32))
+
+    # zero-shot end-to-end: text head + image encode vs the HF oracle
+    head = build_text_head(b.model, b.params, prompts, 2, 1,
+                           context_length=b.config.context_length,
+                           tokenize_fn=b.tokenize_fn)
+    images = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    feats = b.model.apply({"params": b.params},
+                          jnp.asarray(np.transpose(images, (0, 2, 3, 1))),
+                          method=type(b.model).encode_image)
+    feats = np.array(feats)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    ours = feats @ np.asarray(head["text_weights"])
+
+    hf = _tiny_hf_siglip()  # same seed/arch as the snapshot
+    with torch.no_grad():
+        t_img = hf.get_image_features(pixel_values=torch.from_numpy(images))
+        t_txt = hf.get_text_features(
+            input_ids=torch.from_numpy(ref_ids.astype(np.int64)))
+        t_img = torch.nn.functional.normalize(t_img, dim=-1)
+        t_txt = torch.nn.functional.normalize(t_txt, dim=-1)
+        oracle = (t_img @ t_txt.T).numpy()
+    np.testing.assert_allclose(ours, oracle, atol=5e-4, rtol=1e-3)
+
+
+def test_zoo_snapshot_without_tokenizer_is_hard_error(tmp_path, monkeypatch):
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.zoo import SigLIPAssetsMissingError
+
+    repo = "google/siglip2-tiny-test"
+    _fake_snapshot(tmp_path, repo, with_tokenizer=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+    with pytest.raises(SigLIPAssetsMissingError) as ei:
+        load(f"hf-hub:{repo}")
+    assert "tokenizer" in str(ei.value)
+    # image-only workflows can opt out of the tokenizer requirement
+    b = load(f"hf-hub:{repo}", require_tokenizer=False)
+    assert b.source == "hf-local" and b.tokenize_fn is None
+
+
+def test_runner_siglip_missing_assets_raises(tmp_path, monkeypatch):
+    """Runner-level: the reference's default backbone without assets fails
+    fast (no silent random fallback) unless `allow_random_weights: true`."""
+    import warnings as w
+
+    from aihab_clip_tpu.config import ConfigNode
+    from aihab_clip_tpu.models.zoo import SigLIPAssetsMissingError
+    from aihab_clip_tpu.runner import init_clip_and_text_head
+
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+    cfg = ConfigNode({
+        "clip_backend": "openclip",
+        "open_clip_model": "hf-hub:timm/ViT-SO400M-16-SigLIP2-384",
+    })
+    with pytest.raises(SigLIPAssetsMissingError):
+        init_clip_and_text_head(cfg)
+    cfg["allow_random_weights"] = True
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        bundle = init_clip_and_text_head(cfg)
+    assert bundle["source"] == "random"
 
 
 def test_fast_siglip_encode_parity(rng):
