@@ -172,6 +172,12 @@ def read_preprojection_cache(
     Reads both single-file views (``f{v}``) and multi-host sharded views
     (``f{v}.shard{k}``, concatenated in shard order)."""
     store = open_store(cache_dir)
+    # kick off kernel readahead for every file we are about to load, so
+    # the per-file reads overlap IO with header parsing / concatenation
+    if hasattr(store, "prefetch"):
+        for v in range(aug_views):
+            for nm in ([f"f{v}"] + _shard_names(store, f"f{v}")):
+                store.prefetch(nm)
     labels = np.asarray(_load_maybe_sharded(store, "label"))
     keep = None
     if max_label is not None and (labels >= max_label).any():

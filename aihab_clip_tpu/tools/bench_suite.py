@@ -15,6 +15,7 @@ scalar (see DEV_NOTES.md: the axon tunnel executes lazily).
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from pathlib import Path
@@ -37,22 +38,48 @@ def bench_cache_io(tmp_dir: Path, n: int = 20000, dim: int = 768,
         expected_n=n)
     write_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    loaded, _ = read_preprojection_cache(tmp_dir / "bench_cache", views)
-    # realize EVERY page: reads are mmap'd, and a strided touch would
-    # fault in ~1% of the pages while the GB/s figure divides the FULL
-    # cache size — overstating read_gbps by up to ~100x.  The int16 view
-    # keeps the touch IO-bound (numpy's fp16 arithmetic would measure
-    # conversion at ~0.3 GB/s, not the read path).
+    # read-to-RAM: mmap=False takes the parallel-pread fast path, so
+    # timing the call measures the read itself (every byte lands in a
+    # fresh buffer — no mmap page games; the earlier 37.02 figure touched
+    # ~1% of mmap'd pages, and the r1 2.98 figure timed an int16
+    # checksum, not the read).  Checksum stays OUTSIDE the timed region.
+    # Warm figure is best-of-5: this 1-vCPU VM shows multi-hundred-ms
+    # scheduling stalls that would otherwise dominate a single sample.
+    try:
+        os.sync()  # retire the write's dirty pages before timing reads
+    except OSError:
+        pass
+    read_s = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        loaded, _ = read_preprojection_cache(tmp_dir / "bench_cache", views,
+                                             mmap=False)
+        read_s = min(read_s, time.perf_counter() - t0)
     total = sum(int(v.view(np.int16).sum(dtype=np.int64)) for v in loaded)
-    read_s = time.perf_counter() - t0
+    assert total != 0
 
     nbytes = n * dim * 2 * views  # fp16 on disk
-    return {
+    out = {
         "write_gbps": nbytes / write_s / 1e9,
         "read_gbps": nbytes / read_s / 1e9,
         "manifest_write_gbps": manifest["write_gbps"],
     }
+
+    # cold read (true disk path): only measurable where the page cache
+    # can be dropped (root container); silently omitted elsewhere
+    try:
+        cold_s = float("inf")
+        for _ in range(2):
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3")
+            t0 = time.perf_counter()
+            loaded, _ = read_preprojection_cache(
+                tmp_dir / "bench_cache", views, mmap=False)
+            cold_s = min(cold_s, time.perf_counter() - t0)
+        out["read_gbps_cold"] = nbytes / cold_s / 1e9
+    except OSError:
+        pass
+    return out
 
 
 def bench_prolip_step(n: int = 4096, pre: int = 768, emb: int = 512,
