@@ -609,11 +609,119 @@ def attn_block_split(x, wqkv_g, b_qkv_g, wout_g, b_out, ln_scale, ln_bias,
 # ---------------------------------------------------------------------------
 
 
+def _mha_f32(qkv, heads, head_dim, width, seq_len, s_pad, cdt,
+             attn_impl: str):
+    """Multi-head attention core on a [S, 3W] f32 QKV tile -> [S, W] f32.
+
+    ``attn_impl`` selects between measured A/B variants (see PERF_NOTES
+    "ViT-B attention core"):
+      * ``base``      — per-head GEMMs, normalized P (r1 dispatch).
+      * ``foldnorm``  — per-head GEMMs, 1/sum folded into the PV OUTPUT
+        rows: divides [S, D] instead of [S, S] (exact same math —
+        (P/sum)@V == (P@V)/sum row-wise).
+      * ``pair``      — two heads per GEMM pair via block-diagonal K/V:
+        full-rate K=128/N=128 GEMMs (vs half-rate K=64/N=64) and half
+        the softmax instruction streams; MXU MAC count is identical by
+        algebra (zero blocks double the nominal FLOPs exactly as much
+        as the half-rate penalty), so this measures pass overheads.
+        Implies foldnorm.
+      * ``batched``   — single batched-head dot_general ([H, S, D]
+        operands); the r1 attempt was a Mosaic compile crash, kept as a
+        probe for toolchain updates.
+    """
+    scale = 1.0 / math.sqrt(head_dim)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    key_ok = col < seq_len
+
+    if attn_impl == "batched":
+        q = qkv[:, :width].reshape(s_pad, heads, head_dim)
+        k = qkv[:, width:2 * width].reshape(s_pad, heads, head_dim)
+        v = qkv[:, 2 * width:].reshape(s_pad, heads, head_dim)
+        q = jnp.swapaxes(q, 0, 1) * scale            # [H, S, D]
+        k = jnp.swapaxes(k, 0, 1)
+        v = jnp.swapaxes(v, 0, 1)
+        s = jax.lax.dot_general(q.astype(cdt), k.astype(cdt),
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok[None], s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(cdt), v.astype(cdt),
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = o * r
+        return jnp.swapaxes(o, 0, 1).reshape(s_pad, width)
+
+    if attn_impl == "pair":
+        assert heads % 2 == 0, heads
+        zeros_sd = jnp.zeros((s_pad, head_dim), jnp.float32)
+        key_ok2 = jnp.concatenate([key_ok, key_ok], axis=1)
+        outs = []
+        for i in range(heads // 2):
+            h0, h1 = 2 * i, 2 * i + 1
+            sl0 = slice(h0 * head_dim, (h0 + 1) * head_dim)
+            sl1 = slice(h1 * head_dim, (h1 + 1) * head_dim)
+            q2 = jnp.concatenate(
+                [qkv[:, sl0], qkv[:, sl1]], axis=1) * scale  # [S, 2D]
+            k0 = qkv[:, width + h0 * head_dim:width + (h0 + 1) * head_dim]
+            k1 = qkv[:, width + h1 * head_dim:width + (h1 + 1) * head_dim]
+            v0 = qkv[:, 2 * width + h0 * head_dim:
+                     2 * width + (h0 + 1) * head_dim]
+            v1 = qkv[:, 2 * width + h1 * head_dim:
+                     2 * width + (h1 + 1) * head_dim]
+            kb = jnp.concatenate([                       # [2S, 2D] blockdiag
+                jnp.concatenate([k0, zeros_sd], axis=1),
+                jnp.concatenate([zeros_sd, k1], axis=1)], axis=0)
+            s2 = jax.lax.dot_general(q2.astype(cdt), kb.astype(cdt),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s2 = jnp.where(key_ok2, s2, jnp.float32(-1e30))  # [S, 2S]
+            s3 = s2.reshape(s_pad, 2, s_pad)
+            m = jnp.max(s3, axis=-1, keepdims=True)
+            p = jnp.exp(s3 - m)
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)   # [S, 2, 1]
+            vb = jnp.concatenate([                       # [2S, 2D] blockdiag
+                jnp.concatenate([v0, zeros_sd], axis=1),
+                jnp.concatenate([zeros_sd, v1], axis=1)], axis=0)
+            o2 = jax.lax.dot(p.reshape(s_pad, 2 * s_pad).astype(cdt),
+                             vb.astype(cdt),
+                             preferred_element_type=jnp.float32)
+            o2 = (o2.reshape(s_pad, 2, head_dim) * r).reshape(
+                s_pad, 2 * head_dim)
+            outs.append(o2)
+        return jnp.concatenate(outs, axis=-1)
+
+    fold = attn_impl == "foldnorm"
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
+        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(cdt), k.astype(cdt),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(key_ok, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        if fold:
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot(p.astype(cdt), v.astype(cdt),
+                            preferred_element_type=jnp.float32) * r
+        else:
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot(p.astype(cdt), v.astype(cdt),
+                            preferred_element_type=jnp.float32)
+        outs.append(o)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _full_block_kernel(x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
                        wout_ref, bout_ref, ln2_s_ref, ln2_b_ref,
                        wfc_ref, bfc_ref, wpr_ref, bpr_ref, o_ref, *,
                        heads: int, seq_len: int, mlp_chunks: int,
-                       act: str, ln_eps: float = 1e-5):
+                       act: str, attn_impl: str = "base",
+                       ln_eps: float = 1e-5):
     """One grid program per image computes the ENTIRE transformer block:
     LN1 -> QKV -> MHA -> out-proj -> +residual -> LN2 -> c_fc -> act ->
     c_proj -> +residual.  Versus the two-kernel dispatch this removes the
@@ -631,25 +739,8 @@ def _full_block_kernel(x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
     qkv = jax.lax.dot(ln1.astype(cdt), wqkv_ref[:],
                       preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:][None, :]                      # [S, 3W] f32
-
-    scale = 1.0 / math.sqrt(head_dim)
-    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
-    key_ok = col < seq_len
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
-        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
-        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
-        s = jax.lax.dot_general(q.astype(cdt), k.astype(cdt),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(key_ok, s, jnp.float32(-1e30))
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot(p.astype(cdt), v.astype(cdt),
-                                preferred_element_type=jnp.float32))
-    attn = jnp.concatenate(outs, axis=-1)                 # [S, W] f32
+    attn = _mha_f32(qkv, heads, head_dim, width, seq_len, s_pad, cdt,
+                    attn_impl)                            # [S, W] f32
     y1 = jax.lax.dot(attn.astype(cdt), wout_ref[:],
                      preferred_element_type=jnp.float32)
     y1 = y1 + bout_ref[:][None, :] + x                    # residual stream
@@ -671,7 +762,7 @@ def _full_block_kernel(x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
 def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
                      ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj,
                      heads: int, *, mlp_chunks: int = 2,
-                     act: str = "quick_gelu",
+                     act: str = "quick_gelu", attn_impl: str = "base",
                      vmem_limit_mb: int = 0, interpret: bool = False):
     """x: [B, S, W] -> full transformer block in one Pallas program per
     image.  All weights (~14 MB bf16 at ViT-B) stay VMEM-resident across
@@ -690,7 +781,7 @@ def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
     out = pl.pallas_call(
         partial(_full_block_kernel, heads=heads, seq_len=s,
-                mlp_chunks=mlp_chunks, act=act),
+                mlp_chunks=mlp_chunks, act=act, attn_impl=attn_impl),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
         grid=(b,),
         in_specs=[

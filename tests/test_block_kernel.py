@@ -339,3 +339,39 @@ def test_block_fused_encode_merged_vs_two_kernel_dispatch(rng):
                                atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(two), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_full_block_attn_impl_variants_match(rng):
+    """Every `attn_impl` A/B variant matches the dispatched base path to
+    bf16 tolerance (interpret-mode; the TPU A/B lives in
+    tools_dev/ab_attn_impl.py — base stays dispatched, see PERF_NOTES
+    'ViT-B attention core')."""
+    import jax.numpy as jnp
+
+    from aihab_clip_tpu.ops.block_kernel import full_block_fused
+
+    B, S, W, H, HID = 2, 37, 128, 4, 256
+    x = jnp.asarray(rng.standard_normal((B, S, W)) * 0.1, jnp.bfloat16)
+    args = dict(
+        ln1_scale=rng.standard_normal(W),
+        ln1_bias=rng.standard_normal(W) * 0.1,
+        w_qkv=jnp.asarray(rng.standard_normal((W, 3 * W)) * 0.02,
+                          jnp.bfloat16),
+        b_qkv=rng.standard_normal(3 * W) * 0.1,
+        w_out=jnp.asarray(rng.standard_normal((W, W)) * 0.02, jnp.bfloat16),
+        b_out=rng.standard_normal(W) * 0.1,
+        ln2_scale=rng.standard_normal(W),
+        ln2_bias=rng.standard_normal(W) * 0.1,
+        w_fc=jnp.asarray(rng.standard_normal((W, HID)) * 0.02, jnp.bfloat16),
+        b_fc=rng.standard_normal(HID) * 0.1,
+        w_proj=jnp.asarray(rng.standard_normal((HID, W)) * 0.02,
+                           jnp.bfloat16),
+        b_proj=rng.standard_normal(W) * 0.1,
+    )
+    base = np.asarray(full_block_fused(x, heads=H, attn_impl="base",
+                                       interpret=True, **args), np.float32)
+    for impl in ("foldnorm", "pair", "batched"):
+        out = np.asarray(full_block_fused(x, heads=H, attn_impl=impl,
+                                          interpret=True, **args),
+                         np.float32)
+        assert np.abs(out - base).max() < 0.02, impl
