@@ -23,6 +23,7 @@ environments).
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -90,6 +91,55 @@ SIGLIP_ARCHS: Dict[str, SigLIPConfig] = {
         context_length=16, vocab_size=49408,
         text_width=64, text_layers=2, text_heads=2, text_mlp_dim=128),
 }
+
+# tower dimensions per open_clip/timm size token; the full tag grid
+# (size x patch x SigLIP1/2 x resolution) is derived by
+# ``siglip_config_for_name`` instead of enumerating every combination
+# (the reference accepts any open_clip tag via the hub factory,
+# /root/reference/aihab_utils/model_init.py:42-112 — this is the
+# zero-egress equivalent for the SigLIP families)
+_SIGLIP_TOWER_DIMS = {
+    # size: (width, layers, heads, mlp_dim)
+    "B": (768, 12, 12, 3072),
+    "L": (1024, 24, 16, 4096),
+    "SO400M": (1152, 27, 16, 4304),
+}
+_SIGLIP_DEFAULT_RES = {"B": 224, "L": 256, "SO400M": 224}
+
+
+def siglip_config_for_name(name: str) -> Optional[SigLIPConfig]:
+    """Parse an open_clip/timm SigLIP tag into a config.
+
+    Accepts ``ViT-<SIZE>-<PATCH>-SigLIP[2][-<RES>]`` (e.g.
+    ``ViT-L-16-SigLIP-384``, ``ViT-SO400M-14-SigLIP2-378``).  Text tower
+    mirrors the vision dims (the SigLIP family trains matched towers);
+    vocab is 32_000 for SigLIP1 (c4-en sentencepiece) and 256_000 for
+    SigLIP2 (Gemma tokenizer), context 64 for both.  Returns None for
+    tags outside the grid — callers fall through to their own defaults.
+
+    Known hole: SigLIP1's ``ViT-SO400M-14-SigLIP-384`` uses a
+    non-divisible 384/14 grid (the conv stride floors to 27x27 patches);
+    our PatchEmbed requires divisibility, so that one tag is rejected
+    here (a local HF snapshot still works — the config then comes from
+    ``siglip_config_from_hf``).
+    """
+    m = re.fullmatch(
+        r"ViT-(B|L|SO400M)-(\d+)-SigLIP(2?)(?:-(\d+))?", name)
+    if m is None:
+        return None
+    size, patch, two, res = m.group(1), int(m.group(2)), m.group(3), \
+        m.group(4)
+    width, layers, heads, mlp = _SIGLIP_TOWER_DIMS[size]
+    resolution = int(res) if res else _SIGLIP_DEFAULT_RES[size]
+    if resolution % patch:
+        return None
+    return SigLIPConfig(
+        embed_dim=width, image_resolution=resolution, patch_size=patch,
+        vision_width=width, vision_layers=layers, vision_heads=heads,
+        vision_mlp_dim=mlp,
+        context_length=64, vocab_size=256000 if two else 32000,
+        text_width=width, text_layers=layers, text_heads=heads,
+        text_mlp_dim=mlp)
 
 
 class SigLIPMLP(nn.Module):

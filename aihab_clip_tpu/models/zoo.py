@@ -82,7 +82,7 @@ _SIGLIP_HF_ALIASES = {
 
 
 def _siglip_arch_for(name: str):
-    from .siglip import SIGLIP_ARCHS
+    from .siglip import SIGLIP_ARCHS, siglip_config_for_name
 
     stripped = name.replace("hf-hub:", "").replace("random:", "")
     if stripped in SIGLIP_ARCHS:
@@ -90,9 +90,16 @@ def _siglip_arch_for(name: str):
     tail = stripped.split("/")[-1]
     if tail in SIGLIP_ARCHS:
         return tail, SIGLIP_ARCHS[tail]
+    # the open_clip tag grid (size x patch x SigLIP1/2 x resolution) is
+    # parsed generically — any ViT-{B,L,SO400M}-<p>-SigLIP[2][-<res>] tag
+    # gets its real dimensions, not a fallback
+    for cand in (stripped, tail):
+        cfg = siglip_config_for_name(cand)
+        if cfg is not None:
+            return cand, cfg
     if "siglip" in stripped.lower():
         # default to the SO400M-16-384 family when the exact variant is not
-        # in the registry
+        # in the registry (e.g. gopt-size tags outside the parsed grid)
         return ("ViT-SO400M-16-SigLIP2-384",
                 SIGLIP_ARCHS["ViT-SO400M-16-SigLIP2-384"])
     return None, None

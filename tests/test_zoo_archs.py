@@ -89,3 +89,70 @@ def test_patch_embed_matmul_matches_conv():
         assert y_mat.shape == (2, 4, 4, 16)
         np.testing.assert_allclose(np.asarray(y_mat), np.asarray(y_conv),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tag,width,layers,res,vocab,patch", [
+    ("ViT-B-16-SigLIP", 768, 12, 224, 32000, 16),
+    ("ViT-B-16-SigLIP-384", 768, 12, 384, 32000, 16),
+    ("ViT-B-16-SigLIP-512", 768, 12, 512, 32000, 16),
+    ("ViT-B-32-SigLIP2-256", 768, 12, 256, 256000, 32),
+    ("ViT-L-16-SigLIP-256", 1024, 24, 256, 32000, 16),
+    ("ViT-L-16-SigLIP2-384", 1024, 24, 384, 256000, 16),
+    ("ViT-L-16-SigLIP2-512", 1024, 24, 512, 256000, 16),
+    ("ViT-SO400M-14-SigLIP", 1152, 27, 224, 32000, 14),
+    ("ViT-SO400M-14-SigLIP2-378", 1152, 27, 378, 256000, 14),
+    ("ViT-SO400M-16-SigLIP2-256", 1152, 27, 256, 256000, 16),
+    ("ViT-SO400M-16-SigLIP2-512", 1152, 27, 512, 256000, 16),
+])
+def test_siglip_tag_grid_parses(tag, width, layers, res, vocab, patch):
+    """The full open_clip SigLIP tag grid resolves to real dimensions,
+    not the SO400M fallback (reference accepts any open_clip tag via the
+    hub factory, /root/reference/aihab_utils/model_init.py:42-112)."""
+    from aihab_clip_tpu.models.zoo import _siglip_arch_for
+
+    name, cfg = _siglip_arch_for(f"hf-hub:timm/{tag}")
+    assert name == tag
+    assert cfg.vision_width == width
+    assert cfg.vision_layers == layers
+    assert cfg.image_resolution == res
+    assert cfg.vocab_size == vocab
+    assert cfg.patch_size == patch
+    assert cfg.context_length == 64
+
+
+def test_siglip_tag_grid_registry_consistency():
+    """Parsed configs agree with the hand-written registry entries."""
+    from aihab_clip_tpu.models.siglip import (SIGLIP_ARCHS,
+                                              siglip_config_for_name)
+
+    for tag in ("ViT-SO400M-16-SigLIP2-384", "ViT-B-16-SigLIP-224"):
+        parsed = siglip_config_for_name(
+            tag.replace("-224", ""))  # registry alias has explicit res
+        reg = SIGLIP_ARCHS[tag]
+        assert parsed.vision_width == reg.vision_width
+        assert parsed.vision_layers == reg.vision_layers
+        assert parsed.vision_mlp_dim == reg.vision_mlp_dim
+        assert parsed.vocab_size == reg.vocab_size
+
+
+def test_siglip_tag_outside_grid_falls_back():
+    from aihab_clip_tpu.models.zoo import _siglip_arch_for
+
+    name, cfg = _siglip_arch_for("hf-hub:timm/ViT-gopt-16-SigLIP2-384")
+    assert name == "ViT-SO400M-16-SigLIP2-384"  # documented default
+    name, cfg = _siglip_arch_for("hf-hub:timm/ViT-B-16-plain")
+    assert name is None and cfg is None
+
+
+def test_siglip_parsed_tag_random_init_runs():
+    """A parsed (non-registry) tag builds and encodes end to end."""
+    from aihab_clip_tpu.models import load
+
+    bundle = load("random:ViT-B-32-SigLIP2-256", seed=0)
+    assert bundle.config.vision_width == 768
+    assert bundle.config.patch_size == 32
+    assert bundle.config.image_resolution == 256
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    feats = bundle.model.apply({"params": bundle.params}, x,
+                               method=type(bundle.model).encode_image)
+    assert feats.shape == (1, bundle.config.embed_dim)
