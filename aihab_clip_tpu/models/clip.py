@@ -49,6 +49,12 @@ class CLIPConfig:
     text_mlp_dim: int = 0
     # 0 = the width//64 rule; ViT-g uses 16 heads of width 88
     vision_heads_override: int = 0
+    # MLP activation: OpenAI checkpoints are all QuickGELU
+    # (`/root/reference/clip/model.py:160-162`); open_clip/LAION towers
+    # default to exact GELU (open_clip marks QuickGELU variants with a
+    # "-quickgelu" tag).  Not inferable from state-dict shapes — set by
+    # the arch table / caller.
+    act: str = "quick_gelu"
 
     @property
     def is_vit(self) -> bool:
@@ -84,10 +90,17 @@ CLIP_ARCHS: Dict[str, CLIPConfig] = {
     # tiny ModifiedResNet for tests (width 8 -> pool embed 256, 4 heads)
     "TinyRN": CLIPConfig(32, 32, (1, 1, 1, 1), 8, None, 77, 49408, 64, 1, 2),
     # open_clip-scale large towers (conversion via state-dict shape
-    # inference; the ViT-g family uses a 4.36x MLP)
-    "ViT-H/14": CLIPConfig(1024, 224, 32, 1280, 14, 77, 49408, 1024, 16, 24),
+    # inference; the ViT-g family uses a 4.36x MLP).  These are
+    # LAION-trained archs — open_clip builds them with exact GELU
+    # (QuickGELU only via explicit "-quickgelu" tags).
+    "ViT-H/14": CLIPConfig(1024, 224, 32, 1280, 14, 77, 49408, 1024, 16, 24,
+                           act="gelu"),
     "ViT-g/14": CLIPConfig(1024, 224, 40, 1408, 14, 77, 49408, 1024, 16, 24,
-                           vision_mlp_dim=6144, vision_heads_override=16),
+                           vision_mlp_dim=6144, vision_heads_override=16,
+                           act="gelu"),
+    "ViT-bigG/14": CLIPConfig(1280, 224, 48, 1664, 14, 77, 49408, 1280, 20,
+                              32, vision_mlp_dim=8192,
+                              vision_heads_override=16, act="gelu"),
 }
 
 
@@ -109,7 +122,7 @@ class CLIPModel(nn.Module):
                 output_dim=cfg.embed_dim,
                 mlp_dim=cfg.vision_mlp_dim,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                remat=self.remat,
+                remat=self.remat, act=cfg.act,
             )
         else:
             self.visual = ModifiedResNet(
@@ -128,6 +141,7 @@ class CLIPModel(nn.Module):
             heads=cfg.transformer_heads,
             embed_dim=cfg.embed_dim,
             mlp_dim=cfg.text_mlp_dim,
+            act=cfg.act,
             dtype=self.dtype, param_dtype=self.param_dtype,
             remat=self.remat,
         )

@@ -30,7 +30,7 @@ from ..backend import dispatch_backend
 from ..ops.attention import _xla_attention
 from ..ops.fused_linear import ln_matmul, matmul_residual
 from .clip import CLIPConfig
-from .layers import quick_gelu
+from .layers import quick_gelu, resolve_act
 
 # combined c_fc+c_proj VMEM budget for the one-kernel MLP path
 MLP_WHOLE_KERNEL_MAX_BYTES = 11 * 2 ** 20
@@ -117,7 +117,7 @@ def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
         hdn = ln_matmul(
             x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
             jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
-            blk["mlp"]["c_fc"]["bias"], "quick_gelu")
+            blk["mlp"]["c_fc"]["bias"], config.act)
         x2 = matmul_residual(
             hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
             blk["mlp"]["c_proj"]["bias"], x2)
@@ -130,7 +130,7 @@ def vit_encode_fast(params, images: jax.Array, config: CLIPConfig,
     return pre, projected
 
 
-def _canonical_clip_block(x, blk, heads: int, dtype):
+def _canonical_clip_block(x, blk, heads: int, dtype, act: str = "quick_gelu"):
     """One differentiable CLIP-ViT transformer block in plain jnp,
     numerically the Flax ``ResidualAttentionBlock`` (fp32 LN eps 1e-5,
     packed in_proj, QuickGELU in compute dtype, same attention
@@ -146,7 +146,7 @@ def _canonical_clip_block(x, blk, heads: int, dtype):
     q, k, v = jnp.split(qkv, 3, axis=-1)
     x = x + proj(attention(q, k, v, heads), blk["attn"]["out_proj"])
     ln2 = _ln(x, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-    h = quick_gelu(proj(ln2, blk["mlp"]["c_fc"]))
+    h = resolve_act(act)(proj(ln2, blk["mlp"]["c_fc"]))
     return x + proj(h, blk["mlp"]["c_proj"])
 
 
@@ -365,7 +365,8 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
     return dict(merge=merge, attn_split=attn_split, mlp_whole=mlp_whole,
                 mlp_chunks=mlp_chunks, full_chunks=full_chunks,
-                n_groups=n_groups, heads=heads, width=width)
+                n_groups=n_groups, heads=heads, width=width,
+                act=config.act)
 
 
 def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
@@ -402,7 +403,8 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
                 blk["mlp"]["c_fc"]["bias"],
                 jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"],
-                heads, mlp_chunks=full_chunks, interpret=interpret)
+                heads, mlp_chunks=full_chunks, act=plan["act"],
+                interpret=interpret)
             continue
         if attn_split:
             n_groups = plan["n_groups"]
@@ -434,7 +436,7 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
                 jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
                 blk["mlp"]["c_fc"]["bias"],
                 jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
-                blk["mlp"]["c_proj"]["bias"],
+                blk["mlp"]["c_proj"]["bias"], act=plan["act"],
                 interpret=interpret)
         elif mlp_chunks:
             x2 = mlp_block_split(
@@ -443,12 +445,12 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
                 blk["mlp"]["c_fc"]["bias"],
                 jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"],
-                n_chunks=mlp_chunks, interpret=interpret)
+                n_chunks=mlp_chunks, act=plan["act"], interpret=interpret)
         else:
             hdn = ln_matmul(
                 x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"],
                 jnp.asarray(blk["mlp"]["c_fc"]["kernel"], dtype),
-                blk["mlp"]["c_fc"]["bias"], "quick_gelu")
+                blk["mlp"]["c_fc"]["bias"], plan["act"])
             x2 = matmul_residual(
                 hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"], x2)

@@ -123,15 +123,28 @@ class MultiHeadAttention(nn.Module):
                         name="out_proj")(out)
 
 
+def resolve_act(name: str) -> Callable[[jax.Array], jax.Array]:
+    """Activation by name: ``quick_gelu`` (OpenAI CLIP), ``gelu`` (exact
+    erf — open_clip/LAION towers default to ``nn.GELU``), ``gelu_tanh``
+    (SigLIP)."""
+    if name == "quick_gelu":
+        return quick_gelu
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {name!r}")
+
+
 class MLP(nn.Module):
-    """Transformer MLP: c_fc -> QuickGELU -> c_proj (4x expansion unless
+    """Transformer MLP: c_fc -> act -> c_proj (4x expansion unless
     ``mlp_dim`` overrides it — ViT-g style towers use ~4.36x)."""
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     expansion: int = 4
     mlp_dim: int = 0  # 0 = expansion * width
-    act: Callable[[jax.Array], jax.Array] = staticmethod(quick_gelu)
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -139,7 +152,7 @@ class MLP(nn.Module):
         hidden = self.mlp_dim or self.expansion * width
         h = nn.Dense(hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="c_fc")(x)
-        h = self.act(h)
+        h = resolve_act(self.act)(h)
         return nn.Dense(width, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="c_proj")(h)
 
@@ -152,6 +165,7 @@ class ResidualAttentionBlock(nn.Module):
     mlp_dim: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -160,7 +174,7 @@ class ResidualAttentionBlock(nn.Module):
             param_dtype=self.param_dtype, name="attn")(
                 LayerNorm(param_dtype=self.param_dtype, name="ln_1")(x))
         x = x + MLP(dtype=self.dtype, param_dtype=self.param_dtype,
-                    mlp_dim=self.mlp_dim,
+                    mlp_dim=self.mlp_dim, act=self.act,
                     name="mlp")(LayerNorm(param_dtype=self.param_dtype,
                                           name="ln_2")(x))
         return x
@@ -177,6 +191,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -187,6 +202,6 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = block_cls(self.heads, causal=self.causal,
                           mlp_dim=self.mlp_dim, dtype=self.dtype,
-                          param_dtype=self.param_dtype,
+                          param_dtype=self.param_dtype, act=self.act,
                           name=f"resblocks_{i}")(x)
         return x

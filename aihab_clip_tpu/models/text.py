@@ -32,6 +32,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, tokens: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -63,7 +64,7 @@ class TextTransformer(nn.Module):
             self.width, self.layers, self.heads, causal=self.causal,
             mlp_dim=self.mlp_dim,
             dtype=self.dtype, param_dtype=self.param_dtype, remat=self.remat,
-            name="transformer",
+            act=self.act, name="transformer",
         )(x)
         x = LayerNorm(param_dtype=self.param_dtype, name="ln_final")(x)
 

@@ -34,6 +34,7 @@ class VisionTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     remat: bool = False
     patchify: str = "matmul"  # "matmul" | "conv" (identical math)
+    act: str = "quick_gelu"   # open_clip/LAION towers use exact "gelu"
 
     @nn.compact
     def __call__(
@@ -81,7 +82,7 @@ class VisionTransformer(nn.Module):
         x = Transformer(
             self.width, self.layers, self.heads, mlp_dim=self.mlp_dim,
             dtype=self.dtype, param_dtype=self.param_dtype, remat=self.remat,
-            name="transformer",
+            act=self.act, name="transformer",
         )(x)
 
         pre = LayerNorm(param_dtype=self.param_dtype, name="ln_post")(x[:, 0, :])

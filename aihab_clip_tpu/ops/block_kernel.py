@@ -316,6 +316,8 @@ def _act_f32(h, act: str):
         return h * jax.nn.sigmoid(1.702 * h)
     if act == "gelu_tanh":
         return jax.nn.gelu(h, approximate=True)
+    if act == "gelu":
+        return jax.nn.gelu(h, approximate=False)
     raise ValueError(f"unknown activation {act!r}")
 
 
@@ -431,13 +433,13 @@ def mlp_block_split(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
 
 
 def _mlp_block_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
-                      wpr_ref, bpr_ref, o_ref):
+                      wpr_ref, bpr_ref, o_ref, *, act: str = "quick_gelu"):
     x = x_ref[:].astype(jnp.float32)                       # [TM, W]
     ln2 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:])
     h = jax.lax.dot(ln2.astype(o_ref.dtype), wfc_ref[:],
                     preferred_element_type=jnp.float32)
     h = h + bfc_ref[:][None, :]
-    h = h * jax.nn.sigmoid(1.702 * h)                      # QuickGELU
+    h = _act_f32(h, act)
     out = jax.lax.dot(h.astype(o_ref.dtype), wpr_ref[:],
                       preferred_element_type=jnp.float32)
     out = out + bpr_ref[:][None, :] + x
@@ -445,8 +447,9 @@ def _mlp_block_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref,
 
 
 def mlp_block_fused(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
-                    interpret: bool = False, tile_m: int = 0):
-    """x: [M, W] -> x + c_proj(QuickGELU(c_fc(LN(x)))). Row-tiled grid."""
+                    interpret: bool = False, tile_m: int = 0,
+                    act: str = "quick_gelu"):
+    """x: [M, W] -> x + c_proj(act(c_fc(LN(x)))). Row-tiled grid."""
     m, w = x.shape
     hidden = w_fc.shape[1]
     if not tile_m:
@@ -462,7 +465,7 @@ def mlp_block_fused(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     out = pl.pallas_call(
-        _mlp_block_kernel,
+        partial(_mlp_block_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((m_pad, w), x.dtype),
         grid=(m_pad // tile_m,),
         in_specs=[

@@ -50,6 +50,8 @@ def _act_f32(x, activation: Optional[str]):
         return _quick_gelu_f32(x)
     if activation == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
+    if activation == "gelu":
+        return jax.nn.gelu(x, approximate=False)
     if activation is not None:
         raise ValueError(f"unknown activation '{activation}'")
     return x

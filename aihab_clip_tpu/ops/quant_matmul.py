@@ -32,6 +32,8 @@ def _apply_act(y, act: str):
         return y * jax.nn.sigmoid(1.702 * y)
     if act == "gelu_tanh":
         return jax.nn.gelu(y, approximate=True)
+    if act == "gelu":
+        return jax.nn.gelu(y, approximate=False)
     if act != "none":
         raise ValueError(f"unknown activation '{act}'")
     return y

@@ -330,3 +330,54 @@ def test_vit_scan_grads_match_module():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_m[path]), atol=2e-4,
             rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_gelu_act_tower_fast_matches_canonical(rng):
+    """LAION-style towers (act='gelu', exact erf — open_clip default for
+    non-quickgelu tags) run the same fast path with the activation
+    plumbed through config -> plan -> kernels."""
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+        act="gelu")
+    b = load("random:tiny-gelu", random_cfg=cfg, seed=7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=CLIPModel.encode_image)
+    out = vit_encode_fast(b.params, x, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    # and the gelu tower really differs from a quick_gelu one (the act
+    # is not silently ignored anywhere in the chain)
+    qcfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2)
+    qout = vit_encode_fast(b.params, x, qcfg, dtype=jnp.float32)
+    assert np.abs(np.asarray(out) - np.asarray(qout)).max() > 1e-4
+
+
+def test_gelu_act_full_block_kernel_matches(rng):
+    """The merged full-block kernel honors act='gelu' (interpret mode)."""
+    from aihab_clip_tpu.ops.block_kernel import full_block_fused
+
+    W, H, HID = 128, 4, 256
+    x = jnp.asarray(rng.standard_normal((2, 17, W)) * 0.1, jnp.float32)
+    # one fixed weight set for both activations
+    a = np.random.default_rng(3)
+    wq = jnp.asarray(a.standard_normal((W, 3 * W)) * 0.02, jnp.float32)
+    wf = jnp.asarray(a.standard_normal((W, HID)) * 0.02, jnp.float32)
+    wp = jnp.asarray(a.standard_normal((HID, W)) * 0.02, jnp.float32)
+
+    def run2(act):
+        return np.asarray(full_block_fused(
+            x, np.ones(W), np.zeros(W), wq, np.zeros(3 * W),
+            jnp.asarray(np.eye(W), jnp.float32), np.zeros(W),
+            np.ones(W), np.zeros(W), wf, np.zeros(HID), wp, np.zeros(W),
+            heads=H, act=act, interpret=True))
+
+    g = run2("gelu")
+    q = run2("quick_gelu")
+    assert np.isfinite(g).all()
+    assert np.abs(g - q).max() > 1e-5
