@@ -104,14 +104,19 @@ def build_loaders(cfg, channel_order: Optional[str] = None) -> LoaderBundle:
         sel_tr = train_pool_idx
 
     batch_size = int(data_cfg["batch_size"])
+    # eval has no optimizer memory next to it, so larger eval batches are
+    # free throughput (metrics are batch-size invariant — the whole stack
+    # reduces through one confusion matrix); 0 = same as train, matching
+    # the reference's single batch_size (`/root/reference/configs/cs.yaml:15`)
+    eval_bs = int(data_cfg.get("eval_batch_size", 0) or 0) or batch_size
     shuffle = bool(data_cfg.get("shuffle", True))
     use_l2 = bool(data_cfg.get("use_l2_label", False))
 
     train = SplitView(ds_tr, sel_tr, batch_size, shuffle=shuffle,
                       use_l2_label=use_l2, seed=seed)
-    val = SplitView(ds_tr, val_idx, batch_size, shuffle=False,
+    val = SplitView(ds_tr, val_idx, eval_bs, shuffle=False,
                     use_l2_label=use_l2, seed=seed)
-    test = SplitView(ds_te, np.arange(len(ds_te)), batch_size, shuffle=False,
+    test = SplitView(ds_te, np.arange(len(ds_te)), eval_bs, shuffle=False,
                      use_l2_label=use_l2, seed=seed)
 
     sel_map = selection_by_class(sel_tr, ds_tr.labels) if shots > 0 else None

@@ -389,6 +389,18 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
     width = plan["width"]
     b = x.shape[0]
 
+    # two-kernel towers keep the sequence PADDED across every kernel
+    # boundary: pad once here, slice once at the end.  Valid rows are
+    # bit-identical (keys mask by seq_len; padded rows are row-local
+    # garbage) and the per-boundary slice+re-pad copy pair disappears —
+    # measured 0.50 ms/block of composition overhead at ViT-L b128
+    # (PERF_NOTES "ViT-L attention core").  The merged path pads
+    # internally as before.
+    seq_len = x.shape[1]
+    s_pad = ((seq_len + 15) // 16) * 16
+    if not merge and s_pad != seq_len:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - seq_len), (0, 0)))
+
     for i in range(start, stop):
         blk = vp["transformer"][f"resblocks_{i}"]
         if merge:
@@ -419,7 +431,8 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
             x = attn_block_split(
                 x, wg, bg, og, blk["attn"]["out_proj"]["bias"],
                 blk["ln_1"]["scale"], blk["ln_1"]["bias"],
-                heads, n_groups, interpret=interpret)
+                heads, n_groups, interpret=interpret,
+                padded_io=True, seq_len=seq_len)
         else:
             x = attn_block_fused(
                 x, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
@@ -427,7 +440,8 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
                 blk["attn"]["in_proj"]["bias"],
                 jnp.asarray(blk["attn"]["out_proj"]["kernel"], dtype),
                 blk["attn"]["out_proj"]["bias"],
-                heads, interpret=interpret)
+                heads, interpret=interpret,
+                padded_io=True, seq_len=seq_len)
         s = x.shape[1]
         x2 = x.reshape(b * s, width)
         if mlp_whole:
@@ -455,6 +469,8 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
                 hdn, jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"], x2)
         x = x2.reshape(b, s, width)
+    if not merge and s_pad != seq_len:
+        x = x[:, :seq_len, :]
     return x
 
 

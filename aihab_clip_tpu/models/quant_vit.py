@@ -141,6 +141,14 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
            + s_pad16 * s_pad16 * 4)                      # score matrix
     merge = not attn_split and est <= 15 * 2 ** 20
 
+    # two-kernel towers keep the sequence padded across every kernel
+    # boundary (pad once / slice once) — see fast_vit._apply_fused_blocks
+    seq_len = s
+    s_pad = ((s + 15) // 16) * 16
+    if not merge and s_pad != seq_len:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - seq_len), (0, 0)))
+        s = s_pad
+
     for i in range(start, stop):
         blk = qblocks[f"resblocks_{i}"]
         ip, op = blk["attn/in_proj"], blk["attn/out_proj"]
@@ -164,19 +172,23 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
             x = quant_attn_block_split(
                 x, wg, sg, bg, og, op["scale"], op["bias"],
                 blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
-                n_groups, interpret=interpret)
+                n_groups, interpret=interpret,
+                padded_io=True, seq_len=seq_len)
         else:
             x = quant_attn_block_fused(
                 x, ip["w8"], ip["scale"], ip["bias"],
                 op["w8"], op["scale"], op["bias"],
                 blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
-                interpret=interpret)
+                interpret=interpret,
+                padded_io=True, seq_len=seq_len)
         x2 = quant_mlp_block_fused(
             x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
             pr["w8"], pr["scale"], pr["bias"],
             blk["ln_2"]["scale"], blk["ln_2"]["bias"],
             interpret=interpret)
         x = x2.reshape(b, s, width)
+    if not merge and s_pad != seq_len:
+        x = x[:, :seq_len, :]
     return x
 
 

@@ -74,18 +74,35 @@ def _attn_block_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref,
 
 
 def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-                     heads: int, interpret: bool = False):
+                     heads: int, interpret: bool = False,
+                     padded_io: bool = False, seq_len: int | None = None):
     """x: [B, S, W] -> x + out_proj(MHA(LN(x))).  One program per image.
 
     S pads to a multiple of 16 (bf16 sublane), NOT 128: the score matrix
     and QKV/out GEMM row counts scale with s_pad, and 197->208 instead of
     197->256 measured 5.21 vs 5.73 ms/block for the full ViT-B block
     (Mosaic handles non-128 lane dims; pad-to-8 measured slightly worse,
-    PERF_NOTES.md)."""
+    PERF_NOTES.md).
+
+    ``padded_io``: x arrives already padded to [B, s_pad, W] (``seq_len``
+    = the real S) and the padded result is returned un-sliced.  Valid
+    rows are bit-identical either way — keys beyond seq_len are masked,
+    and padded Q rows only produce garbage in their own (discarded)
+    rows — so a block STACK can pad once and slice once instead of
+    paying a full-tensor slice+re-pad copy pair at every kernel
+    boundary (measured 0.50 ms/block of composition overhead at ViT-L
+    b128, PERF_NOTES 'ViT-L attention core')."""
     b, s, w = x.shape
-    s_pad = ((s + 15) // 16) * 16
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    if padded_io:
+        if seq_len is None:
+            raise ValueError("padded_io=True requires seq_len")
+        if s % 16:
+            raise ValueError(f"padded_io input S={s} not a multiple of 16")
+        s_pad, s = s, seq_len
+    else:
+        s_pad = ((s + 15) // 16) * 16
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     out = pl.pallas_call(
         partial(_attn_block_kernel, heads=heads, seq_len=s),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
@@ -107,7 +124,7 @@ def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
     )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
       w_qkv, jnp.asarray(b_qkv, jnp.float32),
       w_out, jnp.asarray(b_out, jnp.float32))
-    return out[:, :s, :]
+    return out if padded_io else out[:, :s, :]
 
 
 # ---------------------------------------------------------------------------
@@ -561,21 +578,30 @@ def _attn_block_split_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref,
 
 def attn_block_split(x, wqkv_g, b_qkv_g, wout_g, b_out, ln_scale, ln_bias,
                      heads: int, n_groups: int, ln_eps: float = 1e-5,
-                     interpret: bool = False):
+                     interpret: bool = False, padded_io: bool = False,
+                     seq_len: int | None = None):
     """Head-group-split whole-block attention (bf16).
 
     ``wqkv_g`` [n_groups, W, 3*g*D], ``b_qkv_g`` [n_groups, 3*g*D],
     ``wout_g`` [n_groups, g*D, W] — use ``regroup_attn_weights_f`` to
-    build these from a packed [W, 3W] QKV and [W, W] out-proj."""
+    build these from a packed [W, 3W] QKV and [W, W] out-proj.
+    ``padded_io``/``seq_len``: see ``attn_block_fused``."""
     b, s, w = x.shape
     if heads % n_groups:
         raise ValueError(f"n_groups {n_groups} must divide heads {heads} "
                          "(a floored group size would silently drop heads)")
     g = heads // n_groups
     head_dim = w // heads
-    s_pad = ((s + 15) // 16) * 16
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    if padded_io:
+        if seq_len is None:
+            raise ValueError("padded_io=True requires seq_len")
+        if s % 16:
+            raise ValueError(f"padded_io input S={s} not a multiple of 16")
+        s_pad, s = s, seq_len
+    else:
+        s_pad = ((s + 15) // 16) * 16
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     gcols = 3 * g * head_dim
     out = pl.pallas_call(
         partial(_attn_block_split_kernel, heads_per_group=g, seq_len=s,
@@ -603,7 +629,7 @@ def attn_block_split(x, wqkv_g, b_qkv_g, wout_g, b_out, ln_scale, ln_bias,
     )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),
       wqkv_g, jnp.asarray(b_qkv_g, jnp.float32)[:, None, :],
       wout_g, jnp.asarray(b_out, jnp.float32))
-    return out[:, :s, :]
+    return out if padded_io else out[:, :s, :]
 
 
 # ---------------------------------------------------------------------------

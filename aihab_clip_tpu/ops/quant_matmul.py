@@ -412,14 +412,23 @@ def _attn_block_kernel_int8(x_ref, ln_s_ref, ln_b_ref, wqkv8_ref, sqkv_ref,
 
 def quant_attn_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
                            b_out, ln_scale, ln_bias, heads: int,
-                           interpret: bool = False):
+                           interpret: bool = False, padded_io: bool = False,
+                           seq_len: int | None = None):
     """x: [B, S, W] -> x + int8_out_proj(MHA(int8_qkv(LN(x)))).  One grid
     program per image; S pads to the 16 sublane multiple (the bf16
-    whole-block padding finding applies unchanged)."""
+    whole-block padding finding applies unchanged).
+    ``padded_io``/``seq_len``: see ``block_kernel.attn_block_fused``."""
     b, s, w = x.shape
-    s_pad = ((s + 15) // 16) * 16
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    if padded_io:
+        if seq_len is None:
+            raise ValueError("padded_io=True requires seq_len")
+        if s % 16:
+            raise ValueError(f"padded_io input S={s} not a multiple of 16")
+        s_pad, s = s, seq_len
+    else:
+        s_pad = ((s + 15) // 16) * 16
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     out = pl.pallas_call(
         partial(_attn_block_kernel_int8, heads=heads, seq_len=s),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
@@ -445,7 +454,7 @@ def quant_attn_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
       jnp.asarray(b_qkv, jnp.float32),
       wout8, jnp.asarray(out_scale, jnp.float32),
       jnp.asarray(b_out, jnp.float32))
-    return out[:, :s, :]
+    return out if padded_io else out[:, :s, :]
 
 
 # ---------------------------------------------------------------------------
@@ -536,7 +545,8 @@ def _attn_block_split_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv8_ref, sqkv_ref,
 def quant_attn_block_split(x, wqkv8_g, qkv_scale_g, b_qkv_g, wout8_g,
                            out_scale, b_out, ln_scale, ln_bias, heads: int,
                            n_groups: int, ln_eps: float = 1e-5,
-                           interpret: bool = False):
+                           interpret: bool = False, padded_io: bool = False,
+                           seq_len: int | None = None):
     """Head-group-split whole-block int8 attention.
 
     ``wqkv8_g``   [n_groups, W, 3*g*D] — per-group packed q|k|v columns
@@ -555,9 +565,16 @@ def quant_attn_block_split(x, wqkv8_g, qkv_scale_g, b_qkv_g, wout8_g,
                          "(a floored group size would silently drop heads)")
     g = heads // n_groups
     head_dim = w // heads
-    s_pad = ((s + 15) // 16) * 16
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    if padded_io:
+        if seq_len is None:
+            raise ValueError("padded_io=True requires seq_len")
+        if s % 16:
+            raise ValueError(f"padded_io input S={s} not a multiple of 16")
+        s_pad, s = s, seq_len
+    else:
+        s_pad = ((s + 15) // 16) * 16
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     gcols = 3 * g * head_dim
     out = pl.pallas_call(
         partial(_attn_block_split_kernel, heads_per_group=g, seq_len=s,
@@ -595,7 +612,7 @@ def quant_attn_block_split(x, wqkv8_g, qkv_scale_g, b_qkv_g, wout8_g,
       jnp.asarray(b_qkv_g, jnp.float32)[:, None, :],
       wout8_g, jnp.asarray(out_scale, jnp.float32),
       jnp.asarray(b_out, jnp.float32))
-    return out[:, :s, :]
+    return out if padded_io else out[:, :s, :]
 
 
 # ---------------------------------------------------------------------------

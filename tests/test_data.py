@@ -164,3 +164,20 @@ def test_metadata_rows(cfg):
     assert len(rows) == batch.n_valid
     assert {"l2_label", "poly_label", "plot_word_label", "file_name",
             "plot_idx", "image_source"} <= set(rows[0])
+
+
+def test_build_loaders_eval_batch_size(cfg):
+    """`data.eval_batch_size` widens ONLY val/test batches (eval has no
+    optimizer memory; metrics reduce through one confusion matrix, so
+    results are batch-size invariant). 0/absent = train batch size."""
+    c = cfg.clone()
+    c.data.eval_batch_size = 12
+    bundle = build_loaders(c)
+    assert bundle.train.batch_size == 8
+    assert bundle.val.batch_size == 12
+    assert bundle.test.batch_size == 12
+    batches = list(bundle.test.batches())
+    assert all(b.images.shape[0] == 12 for b in batches)
+    assert sum(b.n_valid for b in batches) == 12
+    # default: unchanged
+    assert build_loaders(cfg).test.batch_size == 8
