@@ -334,9 +334,14 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     # (ViT-L: 16.8 MB -> 2 chunks); per-op kernels only as a last resort
     hidden = config.vision_mlp_dim or 4 * width
     pair_bytes = 2 * (width * hidden * jnp.dtype(dtype).itemsize)
-    mlp_whole = pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
+    # exact-erf 'gelu' (LAION towers) cannot lower inside Mosaic kernels
+    # (no erf/erfc primitive — probed on hardware); the MLP half falls to
+    # the XLA path (ln_matmul routes it there) while the act-free
+    # attention kernels stay fused
+    kernel_act_ok = config.act in ("quick_gelu", "gelu_tanh")
+    mlp_whole = kernel_act_ok and pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
     mlp_chunks = 0
-    if not mlp_whole:
+    if not mlp_whole and kernel_act_ok:
         for n in (2, 3, 4):
             if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES:
                 mlp_chunks = n
@@ -358,6 +363,7 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     full_w_bytes = (4 * width * width + 2 * width * hidden) * jnp.dtype(
         dtype).itemsize
     merge = (merge_blocks != "off" and not attn_split and mlp_whole
+             and kernel_act_ok
              and full_w_bytes <= FULL_BLOCK_KERNEL_MAX_BYTES)
     # hidden chunking bounds the f32 hidden tile's liveness (chunks=2
     # measured 57.8 vs 58.3 ms unchunked for the 12-block ViT-B tower)

@@ -201,6 +201,11 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
     (whole-block), 'chained' (per-GEMM fused kernels), or 'xla'."""
     if impl == "auto":
         impl = "pallas" if dispatch_backend() == "tpu" else "xla"
+    if getattr(config, "act", "quick_gelu") == "gelu" and impl != "xla":
+        # exact-erf gelu (LAION towers) has no Mosaic lowering; the
+        # Pallas/chained int8 paths would either crash (erfc) or
+        # silently run the wrong activation — use the XLA int8 impl
+        impl = "xla"
     if impl in ("pallas", "chained"):
         from ..ops.quant_matmul import quant_matmul_fused
 
@@ -279,7 +284,8 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
                                        interpret=interpret)
             else:
                 ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-                hdn = qmm(ln2, fc, act="quick_gelu")
+                hdn = qmm(ln2, fc,
+                          act=getattr(config, "act", "quick_gelu"))
                 x2 = qmm(hdn, pr, residual=x2)
 
     cls_tok = x2.reshape(b, s, width)[:, 0, :]

@@ -293,8 +293,12 @@ def _matmul_residual_xla(x, w, b, res):
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ln_matmul(x, ln_scale, ln_bias, w, b, activation=None, eps=1e-5):
-    """LN(x) @ w + b (+ optional QuickGELU / tanh-GELU) — fused on TPU."""
-    if dispatch_backend() == "tpu":
+    """LN(x) @ w + b (+ optional activation epilogue) — fused on TPU.
+
+    Exact-erf ``gelu`` takes the XLA path even on TPU: Mosaic has no
+    erf/erfc lowering (probed on hardware — `NotImplementedError:
+    Unimplemented primitive ... erfc`), while XLA lowers Erf natively."""
+    if dispatch_backend() == "tpu" and activation != "gelu":
         return _ln_matmul_pallas(x, ln_scale, ln_bias, w, b, activation, eps)
     return _ln_matmul_xla(x, ln_scale, ln_bias, w, b, activation, eps)
 

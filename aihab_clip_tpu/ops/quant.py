@@ -71,6 +71,8 @@ def quant_dense(
         y = quick_gelu(y)
     elif act == "gelu_tanh":
         y = jax.nn.gelu(y, approximate=True)
+    elif act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
     elif act is not None:
         raise ValueError(f"unknown activation '{act}'")
     return y.astype(out_dtype)

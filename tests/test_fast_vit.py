@@ -381,3 +381,29 @@ def test_gelu_act_full_block_kernel_matches(rng):
     q = run2("quick_gelu")
     assert np.isfinite(g).all()
     assert np.abs(g - q).max() > 1e-5
+
+
+def test_gelu_act_plan_gates_kernels():
+    """Exact-erf gelu has no Mosaic lowering (erfc unimplemented — probed
+    on hardware): the dispatch plan must keep the MLP half and the merged
+    kernel OFF for act='gelu' towers (attention kernels are act-free and
+    stay), and the int8 path must fall back to impl='xla'."""
+    from aihab_clip_tpu.models.fast_vit import _fused_block_plan
+
+    gelu_cfg = CLIPConfig(
+        embed_dim=512, image_resolution=224, vision_layers=32,
+        vision_width=1280, vision_patch_size=14, context_length=77,
+        vocab_size=49408, transformer_width=1024, transformer_heads=16,
+        transformer_layers=24, act="gelu")
+    plan = _fused_block_plan(gelu_cfg, jnp.bfloat16)
+    assert not plan["merge"]
+    assert not plan["mlp_whole"]
+    assert plan["mlp_chunks"] == 0
+    # quick_gelu tower of the same dims keeps its kernels
+    q_cfg = CLIPConfig(
+        embed_dim=512, image_resolution=224, vision_layers=32,
+        vision_width=1280, vision_patch_size=14, context_length=77,
+        vocab_size=49408, transformer_width=1024, transformer_heads=16,
+        transformer_layers=24)
+    qplan = _fused_block_plan(q_cfg, jnp.bfloat16)
+    assert qplan["mlp_whole"] or qplan["mlp_chunks"] > 0
