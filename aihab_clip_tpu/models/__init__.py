@@ -10,6 +10,11 @@ from .convert import (
     save_params_npz,
     torch_state_dict_to_params,
 )
+from .convnext import (
+    ConvNeXtVisionTower,
+    convnext_config_for_name,
+    openclip_convnext_state_dict_to_params,
+)
 from .layers import LayerNorm, quick_gelu
 from .text_head import (
     build_text_head,

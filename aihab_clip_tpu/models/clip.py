@@ -55,10 +55,23 @@ class CLIPConfig:
     # "-quickgelu" tag).  Not inferable from state-dict shapes — set by
     # the arch table / caller.
     act: str = "quick_gelu"
+    # "" = legacy auto (ViT when vision_layers is an int, else
+    # ModifiedResNet); "convnext" selects the ConvNeXt trunk with
+    # vision_layers = stage depths and vision_width = stage-0 dim.
+    vision_tower: str = ""
+    # ConvNeXt head projection: "linear" | "mlp" (open_clip timm_proj)
+    vision_proj: str = "linear"
 
     @property
     def is_vit(self) -> bool:
         return isinstance(self.vision_layers, int)
+
+    @property
+    def tower(self) -> str:
+        """Vision-tower family: 'vit' | 'rn' | 'convnext'."""
+        if self.vision_tower:
+            return self.vision_tower
+        return "vit" if self.is_vit else "rn"
 
     @property
     def vision_heads(self) -> int:
@@ -71,6 +84,8 @@ class CLIPConfig:
     @property
     def vision_preproj_dim(self) -> int:
         """Width of the pre-projection image feature."""
+        if self.tower == "convnext":
+            return self.vision_width * (2 ** (len(self.vision_layers) - 1))
         return self.vision_width if self.is_vit else self.vision_width * 32
 
 
@@ -101,7 +116,13 @@ CLIP_ARCHS: Dict[str, CLIPConfig] = {
     "ViT-bigG/14": CLIPConfig(1280, 224, 48, 1664, 14, 77, 49408, 1280, 20,
                               32, vision_mlp_dim=8192,
                               vision_heads_override=16, act="gelu"),
+    # tiny ConvNeXt for tests (width 16 -> pre-proj dim 128)
+    "TinyConvNeXt": CLIPConfig(32, 32, (1, 1, 1, 1), 16, None, 77, 49408,
+                               64, 1, 2, act="gelu", vision_tower="convnext"),
 }
+# The LAION ConvNeXt tag grid registers itself on import of
+# ``models.convnext`` (models/__init__.py imports it) — the grid lives
+# there to keep all ConvNeXt shape facts in one file.
 
 
 class CLIPModel(nn.Module):
@@ -112,7 +133,17 @@ class CLIPModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        if cfg.is_vit:
+        if cfg.tower == "convnext":
+            from .convnext import ConvNeXtVisionTower
+
+            self.visual = ConvNeXtVisionTower(
+                depths=tuple(cfg.vision_layers),
+                width=cfg.vision_width,
+                output_dim=cfg.embed_dim,
+                proj=cfg.vision_proj,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+        elif cfg.is_vit:
             self.visual = VisionTransformer(
                 input_resolution=cfg.image_resolution,
                 patch_size=cfg.vision_patch_size,

@@ -82,6 +82,12 @@ def torch_state_dict_to_params(
 ) -> Tuple[CLIPConfig, Dict]:
     """Convert a torch CLIP state dict (tensors or ndarrays) to
     (CLIPConfig, flax params dict)."""
+    if any(str(k).startswith("visual.trunk.") for k in state_dict):
+        # open_clip ConvNeXt-CLIP layout (timm trunk + open_clip head)
+        from .convnext import openclip_convnext_state_dict_to_params
+
+        return openclip_convnext_state_dict_to_params(state_dict)
+
     sd: Dict[str, Array] = {}
     for k, v in state_dict.items():
         if k in ("input_resolution", "context_length", "vocab_size"):

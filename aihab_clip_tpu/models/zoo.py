@@ -29,7 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clip import CLIP_ARCHS, CLIPConfig, CLIPModel
-from .convert import (
+from .convnext import register_convnext_archs
+
+register_convnext_archs()  # 'random:convnext_*' resolves via CLIP_ARCHS
+from .convert import (  # noqa: E402
     cast_params,
     load_params_npz,
     save_params_npz,
@@ -211,6 +214,84 @@ def _load_siglip(name: str, dtype, param_dtype, remat: bool, seed: int,
                       params=variables["params"], source="random")
 
 
+def _load_convnext(name: str, dtype, param_dtype, remat: bool, seed: int,
+                   cache_root: Path,
+                   allow_random_fallback: bool = False) -> CLIPBundle:
+    """ConvNeXt-CLIP path (LAION open_clip family): converted-npz cache,
+    then a local HF snapshot's open_clip checkpoint, else a hard error
+    with the snapshot recipe.  Unlike SigLIP there is no tokenizer gate —
+    these checkpoints use the standard CLIP BPE text tower."""
+    from .convnext import (
+        convnext_config_for_name,
+        openclip_convnext_state_dict_to_params,
+    )
+
+    cfg = convnext_config_for_name(name)  # ValueError on unknown variants
+    assert cfg is not None  # caller gated on 'convnext' in the name
+
+    npz = _npz_cache_path(name, cache_root)
+    cfg_path = _config_cache_path(name, cache_root)
+    if npz.is_file() and cfg_path.is_file():
+        ccfg = _load_config(cfg_path)
+        params = cast_params(load_params_npz(npz), param_dtype)
+        model = CLIPModel(ccfg, dtype=dtype, param_dtype=param_dtype,
+                          remat=remat)
+        return CLIPBundle(name=name, config=ccfg, model=model, params=params,
+                          source="npz-cache")
+
+    stripped = name.replace("hf-hub:", "")
+    ckpt = None
+    source = "torch"
+    if os.path.isfile(stripped):
+        ckpt = Path(stripped)
+    elif "/" in stripped:
+        from .convert_hf import find_local_hf_snapshot
+
+        snap = find_local_hf_snapshot(stripped)
+        if snap is not None:
+            for pattern in ("open_clip_pytorch_model.bin", "*.bin", "*.pt"):
+                hits = sorted(snap.glob(pattern))
+                if hits:
+                    ckpt = hits[0]
+                    source = "hf-local"
+                    break
+    if ckpt is not None:
+        import torch
+
+        obj = torch.load(str(ckpt), map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        sd = sd.get("state_dict", sd)
+        ccfg, params = openclip_convnext_state_dict_to_params(
+            sd, resolution=cfg.image_resolution)
+        npz.parent.mkdir(parents=True, exist_ok=True)
+        save_params_npz(npz, params)
+        _save_config(cfg_path, ccfg)
+        model = CLIPModel(ccfg, dtype=dtype, param_dtype=param_dtype,
+                          remat=remat)
+        return CLIPBundle(name=name, config=ccfg, model=model,
+                          params=cast_params(params, param_dtype),
+                          source=source)
+
+    if not name.startswith("random:") and not allow_random_fallback:
+        raise FileNotFoundError(
+            f"No local weights for ConvNeXt-CLIP '{name}'.  "
+            + _snapshot_recipe(
+                stripped if "/" in stripped
+                else f"laion/CLIP-{stripped}-laion2B (or another LAION "
+                     f"'{stripped}' repo)"))
+    if not name.startswith("random:"):
+        warnings.warn(f"No local weights for ConvNeXt '{name}'; "
+                      "using random init")
+    model = CLIPModel(cfg, dtype=dtype, param_dtype=param_dtype, remat=remat)
+    variables = model.init(
+        jax.random.key(seed),
+        jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3)),
+        jnp.zeros((1, cfg.context_length), jnp.int32),
+    )
+    return CLIPBundle(name=name, config=cfg, model=model,
+                      params=variables["params"], source="random")
+
+
 def _sha256(path: Path) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -317,6 +398,15 @@ def load(
         return _load_siglip(name, dtype, param_dtype, remat, seed,
                             allow_random_fallback=allow_random_fallback,
                             require_tokenizer=require_tokenizer)
+
+    # ConvNeXt-CLIP family (LAION open_clip tags / HF repo names).
+    # ``random:<tag>`` resolves through the standard random branch below
+    # (the tag grid registers into CLIP_ARCHS on import).
+    if ("convnext" in plain.lower() and random_cfg is None
+            and not name.startswith("random:")):
+        return _load_convnext(name, dtype, param_dtype, remat, seed,
+                              cache_root,
+                              allow_random_fallback=allow_random_fallback)
 
     # 4) random-init dev model
     if name.startswith("random:"):

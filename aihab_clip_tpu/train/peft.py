@@ -77,6 +77,24 @@ def _rn_group_of(path: Tuple[str, ...], num_stages: int = 4) -> int:
     return 0
 
 
+def _convnext_group_of(path: Tuple[str, ...], depths: Tuple[int, ...]) -> int:
+    """Group index of a ConvNeXt-tower param: 0 = stem, 1..sum(depths) =
+    blocks in depth order (a stage's downsample belongs to its first
+    block's group, matching timm's ``group_matcher`` — the grouping
+    open_clip's ``lock_image_tower`` uses for timm trunks), last = head
+    (head_norm + projection)."""
+    name = path[0]
+    if name.startswith("stage"):                 # stage{s}_block{b}
+        s, b = name[len("stage"):].split("_block")
+        return 1 + sum(depths[:int(s)]) + int(b)
+    if name.startswith(("down_norm_", "down_conv_")):
+        s = int(name.rsplit("_", 1)[-1])
+        return 1 + sum(depths[:s])               # the stage's first block
+    if name.startswith("head_"):
+        return 1 + sum(depths)
+    return 0                                     # stem_conv / stem_norm
+
+
 def _text_group_of(path: Tuple[str, ...], num_layers: int) -> int:
     """0 = embeddings, 1..L = resblocks, L+1 = head (ln_final + projection)."""
     if path[0] == "transformer":
@@ -95,24 +113,37 @@ def build_lock_mask(
     tune_text: bool = False,
     unlocked_text_layers: int = 0,
     is_vit: bool = True,
+    tower: str = "",
 ) -> Dict:
     """Boolean pytree: True = trainable.
 
     ``unlocked_groups`` unlocks the LAST n visual groups (0 = vision fully
     frozen).  ViT groups: stem / L resblocks / head.  RN groups: stem /
-    4 stages / attnpool.  ``tune_text`` with ``unlocked_text_layers``
-    unlocks the last n text groups; tune_text=False freezes the whole
-    text tower.  logit_scale stays frozen (it is unused by the loss).
+    4 stages / attnpool.  ConvNeXt groups (``tower='convnext'``,
+    ``vision_layers`` = the stage-depth tuple): stem / sum(depths) blocks /
+    head.  ``tune_text`` with ``unlocked_text_layers`` unlocks the last n
+    text groups; tune_text=False freezes the whole text tower.
+    logit_scale stays frozen (it is unused by the loss).
     """
-    n_vis_groups = (vision_layers + 2) if is_vit else 6
+    if not tower:
+        tower = "vit" if is_vit else "rn"
+    if tower == "convnext":
+        depths = tuple(vision_layers)
+        n_vis_groups = sum(depths) + 2
+    else:
+        n_vis_groups = (vision_layers + 2) if tower == "vit" else 6
     n_txt_groups = text_layers + 2
     flat = traverse_util.flatten_dict(params)
     mask = {}
     for path in flat:
         top = path[0]
         if top == "visual":
-            g = (_vit_group_of(path[1:], vision_layers) if is_vit
-                 else _rn_group_of(path[1:]))
+            if tower == "convnext":
+                g = _convnext_group_of(path[1:], depths)
+            elif tower == "vit":
+                g = _vit_group_of(path[1:], vision_layers)
+            else:
+                g = _rn_group_of(path[1:])
             mask[path] = g >= (n_vis_groups - unlocked_groups)
         elif top == "text":
             if not tune_text:
@@ -559,15 +590,19 @@ def finetune(
                                  "column/row-sharded)")
         if cfg.fused_prefix != 0:
             cfg = dataclasses.replace(cfg, fused_prefix=0, prefix_quant=False)
+    tower = getattr(ccfg, "vision_tower", "") or (
+        "vit" if ccfg.is_vit else "rn")
     mask = build_lock_mask(
         params,
-        vision_layers=(ccfg.vision_layers if ccfg.is_vit else 0),
+        vision_layers=(ccfg.vision_layers
+                       if (ccfg.is_vit or tower == "convnext") else 0),
         text_layers=ccfg.transformer_layers,
         # LoRA: every base param freezes (adapters are the trainables)
         unlocked_groups=0 if cfg.lora_rank > 0 else unlocked_groups,
         tune_text=cfg.tune_text and cfg.lora_rank == 0,
         unlocked_text_layers=unlocked_text_layers,
         is_vit=ccfg.is_vit,
+        tower=tower,
     )
     if fsdp and cfg.fused_prefix != 0:
         if verbose:

@@ -50,7 +50,25 @@ class ProjectorSpec:
         if is_vit:
             return ProjectorSpec(weight=jnp.asarray(params["visual"]["proj"],
                                                     jnp.float32), bias=None)
-        ap = params["visual"]["attnpool"]["c_proj"]
+        vis = params["visual"]
+        # ConvNeXt linear head: 'head_proj' is the visual projection —
+        # weight trains, bias stays frozen (the RN c_proj convention,
+        # reference `/root/reference/methods/ProLIP.py:15-29`).  The MLP
+        # head ('_d' variants) has no single linear whose input is the
+        # cached pre-projection feature, so projector-only tuning is
+        # undefined there — fail loudly rather than train a mismatched map.
+        if "head_proj" in vis:
+            return ProjectorSpec(
+                weight=jnp.asarray(vis["head_proj"]["kernel"], jnp.float32),
+                bias=jnp.asarray(vis["head_proj"]["bias"], jnp.float32))
+        if "head_fc1" in vis:
+            raise ValueError(
+                "ProLIP projector tuning is undefined for MLP-head ConvNeXt "
+                "variants (convnext_*_d): the projection is a 2-layer MLP, "
+                "not a linear map over the cached pre-projection feature. "
+                "Use a linear-head variant (convnext_base_w / "
+                "convnext_xxlarge) or the PEFT path.")
+        ap = vis["attnpool"]["c_proj"]
         return ProjectorSpec(weight=jnp.asarray(ap["kernel"], jnp.float32),
                              bias=jnp.asarray(ap["bias"], jnp.float32))
 

@@ -1,0 +1,253 @@
+"""ConvNeXt-CLIP family: tower contract, tag parsing, open_clip checkpoint
+conversion, lock-mask grouping, and the PEFT pipeline end-to-end.
+
+The reference reaches this family by forwarding the tag to open_clip
+(`/root/reference/aihab_utils/model_init.py:42-60`); with zero egress and
+no local timm/open_clip, parity here is structural — converter output must
+be tree/shape-identical to the Flax model's own init, and the tag grid's
+dimensions are asserted against the public open_clip config facts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aihab_clip_tpu.models import load
+from aihab_clip_tpu.models.convnext import (
+    convnext_config_for_name,
+    openclip_convnext_state_dict_to_params,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return load("random:TinyConvNeXt")
+
+
+def test_tower_contract(tiny):
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    pre = tiny.model.apply({"params": tiny.params}, x,
+                           method=type(tiny.model).encode_image)
+    assert pre.shape == (2, tiny.config.vision_preproj_dim) == (2, 128)
+    pre2, proj = tiny.model.apply({"params": tiny.params}, x,
+                                  method=type(tiny.model).encode_image,
+                                  project=True)
+    np.testing.assert_allclose(pre, pre2, atol=1e-6)
+    assert proj.shape == (2, tiny.config.embed_dim)
+    assert np.isfinite(np.asarray(proj)).all()
+    # text tower unchanged (standard CLIP BPE tower)
+    toks = jnp.zeros((2, 77), jnp.int32)
+    tpre, tproj = tiny.model.apply({"params": tiny.params}, toks,
+                                   method=type(tiny.model).encode_text)
+    assert tproj.shape == (2, tiny.config.embed_dim)
+
+
+def test_tag_parser_grid():
+    cases = {
+        "convnext_base_w": (640, 256, 128, "linear"),
+        "convnext_base_w_320": (640, 320, 128, "linear"),
+        "convnext_large_d": (768, 256, 192, "mlp"),
+        "hf-hub:laion/CLIP-convnext_large_d_320.laion2B-s29B-b131K-ft-soup":
+            (768, 320, 192, "mlp"),
+        "laion/CLIP-convnext_xxlarge-laion2B-s34B-b82K-augreg":
+            (1024, 256, 384, "linear"),
+        "ConvNeXt-Base-W": (640, 256, 128, "linear"),  # dashed form
+    }
+    for name, (embed, res, width, proj) in cases.items():
+        cfg = convnext_config_for_name(name)
+        assert cfg.embed_dim == embed and cfg.image_resolution == res
+        assert cfg.vision_width == width and cfg.vision_proj == proj
+        assert cfg.tower == "convnext" and cfg.act == "gelu"
+    assert convnext_config_for_name("ViT-B/16") is None
+    with pytest.raises(ValueError, match="Unrecognized ConvNeXt"):
+        convnext_config_for_name("convnext_nano")
+    # xxlarge has the deeper stage-2 (timm convnext_xxlarge depths)
+    assert convnext_config_for_name("convnext_xxlarge").vision_layers == \
+        (3, 4, 30, 3)
+
+
+def _synthetic_openclip_sd(depths=(1, 1, 1, 1), width=16, embed=32,
+                           t_width=64, t_layers=2, proj="linear", seed=0):
+    """A torch-layout open_clip ConvNeXt-CLIP state dict (numpy values)."""
+    rng = np.random.default_rng(seed)
+    r = lambda *s: rng.normal(size=s).astype(np.float32) * 0.02  # noqa: E731
+    sd = {
+        "logit_scale": np.float32(2.659),
+        "positional_embedding": r(77, t_width),
+        "text_projection": r(t_width, embed),
+        "token_embedding.weight": r(512, t_width),  # small vocab for speed
+        "ln_final.weight": r(t_width) + 1, "ln_final.bias": r(t_width),
+        "visual.trunk.stem.0.weight": r(width, 3, 4, 4),
+        "visual.trunk.stem.0.bias": r(width),
+        "visual.trunk.stem.1.weight": r(width) + 1,
+        "visual.trunk.stem.1.bias": r(width),
+    }
+    for li in range(t_layers):
+        p = f"transformer.resblocks.{li}."
+        sd[p + "attn.in_proj_weight"] = r(3 * t_width, t_width)
+        sd[p + "attn.in_proj_bias"] = r(3 * t_width)
+        sd[p + "attn.out_proj.weight"] = r(t_width, t_width)
+        sd[p + "attn.out_proj.bias"] = r(t_width)
+        sd[p + "ln_1.weight"] = r(t_width) + 1
+        sd[p + "ln_1.bias"] = r(t_width)
+        sd[p + "ln_2.weight"] = r(t_width) + 1
+        sd[p + "ln_2.bias"] = r(t_width)
+        sd[p + "mlp.c_fc.weight"] = r(4 * t_width, t_width)
+        sd[p + "mlp.c_fc.bias"] = r(4 * t_width)
+        sd[p + "mlp.c_proj.weight"] = r(t_width, 4 * t_width)
+        sd[p + "mlp.c_proj.bias"] = r(t_width)
+    dims = [width * 2 ** i for i in range(len(depths))]
+    for s, depth in enumerate(depths):
+        sp = f"visual.trunk.stages.{s}."
+        if s:
+            sd[sp + "downsample.0.weight"] = r(dims[s - 1]) + 1
+            sd[sp + "downsample.0.bias"] = r(dims[s - 1])
+            sd[sp + "downsample.1.weight"] = r(dims[s], dims[s - 1], 2, 2)
+            sd[sp + "downsample.1.bias"] = r(dims[s])
+        for b in range(depth):
+            bp = sp + f"blocks.{b}."
+            d = dims[s]
+            sd[bp + "conv_dw.weight"] = r(d, 1, 7, 7)
+            sd[bp + "conv_dw.bias"] = r(d)
+            sd[bp + "norm.weight"] = r(d) + 1
+            sd[bp + "norm.bias"] = r(d)
+            sd[bp + "mlp.fc1.weight"] = r(4 * d, d)
+            sd[bp + "mlp.fc1.bias"] = r(4 * d)
+            sd[bp + "mlp.fc2.weight"] = r(d, 4 * d)
+            sd[bp + "mlp.fc2.bias"] = r(d)
+            sd[bp + "gamma"] = r(d) + 1e-6
+    sd["visual.trunk.head.norm.weight"] = r(dims[-1]) + 1
+    sd["visual.trunk.head.norm.bias"] = r(dims[-1])
+    if proj == "linear":
+        sd["visual.head.proj.weight"] = r(embed, dims[-1])
+        sd["visual.head.proj.bias"] = r(embed)
+    else:
+        sd["visual.head.mlp.fc1.weight"] = r(2 * embed, dims[-1])
+        sd["visual.head.mlp.fc1.bias"] = r(2 * embed)
+        sd["visual.head.mlp.fc2.weight"] = r(embed, 2 * embed)
+        sd["visual.head.mlp.fc2.bias"] = r(embed)
+    return sd
+
+
+@pytest.mark.parametrize("proj", ["linear", "mlp"])
+def test_converter_matches_model_tree(proj):
+    """Converted tree is structure- and shape-identical to model.init's,
+    the inferred config matches, and the converted model runs."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    from aihab_clip_tpu.models import CLIPModel
+
+    sd = _synthetic_openclip_sd(proj=proj)
+    cfg, params = openclip_convnext_state_dict_to_params(sd, resolution=32)
+    assert cfg.tower == "convnext" and cfg.vision_proj == proj
+    assert cfg.vision_layers == (1, 1, 1, 1) and cfg.vision_width == 16
+    assert cfg.embed_dim == 32 and cfg.transformer_layers == 2
+    assert cfg.vocab_size == 512
+
+    model = CLIPModel(cfg)
+    ref = model.init(jax.random.key(0),
+                     jnp.zeros((1, 32, 32, 3)),
+                     jnp.zeros((1, 77), jnp.int32))["params"]
+    flat_ref = traverse_util.flatten_dict(ref)
+    flat_got = traverse_util.flatten_dict(params)
+    assert set(flat_ref) == set(flat_got)
+    for k in flat_ref:
+        assert np.shape(flat_ref[k]) == np.shape(flat_got[k]), k
+
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    pre, y = model.apply({"params": params}, x,
+                         method=CLIPModel.encode_image, project=True)
+    assert y.shape == (2, 32) and np.isfinite(np.asarray(y)).all()
+    del dataclasses
+
+
+def test_torch_converter_dispatches_convnext():
+    from aihab_clip_tpu.models import torch_state_dict_to_params
+
+    cfg, params = torch_state_dict_to_params(_synthetic_openclip_sd())
+    assert cfg.tower == "convnext"
+    assert "stem_conv" in params["visual"]
+
+
+def test_lock_mask_groups(tiny):
+    from flax import traverse_util
+
+    from aihab_clip_tpu.train.peft import build_lock_mask
+
+    depths = tiny.config.vision_layers  # (1, 1, 1, 1) -> 6 groups
+    mk = lambda n: traverse_util.flatten_dict(build_lock_mask(  # noqa: E731
+        tiny.params, vision_layers=depths,
+        text_layers=tiny.config.transformer_layers,
+        unlocked_groups=n, is_vit=False, tower="convnext"))
+
+    m1 = mk(1)  # head only
+    assert all(v == (p[1].startswith("head_"))
+               for p, v in m1.items() if p[0] == "visual")
+    m2 = mk(2)  # + last block (and any downsample feeding it)
+    trainables = {p[1] for p, v in m2.items() if p[0] == "visual" and v}
+    assert trainables == {"head_norm", "head_proj", "stage3_block0",
+                          "down_norm_3", "down_conv_3"}
+    m_all = mk(len(depths) + 2)
+    assert all(v for p, v in m_all.items() if p[0] == "visual")
+    # text stays frozen without tune_text
+    assert not any(v for p, v in m_all.items() if p[0] == "text")
+
+
+def test_prolip_projector_spec(tiny):
+    from aihab_clip_tpu.train.prolip import ProjectorSpec
+
+    spec = ProjectorSpec.from_clip_params(tiny.params, tiny.config.is_vit)
+    assert spec.weight.shape == (128, 32) and spec.bias is not None
+
+    # MLP-head variants refuse projector-only tuning (no linear map over
+    # the cached pre-projection feature exists)
+    cfg, params = openclip_convnext_state_dict_to_params(
+        _synthetic_openclip_sd(proj="mlp"), resolution=32)
+    with pytest.raises(ValueError, match="MLP-head ConvNeXt"):
+        ProjectorSpec.from_clip_params(params, cfg.is_vit)
+
+
+def test_peft_pipeline_convnext(tmp_path):
+    """Runner-level PEFT fine-tune on synthetic data with the ConvNeXt
+    tower (openclip backend), including eval metrics."""
+    from aihab_clip_tpu.config import ConfigNode
+    from aihab_clip_tpu.data import make_synthetic_cs_dataset
+    from aihab_clip_tpu.runner import run
+
+    synth = make_synthetic_cs_dataset(tmp_path, n_train_per_class=4,
+                                      n_test_per_class=2, image_size=48)
+    cfg = ConfigNode({
+        "root_path": str(tmp_path), "dataset": "synth", "seed": 1,
+        "shots": 0, "subset_l3": [], "clip_backend": "openclip",
+        "open_clip_model": "random:TinyConvNeXt", "wandb_project": None,
+        "use_hierarchical_prompts": False,
+        "use_descriptive_prompts": False, "remat": False,
+        "train_epoch": 1, "lr_v": 0.002, "save_features": False,
+        "finetune": {
+            "enabled": True, "tune_text": False, "unlocked_groups": 2,
+            "unlocked_layers": 1, "val_interval": 0, "eval_l2": False,
+            "require_cached_features": False, "save_model": False,
+            "cache_embeddings": False,
+        },
+        "data": {
+            "dataset_paths": synth["dataset_paths"],
+            "index_file_names": synth["index_file_names"],
+            "batch_size": 8, "shuffle": True, "num_workers": 0,
+            "data_split": {"valid_split": 0.25, "split_seed": 42},
+            "use_l2_label": False,
+            "preprocessing": {
+                "resize": 48, "resolution": 32,
+                "augmentations": {"bottom_crop": False, "random_crop": True,
+                                  "flip": False, "rotation": False},
+            },
+        },
+    })
+    result = run(cfg, inspect_only=False)
+    t = result["peft"]["test"]
+    assert t is not None and 0.0 <= t["top1"] <= 1.0
+    assert np.isfinite(t["loss"])
