@@ -49,6 +49,12 @@ def build_server(argv=None):
     p.add_argument("--request_timeout", type=float, default=60.0)
     args = p.parse_args(argv)
 
+    # persistent XLA compile cache: server restarts skip the minutes-long
+    # warmup compile (same policy as the runner; AIHAB_NO_COMPILE_CACHE=1
+    # disables — utils/profiling.enable_compilation_cache logs the state)
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     engine = ClassifierEngine(
         model=args.model, batch_size=args.batch_size, flat=args.flat,
         lora=args.lora, lora_alpha=args.lora_alpha, quantize=args.quantize)

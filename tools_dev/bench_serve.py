@@ -70,7 +70,9 @@ def main():
     args = p.parse_args()
 
     from aihab_clip_tpu.serving import ClassifierEngine, PredictServer
+    from aihab_clip_tpu.utils.profiling import enable_compilation_cache
 
+    enable_compilation_cache()  # warm-cache restarts; logs state to stderr
     blobs = make_jpegs(args.distinct, args.source_px)
 
     engine = ClassifierEngine(model=args.model, batch_size=args.batch_size,
