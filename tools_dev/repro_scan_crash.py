@@ -1,0 +1,156 @@
+"""Bisect the SO400M scan_blocks remote-compile crash (ROADMAP item).
+
+Known state (PERF_NOTES "SO400M FULL train step"): `scan_blocks: true`
+compiles AND step-matches at the image-only SO400M config, but the full
+reference-default step (tune_text ON, unlocked_groups=11, Adam + aug,
+b16@384) crashes the remote Mosaic/XLA compiler (HTTP 500, helper exit 1).
+
+This tool COMPILES (never runs) `make_epoch_scan` across a ladder of
+configs that add one ingredient at a time, so the crash can be pinned to
+an ingredient (or to graph size) and re-probed in one command on
+toolchain updates:
+
+    arm 1: scan, image-only (tune_text off)            -- known good (r1)
+    arm 2: scan, tune_text, TEXT scan suppressed       -- isolates the
+           scanned text tower (vision still scans)
+    arm 3: scan, tune_text, half-depth vision tower    -- graph-size probe
+    arm 4: scan, tune_text, full config                -- known crash (r2)
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH timeout 3000 \
+           python tools_dev/repro_scan_crash.py [--arms 1,2,3,4] [--tiny]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+import traceback
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def compile_arm(tag, model, params, tune_text, prompt_tokens, bs, res_in,
+                groups, t_layers):
+    from aihab_clip_tpu.train.peft import (
+        PEFTConfig,
+        build_lock_mask,
+        make_epoch_scan,
+        partition_params,
+    )
+
+    config = model.config
+    cfg = PEFTConfig(resolution=config.image_resolution, num_classes=20,
+                     lr=5e-5, epochs=1, crop_mode="random", flip=True,
+                     rotation=True, compute_dtype=jnp.bfloat16,
+                     fused_prefix=0, scan_blocks=True, tune_text=tune_text,
+                     num_templates=1)
+    mask = build_lock_mask(params, config.vision_layers,
+                           config.transformer_layers,
+                           unlocked_groups=groups, tune_text=tune_text,
+                           unlocked_text_layers=t_layers)
+    trainable, frozen = partition_params(params, mask)
+    # text_weights only matter when tune_text is off (static head)
+    tw = (None if tune_text
+          else jnp.zeros((config.embed_dim, 20), jnp.float32))
+    opt, epoch_fn = make_epoch_scan(model, cfg, tw,
+                                    prompt_tokens if tune_text else None)
+    opt_state = opt.init(trainable)
+
+    n = 2 * bs
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(n, res_in, res_in, 3),
+                                    dtype=np.uint8))
+    labels = jnp.zeros((n,), jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(2, bs)
+    valid = jnp.ones((2, bs), bool)
+
+    t0 = time.perf_counter()
+    try:
+        lowered = epoch_fn.lower(trainable, frozen, opt_state, imgs, labels,
+                                 idx, valid, jax.random.key(7),
+                                 jnp.float32(cfg.lr))
+        lowered.compile()
+        log(f"  [{tag}] COMPILED in {time.perf_counter() - t0:.0f}s")
+        return "ok"
+    except Exception as e:  # noqa: BLE001 — the crash class varies
+        log(f"  [{tag}] CRASH after {time.perf_counter() - t0:.0f}s: "
+            f"{type(e).__name__}: {str(e)[:300]}")
+        if "--trace" in sys.argv:
+            traceback.print_exc()
+        return f"crash: {type(e).__name__}"
+
+
+def main():
+    from aihab_clip_tpu.models import load
+
+    tiny = "--tiny" in sys.argv
+    arms = [1, 2, 3, 4]
+    if "--arms" in sys.argv:
+        i = sys.argv.index("--arms")
+        arms = [int(x) for x in sys.argv[i + 1].split(",")]
+
+    log(f"device: {jax.devices()[0]}")
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        bundle = load("random:SigLIP-Tiny" if tiny
+                      else "random:ViT-SO400M-16-SigLIP2-384", seed=0,
+                      dtype=jnp.bfloat16)
+    model, params, config = bundle.model, bundle.params, bundle.config
+    bs, groups, t_layers = (4, 1, 1) if tiny else (16, 11, 1)
+    res_in = 64 if tiny else 439
+    rng = np.random.default_rng(1)
+    prompt_tokens = jnp.asarray(rng.integers(
+        0, config.vocab_size, size=(20, config.context_length),
+        dtype=np.int32))
+
+    results = {}
+    if 1 in arms:
+        results[1] = compile_arm("1 image-only scan", model, params, False,
+                                 prompt_tokens, bs, res_in, groups, 0)
+    if 2 in arms:
+        # suppress the TEXT tower's scan: force scan_blocks=False inside
+        # the text-head recompute while the vision tower still scans
+        import aihab_clip_tpu.train.peft as peft_mod
+
+        orig = peft_mod.compute_text_weights
+        peft_mod.compute_text_weights = partial(orig, scan_blocks=False)
+        try:
+            results[2] = compile_arm("2 tune_text, text scan OFF", model,
+                                     params, True, prompt_tokens, bs,
+                                     res_in, groups, t_layers)
+        finally:
+            peft_mod.compute_text_weights = orig
+    if 3 in arms and not tiny:
+        half_cfg = dataclasses.replace(
+            config, vision_layers=config.vision_layers // 2)
+        from aihab_clip_tpu.models.siglip import SigLIPModel
+
+        half_model = SigLIPModel(half_cfg, dtype=jnp.bfloat16)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            half_params = half_model.init(
+                jax.random.key(0),
+                jnp.zeros((1, half_cfg.image_resolution,
+                           half_cfg.image_resolution, 3)),
+                jnp.zeros((1, half_cfg.context_length), jnp.int32),
+            )["params"]
+        results[3] = compile_arm("3 tune_text, half-depth vision",
+                                 half_model, half_params, True,
+                                 prompt_tokens, bs, res_in,
+                                 max(1, groups // 2), t_layers)
+    if 4 in arms:
+        results[4] = compile_arm("4 full config (known crash)", model,
+                                 params, True, prompt_tokens, bs, res_in,
+                                 groups, t_layers)
+    print({f"arm{k}": v for k, v in sorted(results.items())})
+
+
+if __name__ == "__main__":
+    main()
