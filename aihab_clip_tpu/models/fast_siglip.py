@@ -224,31 +224,46 @@ def stack_block_params(vp: Dict, start: int, stop: int) -> Dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def canonical_blocks_scan(x: jax.Array, stacked: Dict, heads: int, dtype):
+def canonical_blocks_scan(x: jax.Array, stacked: Dict, heads: int, dtype,
+                          remat: bool = False):
     """Apply a stack of canonical SigLIP blocks via ``lax.scan`` — the
     same math as the unrolled loop, but the compiled program contains ONE
     block body instead of L copies.  Cuts compile time ~L-fold for deep
     towers (the unrolled canonical SO400M train graph compiled in 1484 s)
     and gives XLA a loop to schedule instead of a 27-block straight-line
-    region; differentiable (scan has a native VJP)."""
+    region; differentiable (scan has a native VJP).
+
+    ``remat=True`` checkpoints the body (recompute-in-backward).  Besides
+    the usual activation-memory saving this is a WORKAROUND for an
+    XLA:TPU compiler crash: grad-of-scan over the SO400M body at
+    [B>=16, S=576, W=1152] kills the compiler subprocess (b8 compiles,
+    b16 crashes; fused OR plain XLA attention; bisected in
+    `tools_dev/repro_scan_crash.py`) — the remat'd backward structure
+    compiles at the same shapes.  Train paths pass remat=True; the
+    forward-only encode paths don't need it (they compile un-remat'd)."""
     def body(h, bp):
         return _canonical_siglip_block(h, bp, heads, dtype), None
 
-    x, _ = jax.lax.scan(body, x, stacked)
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, stacked)
     return x
 
 
 def siglip_encode_scan(params: Dict, images: jax.Array,
                        config: SigLIPConfig, *, project: bool = False,
                        dtype=jnp.bfloat16,
-                       stacked: Optional[Dict] = None):
+                       stacked: Optional[Dict] = None,
+                       remat: bool = False):
     """Canonical SigLIP encode with the block stack under ``lax.scan``
-    (numerically the module tower; see ``canonical_blocks_scan``)."""
+    (numerically the module tower; see ``canonical_blocks_scan``).
+    Pass ``remat=True`` when this encode sits under ``jax.grad`` (train
+    steps) — see the scan-crash workaround note on
+    ``canonical_blocks_scan``."""
     vp = params["visual"]
     if stacked is None:
         stacked = stack_block_params(vp, 0, config.vision_layers)
     x = _siglip_embed(vp, images, config, dtype)
-    x = canonical_blocks_scan(x, stacked, config.vision_heads, dtype)
+    x = canonical_blocks_scan(x, stacked, config.vision_heads, dtype,
+                              remat=remat)
     pooled = _map_pool(vp, x, config, dtype)
     if project:
         return pooled, pooled

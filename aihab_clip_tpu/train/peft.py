@@ -325,8 +325,12 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
         if isinstance(model.config, SigLIPConfig):
             from ..models.fast_siglip import siglip_encode_scan
 
+            # remat=True: train steps differentiate this encode, and
+            # un-remat'd grad-of-scan crashes the XLA:TPU compiler at
+            # SO400M b>=16 shapes (bisected in tools_dev/
+            # repro_scan_crash.py; the remat'd backward compiles)
             return siglip_encode_scan(params, x, model.config, project=True,
-                                      dtype=cfg.compute_dtype)
+                                      dtype=cfg.compute_dtype, remat=True)
         if model.config.is_vit:
             from ..models.fast_vit import vit_encode_scan
 

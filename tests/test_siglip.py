@@ -502,6 +502,39 @@ def test_siglip_scan_grad_matches_unrolled():
             a, b, atol=1e-4, rtol=1e-4), gs, gu)
 
 
+def test_siglip_scan_remat_grad_matches_plain():
+    """The remat'd scan body (the XLA grad-of-scan crash workaround,
+    `tools_dev/repro_scan_crash.py`) is gradient-identical to the plain
+    scan — remat changes the backward's SCHEDULE, never its math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_siglip import (
+        canonical_blocks_scan, stack_block_params)
+
+    bundle = load("random:SigLIP-Tiny", seed=0)
+    cfg = bundle.config
+    rng = np.random.default_rng(2)
+    s = (cfg.image_resolution // cfg.patch_size) ** 2
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.vision_width)),
+                    jnp.float32)
+    stacked = stack_block_params(bundle.params["visual"], 0,
+                                 cfg.vision_layers)
+
+    def loss(stk, remat):
+        h = canonical_blocks_scan(x, stk, cfg.vision_heads, jnp.float32,
+                                  remat=remat)
+        return jnp.sum(jnp.square(h))
+
+    g_plain = jax.grad(lambda s_: loss(s_, False))(stacked)
+    g_remat = jax.grad(lambda s_: loss(s_, True))(stacked)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        g_plain, g_remat)
+
+
 def test_siglip_text_scan_matches_module():
     """scan-over-blocks text encode == unrolled text tower (pre and
     projected)."""
