@@ -152,10 +152,15 @@ def _canonical_clip_block(x, blk, heads: int, dtype, act: str = "quick_gelu"):
 
 def vit_encode_scan(params, images: jax.Array, config: CLIPConfig, *,
                     project: bool = False, dtype=jnp.bfloat16,
-                    stacked=None):
+                    stacked=None, remat: bool = False):
     """Canonical CLIP-ViT encode with the block stack under ``lax.scan``
     (numerically the module tower; one block body in the compiled program
-    instead of L — see ``fast_siglip.canonical_blocks_scan``)."""
+    instead of L — see ``fast_siglip.canonical_blocks_scan``).
+
+    ``remat=True`` checkpoints the scanned body — grad-identical, and the
+    workaround for the XLA:TPU grad-of-scan compiler crash at large
+    [B, S, W] (bisected on the SigLIP tower at [16, 576, 1152];
+    `tools_dev/repro_scan_crash.py`).  Train paths pass remat=True."""
     from .fast_siglip import stack_block_params
 
     vp = params["visual"]
@@ -166,7 +171,7 @@ def vit_encode_scan(params, images: jax.Array, config: CLIPConfig, *,
     def body(h, bp):
         return _canonical_clip_block(h, bp, config.vision_heads, dtype), None
 
-    x, _ = jax.lax.scan(body, x, stacked)
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, stacked)
     pre = _ln(x[:, 0, :], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     if not project:
         return pre

@@ -335,7 +335,7 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
             from ..models.fast_vit import vit_encode_scan
 
             return vit_encode_scan(params, x, model.config, project=True,
-                                   dtype=cfg.compute_dtype)
+                                   dtype=cfg.compute_dtype, remat=True)
         # RN towers have no block stack to scan — canonical module below
     return model.apply({"params": params}, x,
                        method=type(model).encode_image, project=True)

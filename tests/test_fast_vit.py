@@ -297,6 +297,37 @@ def test_vit_encode_scan_matches_module():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_vit_scan_remat_matches_plain():
+    """remat=True on the scanned ViT body (the XLA grad-of-scan crash
+    workaround) is forward- and gradient-identical to remat=False."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aihab_clip_tpu.models import load
+    from aihab_clip_tpu.models.fast_vit import vit_encode_scan
+
+    bundle = load("random:Tiny")
+    cfg = bundle.config
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(
+        (2, cfg.image_resolution, cfg.image_resolution, 3)), jnp.float32)
+
+    def loss(params, remat):
+        pre = vit_encode_scan(params, x, cfg, dtype=jnp.float32,
+                              remat=remat)
+        return jnp.sum(jnp.square(pre))
+
+    v_plain, g_plain = jax.value_and_grad(lambda p: loss(p, False))(
+        bundle.params)
+    v_remat, g_remat = jax.value_and_grad(lambda p: loss(p, True))(
+        bundle.params)
+    np.testing.assert_allclose(v_plain, v_remat, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        g_plain, g_remat)
+
+
 def test_vit_scan_grads_match_module():
     """d(loss)/d(params) through the scanned encode == through the module
     tower (no optimizer amplification; tight tolerance)."""
