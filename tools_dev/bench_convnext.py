@@ -26,15 +26,105 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_components(args):
+    """Localize ConvNeXt step time: time stacks of each block component
+    (depthwise 7x7 / LN / pointwise MLP / full block) at each stage's
+    (spatial, channels) shape.  Same chained-fori_loop methodology."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from aihab_clip_tpu.models.convnext import ConvNeXtBlock
+
+    res, width = 256, 128
+    depths = (3, 3, 27, 3)
+    bs = args.batch
+    reps = 8                                 # blocks per timed stack
+
+    def timed(fn, params, x):
+        # the activation itself is the loop carry (chains the real compute,
+        # defeats hoisting); full-sum fetch defeats channel DCE
+        def body(i, xx):
+            return fn(params, xx)
+        def loop(params, x, n):
+            out = jax.lax.fori_loop(0, n, body, x)
+            return jnp.sum(out.astype(jnp.float32))
+        j = jax.jit(loop, static_argnames="n")
+        float(j(params, x, 2))                  # compile short
+        float(j(params, x, 2 + args.iters))     # compile long (MUST be warm
+        # before timing: a cold remote compile inside the timed window was
+        # the r2 "66 img/s ConvNeXt" artifact)
+        t0 = time.perf_counter(); float(j(params, x, 2))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(j(params, x, 2 + args.iters))
+        t_long = time.perf_counter() - t0
+        return (t_long - t_short) / args.iters / reps * 1e3  # ms/unit
+
+    for s, depth in enumerate(depths):
+        dim = width * 2 ** s
+        sp = res // 4 // 2 ** s
+        x = jnp.zeros((bs, sp, sp, dim), jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+
+        class DWStack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for i in range(reps):
+                    x = nn.Conv(dim, (7, 7), padding="SAME",
+                                feature_group_count=dim, dtype=jnp.bfloat16,
+                                param_dtype=jnp.bfloat16,
+                                name=f"dw{i}")(x)
+                return x
+
+        class MLPStack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for i in range(reps):
+                    h = nn.Dense(4 * dim, dtype=jnp.bfloat16,
+                                 param_dtype=jnp.bfloat16, name=f"a{i}")(x)
+                    h = nn.gelu(h, approximate=False)
+                    x = x + nn.Dense(dim, dtype=jnp.bfloat16,
+                                     param_dtype=jnp.bfloat16,
+                                     name=f"b{i}")(h)
+                return x
+
+        class BlockStack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for i in range(reps):
+                    x = ConvNeXtBlock(dim, dtype=jnp.bfloat16,
+                                      param_dtype=jnp.bfloat16,
+                                      name=f"blk{i}")(x)
+                return x
+
+        row = [f"stage{s} {sp}x{sp}x{dim} (depth {depth}):"]
+        for label, mod in (("dw7x7", DWStack()), ("mlp", MLPStack()),
+                           ("block", BlockStack())):
+            params = mod.init(rng, x)
+            ms = timed(lambda p, xx, m=mod: m.apply(p, xx), params, x)
+            row.append(f"{label} {ms:.3f} ms")
+        print("  ".join(row), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="convnext_base_w")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--components", action="store_true",
+                   help="bench per-stage block components instead of e2e")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip bf16 peak for the MFU figure (v5e measured "
                         "GEMM ceiling, PERF_NOTES.md)")
     args = p.parse_args()
+
+    from aihab_clip_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.components:
+        log(f"device: {jax.devices()[0]}")
+        bench_components(args)
+        return
 
     from aihab_clip_tpu.models import load
     from aihab_clip_tpu.models.fast_vit import encode_image_fastest
@@ -69,8 +159,12 @@ def main():
 
     t0 = time.perf_counter()
     float(bench(params, imgs, 2))
-    log(f"compile+run: {time.perf_counter() - t0:.0f}s")
-    float(bench(params, imgs, args.iters))  # warm
+    log(f"compile+run (short chain): {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    float(bench(params, imgs, 2 + args.iters))  # compile the long chain too
+    log(f"compile+run (long chain): {time.perf_counter() - t0:.0f}s")
+    # timed, warm executions only (a cold remote compile inside the timed
+    # window produced the bogus r2 "66 img/s" ConvNeXt reading)
     t0 = time.perf_counter()
     float(bench(params, imgs, 2 + args.iters))
     t_long = time.perf_counter() - t0
