@@ -79,14 +79,18 @@ def _convert_bn(out: Dict, prefix: Tuple[str, ...], leaf: str, v: Array) -> bool
 
 def torch_state_dict_to_params(
     state_dict: Mapping[str, Any],
+    resolution: int = 0,
 ) -> Tuple[CLIPConfig, Dict]:
     """Convert a torch CLIP state dict (tensors or ndarrays) to
-    (CLIPConfig, flax params dict)."""
+    (CLIPConfig, flax params dict).  ``resolution`` only matters for
+    ConvNeXt checkpoints, whose input size is not inferable from weight
+    shapes (the converter warns and defaults to 256 when omitted)."""
     if any(str(k).startswith("visual.trunk.") for k in state_dict):
         # open_clip ConvNeXt-CLIP layout (timm trunk + open_clip head)
         from .convnext import openclip_convnext_state_dict_to_params
 
-        return openclip_convnext_state_dict_to_params(state_dict)
+        return openclip_convnext_state_dict_to_params(
+            state_dict, resolution=resolution)
 
     sd: Dict[str, Array] = {}
     for k, v in state_dict.items():

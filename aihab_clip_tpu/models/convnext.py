@@ -220,10 +220,12 @@ def convnext_config_from_shapes(shapes: Mapping[str, tuple]):
     t_width = shapes["ln_final.weight"][0]
     t_layers = len({k.split(".")[2] for k in shapes
                     if k.startswith("transformer.resblocks.")})
-    # resolution is not inferable from conv weights (no positional
-    # embedding); the open_clip configs pair each tag with one resolution
-    # — fall back to width-keyed defaults
-    res = {128: 256, 192: 256, 384: 256}.get(int(width), 256)
+    # resolution is NOT inferable from conv weights (no positional
+    # embedding), and the open_clip grid pairs one width with several
+    # resolutions (base=224, base_w=256, *_320=320).  Callers that know
+    # the tag pass resolution= explicitly; here we default to 256 and the
+    # top-level converter warns when nothing overrode it.
+    res = 256
     return CLIPConfig(
         embed_dim=int(embed), image_resolution=res,
         vision_layers=tuple(int(d) for d in depths),
@@ -257,6 +259,15 @@ def openclip_convnext_state_dict_to_params(
         import dataclasses
 
         cfg = dataclasses.replace(cfg, image_resolution=int(resolution))
+    else:
+        import warnings
+
+        warnings.warn(
+            "ConvNeXt checkpoint resolution is not inferable from weights; "
+            f"defaulting to {cfg.image_resolution}px.  Pass resolution= "
+            "(224 for convnext_base, 256 for _w/large_d/xxlarge, 320 for "
+            "*_320 variants) to silence this and evaluate at the trained "
+            "resolution.")
     params: Dict = {}
     vis = ("visual",)
 
@@ -336,6 +347,19 @@ def openclip_convnext_state_dict_to_params(
                  _t(v) if leaf == "weight" else v)
         else:
             raise KeyError(f"Unhandled checkpoint key: {key}")
+
+    # Real open_clip ConvNeXt checkpoints export the head projection with
+    # proj_bias=False (open_clip TimmModel: nn.Linear(..., bias=proj_bias)
+    # and Mlp(..., bias=(True, proj_bias)); no LAION config enables it),
+    # so 'visual.head.proj.bias' / 'visual.head.mlp.fc2.bias' are absent.
+    # The Flax head Dense layers always carry a bias param — zero-fill the
+    # missing ones (numerically identical to bias=False) so model.apply
+    # sees a complete tree.  (ADVICE r2, high.)
+    head = params.get("visual", {})
+    for mod in ("head_proj", "head_fc2"):
+        if mod in head and "bias" not in head[mod]:
+            head[mod]["bias"] = np.zeros(
+                head[mod]["kernel"].shape[-1], dtype=np.float32)
 
     return cfg, params
 

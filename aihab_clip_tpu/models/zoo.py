@@ -226,8 +226,18 @@ def _load_convnext(name: str, dtype, param_dtype, remat: bool, seed: int,
         openclip_convnext_state_dict_to_params,
     )
 
-    cfg = convnext_config_for_name(name)  # ValueError on unknown variants
-    assert cfg is not None  # caller gated on 'convnext' in the name
+    # A checkpoint file path need not embed a known tag — the shape-
+    # inferring converter handles those (resolution then comes from the
+    # converter's default + warning).  Tag parsing (which hard-errors on
+    # unknown 'convnext' variants) is reserved for non-path names.
+    if os.path.isfile(name.replace("hf-hub:", "")):
+        try:
+            cfg = convnext_config_for_name(name)  # path may embed a tag
+        except ValueError:
+            cfg = None  # unknown variant in a path: infer from shapes
+    else:
+        cfg = convnext_config_for_name(name)  # ValueError on unknown variants
+        assert cfg is not None  # caller gated on 'convnext' in the name
 
     npz = _npz_cache_path(name, cache_root)
     cfg_path = _config_cache_path(name, cache_root)
@@ -262,7 +272,7 @@ def _load_convnext(name: str, dtype, param_dtype, remat: bool, seed: int,
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
         sd = sd.get("state_dict", sd)
         ccfg, params = openclip_convnext_state_dict_to_params(
-            sd, resolution=cfg.image_resolution)
+            sd, resolution=cfg.image_resolution if cfg is not None else 0)
         npz.parent.mkdir(parents=True, exist_ok=True)
         save_params_npz(npz, params)
         _save_config(cfg_path, ccfg)

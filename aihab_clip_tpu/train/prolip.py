@@ -58,9 +58,15 @@ class ProjectorSpec:
         # cached pre-projection feature, so projector-only tuning is
         # undefined there — fail loudly rather than train a mismatched map.
         if "head_proj" in vis:
+            # Real open_clip checkpoints export the head with
+            # proj_bias=False; the converter zero-fills the Flax bias, but
+            # tolerate a tree where it is absent entirely.
+            hb = vis["head_proj"].get("bias")
+            w = jnp.asarray(vis["head_proj"]["kernel"], jnp.float32)
             return ProjectorSpec(
-                weight=jnp.asarray(vis["head_proj"]["kernel"], jnp.float32),
-                bias=jnp.asarray(vis["head_proj"]["bias"], jnp.float32))
+                weight=w,
+                bias=(jnp.asarray(hb, jnp.float32) if hb is not None
+                      else jnp.zeros(w.shape[-1], jnp.float32)))
         if "head_fc1" in vis:
             raise ValueError(
                 "ProLIP projector tuning is undefined for MLP-head ConvNeXt "

@@ -120,14 +120,14 @@ def _synthetic_openclip_sd(depths=(1, 1, 1, 1), width=16, embed=32,
             sd[bp + "gamma"] = r(d) + 1e-6
     sd["visual.trunk.head.norm.weight"] = r(dims[-1]) + 1
     sd["visual.trunk.head.norm.bias"] = r(dims[-1])
+    # Real open_clip exports use proj_bias=False: no bias on head.proj /
+    # head.mlp.fc2 (fc1 keeps its bias — Mlp(..., bias=(True, proj_bias))).
     if proj == "linear":
         sd["visual.head.proj.weight"] = r(embed, dims[-1])
-        sd["visual.head.proj.bias"] = r(embed)
     else:
         sd["visual.head.mlp.fc1.weight"] = r(2 * embed, dims[-1])
         sd["visual.head.mlp.fc1.bias"] = r(2 * embed)
         sd["visual.head.mlp.fc2.weight"] = r(embed, 2 * embed)
-        sd["visual.head.mlp.fc2.bias"] = r(embed)
     return sd
 
 
@@ -172,6 +172,27 @@ def test_torch_converter_dispatches_convnext():
     cfg, params = torch_state_dict_to_params(_synthetic_openclip_sd())
     assert cfg.tower == "convnext"
     assert "stem_conv" in params["visual"]
+    # proj_bias=False checkpoints get their head bias zero-filled
+    assert np.all(np.asarray(params["visual"]["head_proj"]["bias"]) == 0)
+
+
+def test_load_checkpoint_path_without_tag(tmp_path):
+    """A checkpoint file whose path embeds no known tag loads through
+    shape inference instead of hard-erroring on tag parsing (ADVICE r2)."""
+    import torch
+
+    ckpt = tmp_path / "my_convnext_ft.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in _synthetic_openclip_sd().items()}, str(ckpt))
+    with pytest.warns(UserWarning, match="resolution is not inferable"):
+        bundle = load(str(ckpt), cache_dir=tmp_path / "zoo")
+    assert bundle.config.tower == "convnext"
+    assert bundle.config.vision_width == 16
+    x = jnp.zeros((1, bundle.config.image_resolution,
+                   bundle.config.image_resolution, 3))
+    pre = bundle.model.apply({"params": bundle.params}, x,
+                             method=type(bundle.model).encode_image)
+    assert np.isfinite(np.asarray(pre)).all()
 
 
 def test_lock_mask_groups(tiny):
