@@ -248,7 +248,7 @@ def config_from_state_dict_shapes(shapes: Dict[str, Tuple[int, ...]]) -> CLIPCon
                   if is_vit else 0)
     text_mlp = mlp_dim_of("transformer", int(transformer_width))
 
-    return CLIPConfig(
+    cfg = CLIPConfig(
         embed_dim=int(embed_dim),
         image_resolution=int(image_resolution),
         vision_layers=(int(vision_layers) if is_vit
@@ -263,3 +263,24 @@ def config_from_state_dict_shapes(shapes: Dict[str, Tuple[int, ...]]) -> CLIPCon
         vision_mlp_dim=vision_mlp,
         text_mlp_dim=text_mlp,
     )
+
+    # Head count and activation are NOT inferable from shapes (the in_proj
+    # weight reshapes the same way for any head count), and the LAION
+    # archs diverge from width//64 (ViT-g/bigG: 16 heads at widths
+    # 1408/1664) and from QuickGELU.  When the inferred shapes exactly
+    # match a registered arch, adopt its overrides so a file-path load of
+    # a real H/g/bigG checkpoint builds the correct attention/activation
+    # instead of a silently wrong width//64-head QuickGELU tower.
+    for arch in CLIP_ARCHS.values():
+        if (arch.vision_heads_override or arch.act != cfg.act) and all(
+                getattr(arch, f) == getattr(cfg, f) for f in (
+                    "embed_dim", "image_resolution", "vision_layers",
+                    "vision_width", "vision_patch_size", "context_length",
+                    "vocab_size", "transformer_width", "transformer_layers",
+                    "vision_mlp_dim", "text_mlp_dim")):
+            import dataclasses
+
+            return dataclasses.replace(
+                cfg, vision_heads_override=arch.vision_heads_override,
+                act=arch.act, transformer_heads=arch.transformer_heads)
+    return cfg

@@ -84,7 +84,18 @@ def torch_state_dict_to_params(
     """Convert a torch CLIP state dict (tensors or ndarrays) to
     (CLIPConfig, flax params dict).  ``resolution`` only matters for
     ConvNeXt checkpoints, whose input size is not inferable from weight
-    shapes (the converter warns and defaults to 256 when omitted)."""
+    shapes (the converter warns and defaults to 256 when omitted).
+
+    Accepts real open_clip export quirks: a DDP ``module.`` key prefix is
+    stripped, and ``attn_mask`` buffers (open_clip registers the causal
+    mask as a persistent buffer; it is reconstructed, not a weight) are
+    dropped."""
+    if state_dict and all(str(k).startswith("module.")
+                          for k in state_dict):
+        state_dict = {str(k)[len("module."):]: v
+                      for k, v in state_dict.items()}
+    state_dict = {k: v for k, v in state_dict.items()
+                  if not str(k).endswith("attn_mask")}
     if any(str(k).startswith("visual.trunk.") for k in state_dict):
         # open_clip ConvNeXt-CLIP layout (timm trunk + open_clip head)
         from .convnext import openclip_convnext_state_dict_to_params

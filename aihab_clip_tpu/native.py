@@ -120,6 +120,19 @@ def _img_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int]
     except AttributeError:
         pass
+    try:  # memory-source entries (serving hot path); absent in stale builds
+        lib.decode_resize_mem.restype = ctypes.c_int
+        lib.decode_resize_mem.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.bulk_decode_resize_mem.restype = ctypes.c_int
+        lib.bulk_decode_resize_mem.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
+    except AttributeError:
+        pass
     return lib
 
 
@@ -169,4 +182,58 @@ def native_bulk_decode_resize(
     else:  # stale binary without the v2 symbol: full-resolution decode
         lib.bulk_decode_resize(blob, len(blob), n, resize_dim, out_p, ok_p,
                                threads)
+    return out, ok.astype(bool)
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def native_mem_decode_available() -> bool:
+    lib = _img_lib()
+    return lib is not None and hasattr(lib, "decode_resize_mem")
+
+
+def native_decode_resize_mem(data: bytes, resize_dim: int,
+                             prescale_min: int = 0) -> Optional[np.ndarray]:
+    """Decode ONE in-memory JPEG -> [R, R, 3] uint8 RGB, or None when the
+    native path is unavailable, the bytes are not a JPEG, or the decode
+    fails (callers fall back to cv2 — undecodable vs unsupported is the
+    caller's distinction to make, both return None here)."""
+    lib = _img_lib()
+    if (lib is None or not hasattr(lib, "decode_resize_mem")
+            or not data.startswith(_JPEG_MAGIC)):
+        return None
+    out = np.empty((resize_dim, resize_dim, 3), np.uint8)
+    rc = lib.decode_resize_mem(
+        data, len(data), resize_dim, int(prescale_min),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 1 else None
+
+
+def native_bulk_decode_resize_mem(
+    blobs: List[bytes], resize_dim: int, num_threads: int = 0,
+    prescale_min: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode+resize a list of in-memory JPEGs in one OpenMP call ->
+    ([N, R, R, 3] uint8 RGB, ok mask [N] bool).  Returns None when the
+    native path is unavailable or ANY blob is not JPEG-magic-framed
+    (mixed-format requests fall back to the per-blob path)."""
+    lib = _img_lib()
+    if (lib is None or not hasattr(lib, "bulk_decode_resize_mem")
+            or not blobs
+            or not all(b.startswith(_JPEG_MAGIC) for b in blobs)):
+        return None
+    n = len(blobs)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    blob = b"".join(blobs)
+    out = np.empty((n, resize_dim, resize_dim, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    cores = os.cpu_count() or 4
+    threads = min(num_threads, cores) if num_threads > 0 else min(32, cores)
+    lib.bulk_decode_resize_mem(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        resize_dim, int(prescale_min),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
     return out, ok.astype(bool)

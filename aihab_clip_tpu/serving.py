@@ -245,10 +245,27 @@ class ClassifierEngine:
     def decode_bytes(self, data: bytes) -> Optional[np.ndarray]:
         """Decode encoded image bytes -> RGB uint8 [decode_dim, decode_dim, 3].
 
-        Returns None on undecodable input.  Same decode+resize contract
-        as the bulk loader's per-file path (`data/bulk_load._decode_resize`)
-        so served predictions match the batch CLI's bit-for-bit.
+        Returns None on undecodable input.  JPEG bytes take the native
+        memory-source decoder (`native/image_pipeline.cpp::decode_resize_mem`
+        — the same RGBX decode + AVX2 fixed-point resize as the bulk
+        loader's file path, which beats the cv2 pair, BENCHMARKS.md host-
+        decode table); non-JPEG formats and missing-native builds fall back
+        to cv2.  Output matches the cv2 path to IDCT variance (p99 = 1
+        pixel level), the same bound the bulk loader's native path carries.
+        Decode+resize contract: `/root/reference/data/dataset.py:117-120`.
+        ``AIHAB_SERVE_DECODE=cv2`` forces the fallback (A/B benchmarking).
         """
+        import os
+
+        from .native import native_decode_resize_mem
+
+        if os.environ.get("AIHAB_SERVE_DECODE") != "cv2":
+            img = native_decode_resize_mem(data, self.decode_dim)
+            if img is not None:
+                return img
+        return self._decode_bytes_cv2(data)
+
+    def _decode_bytes_cv2(self, data: bytes) -> Optional[np.ndarray]:
         import cv2
 
         buf = np.frombuffer(data, np.uint8)
@@ -257,6 +274,24 @@ class ClassifierEngine:
             return None
         img = cv2.resize(img, (self.decode_dim, self.decode_dim))
         return np.ascontiguousarray(img[:, :, ::-1])
+
+    def decode_blobs(self, blobs: List[bytes]) -> List[Optional[np.ndarray]]:
+        """Decode a request's image list; one OpenMP call when every blob
+        is a JPEG (the common serving payload), per-blob fallback otherwise.
+        Returns one [D, D, 3] uint8 array (or None) per input blob."""
+        import os
+
+        from .native import native_bulk_decode_resize_mem
+
+        if len(blobs) > 1 and os.environ.get("AIHAB_SERVE_DECODE") != "cv2":
+            res = native_bulk_decode_resize_mem(blobs, self.decode_dim)
+            if res is not None:
+                out, ok = res
+                # failed entries retry through the per-blob path (cv2 can
+                # sometimes salvage truncated JPEGs libjpeg rejects)
+                return [out[i] if ok[i] else self.decode_bytes(blobs[i])
+                        for i in range(len(blobs))]
+        return [self.decode_bytes(b) for b in blobs]
 
     def decode_file(self, path: str) -> Optional[np.ndarray]:
         from .data.bulk_load import _decode_resize
@@ -519,8 +554,7 @@ class _Handler(BaseHTTPRequestHandler):
                 return
 
             decoded, bad = [], []
-            for i, blob in enumerate(blobs):
-                img = srv.engine.decode_bytes(blob)
+            for i, img in enumerate(srv.engine.decode_blobs(blobs)):
                 if img is None:
                     bad.append(i)
                 else:

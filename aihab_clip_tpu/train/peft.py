@@ -137,7 +137,16 @@ def build_lock_mask(
     mask = {}
     for path in flat:
         top = path[0]
-        if top == "visual":
+        if path[-1] in ("mean", "var"):
+            # FrozenBatchNorm statistics (RN/ConvNeXt towers store them as
+            # params so one tree carries the whole checkpoint).  They are
+            # *inference statistics*, not weights: open_clip's lock keeps
+            # BN buffers untrainable at every unlock depth, and training
+            # them as free parameters would silently de-normalize the
+            # tower.  Unlocked stages train scale/bias over these fixed
+            # stats (see PARITY.md "FrozenBatchNorm PEFT semantics").
+            mask[path] = False
+        elif top == "visual":
             if tower == "convnext":
                 g = _convnext_group_of(path[1:], depths)
             elif tower == "vit":

@@ -47,30 +47,16 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(mgr->jump, 1);
 }
 
-// Decode one JPEG file into an RGB buffer. Returns true on success.
+// Shared decode body: runs AFTER the jpeg source (stdio or memory) is
+// set on an initialized cinfo. The caller owns setjmp/create/destroy.
 //
 // prescale_min > 0 enables DCT-domain scaled decode: the smallest libjpeg
 // m/8 scale whose output keeps BOTH dimensions >= prescale_min is used, so
 // the IDCT runs on fewer coefficients (large sources decode several times
 // faster). The scaled image is then bilinear-resized as usual. 0 = always
 // decode at full resolution (bit-identical to the cv2 fallback path).
-bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h,
-                 int prescale_min) {
-  FILE* f = fopen(path, "rb");
-  if (f == nullptr) return false;
-
-  jpeg_decompress_struct cinfo;
-  ErrMgr jerr;
-  cinfo.err = jpeg_std_error(&jerr.pub);
-  jerr.pub.error_exit = error_exit;
-  if (setjmp(jerr.jump)) {
-    jpeg_destroy_decompress(&cinfo);
-    fclose(f);
-    return false;
-  }
-
-  jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+void decode_body(jpeg_decompress_struct& cinfo, std::vector<uint8_t>& rgb,
+                 int& w, int& h, int prescale_min) {
   jpeg_read_header(&cinfo, TRUE);
   // RGBX (4 B/px) when libjpeg-turbo extensions exist: every pixel is one
   // aligned dword, which the AVX2 resize gathers directly; the RGB channel
@@ -118,8 +104,53 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h,
     jpeg_read_scanlines(&cinfo, rows, n);
   }
   jpeg_finish_decompress(&cinfo);
+}
+
+// Decode one JPEG file into an RGB(X) buffer. Returns true on success.
+bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h,
+                 int prescale_min) {
+  FILE* f = fopen(path, "rb");
+  if (f == nullptr) return false;
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  decode_body(cinfo, rgb, w, h, prescale_min);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
+  return true;
+}
+
+// Decode one in-memory JPEG (jpeg_mem_src) into an RGB(X) buffer — the
+// serving hot path, where request images arrive as bytes, not files.
+bool decode_jpeg_from_mem(const uint8_t* data, size_t len,
+                          std::vector<uint8_t>& rgb, int& w, int& h,
+                          int prescale_min) {
+  if (data == nullptr || len == 0) return false;
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  decode_body(cinfo, rgb, w, h, prescale_min);
+  jpeg_destroy_decompress(&cinfo);
   return true;
 }
 
@@ -427,6 +458,55 @@ int bulk_decode_resize(const char* paths_blob, int64_t blob_len, int n,
                        int num_threads) {
   return bulk_decode_resize2(paths_blob, blob_len, n, resize_dim, 0, out, ok,
                              num_threads);
+}
+
+// Decode+resize ONE in-memory JPEG into out [resize_dim, resize_dim, 3]
+// (RGB uint8, preallocated). Returns 1 on success, 0 on undecodable input.
+// The serving counterpart of the file-path entries above — replaces the
+// cv2.imdecode+cv2.resize pair in the request hot path with the same
+// fixed-point resize the bulk loader uses.
+int decode_resize_mem(const uint8_t* data, int64_t len, int resize_dim,
+                      int prescale_min, uint8_t* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg_from_mem(data, static_cast<size_t>(len), rgb, w, h,
+                            prescale_min))
+    return 0;
+  resize_bilinear(rgb.data(), w, h, out, resize_dim, resize_dim);
+  return 1;
+}
+
+// Decode+resize n concatenated in-memory JPEGs. blob holds the images
+// back to back; offsets[n+1] frames them (image i spans
+// [offsets[i], offsets[i+1])). out is [n, resize_dim, resize_dim, 3]
+// uint8 preallocated; ok[i] set 1 on success. Returns the success count.
+// OpenMP-parallel over images — one call decodes a whole serving batch.
+int bulk_decode_resize_mem(const uint8_t* blob, const int64_t* offsets,
+                           int n, int resize_dim, int prescale_min,
+                           uint8_t* out, uint8_t* ok, int num_threads) {
+  const size_t img_bytes =
+      static_cast<size_t>(resize_dim) * resize_dim * 3;
+  int n_ok = 0;
+
+#pragma omp parallel for schedule(dynamic) num_threads(num_threads) \
+    reduction(+ : n_ok)
+  for (int i = 0; i < n; ++i) {
+    std::vector<uint8_t> rgb;
+    int w = 0, h = 0;
+    const int64_t lo = offsets[i], hi = offsets[i + 1];
+    if (hi > lo &&
+        decode_jpeg_from_mem(blob + lo, static_cast<size_t>(hi - lo), rgb,
+                             w, h, prescale_min)) {
+      resize_bilinear(rgb.data(), w, h, out + img_bytes * i, resize_dim,
+                      resize_dim);
+      ok[i] = 1;
+      n_ok += 1;
+    } else {
+      ok[i] = 0;
+      memset(out + img_bytes * i, 0, img_bytes);
+    }
+  }
+  return n_ok;
 }
 
 }  // extern "C"

@@ -138,3 +138,65 @@ def test_native_bulk_decode_bad_file(tmp_path):
     out, ok = native.native_bulk_decode_resize([str(bad)], 16)
     assert not ok[0]
     assert (out[0] == 0).all()
+
+
+def test_native_mem_decode_matches_file_decode(tmp_path, rng):
+    """The memory-source decode (serving hot path) is byte-identical to
+    the file-path decode of the same JPEG bytes."""
+    if not native.native_mem_decode_available():
+        pytest.skip("mem-decode entry not built")
+    import cv2
+
+    img = rng.integers(0, 256, size=(77, 103, 3), dtype=np.uint8)
+    p = tmp_path / "img.jpg"
+    cv2.imwrite(str(p), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 92])
+    blob = p.read_bytes()
+
+    from_file, ok = native.native_bulk_decode_resize([str(p)], 48)
+    assert ok.all()
+    from_mem = native.native_decode_resize_mem(blob, 48)
+    assert from_mem is not None
+    np.testing.assert_array_equal(from_mem, from_file[0])
+
+    # prescale threads through identically
+    f2, _ = native.native_bulk_decode_resize([str(p)], 48, prescale_min=96)
+    m2 = native.native_decode_resize_mem(blob, 48, prescale_min=96)
+    np.testing.assert_array_equal(m2, f2[0])
+
+    # non-JPEG bytes: None (caller falls back), not a crash
+    assert native.native_decode_resize_mem(b"PNG...not-jpeg", 48) is None
+    assert native.native_decode_resize_mem(b"\xff\xd8\xff corrupt", 48) is None
+
+
+def test_native_bulk_mem_decode(tmp_path, rng):
+    """Batched memory decode: framing by offsets, per-image ok mask."""
+    if not native.native_mem_decode_available():
+        pytest.skip("mem-decode entry not built")
+    import cv2
+
+    blobs, imgs = [], []
+    for i in range(5):
+        img = rng.integers(0, 256, size=(50 + 7 * i, 66, 3), dtype=np.uint8)
+        p = tmp_path / f"m{i}.jpg"
+        cv2.imwrite(str(p), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 90])
+        blobs.append(p.read_bytes())
+        imgs.append(img)
+
+    out, ok = native.native_bulk_decode_resize_mem(blobs, 32)
+    assert ok.all() and out.shape == (5, 32, 32, 3)
+    for i, b in enumerate(blobs):
+        single = native.native_decode_resize_mem(b, 32)
+        np.testing.assert_array_equal(out[i], single)
+
+    # a corrupt middle blob fails alone (others still decode) — the bulk
+    # entry is only invoked when every blob is JPEG-magic-framed
+    corrupt = blobs[0][:40]  # magic ok, truncated body
+    out2, ok2 = native.native_bulk_decode_resize_mem(
+        [blobs[0], corrupt, blobs[2]], 32)
+    assert ok2.tolist() == [True, False, True]
+    assert (out2[1] == 0).all()
+    np.testing.assert_array_equal(out2[0], out[0])
+
+    # mixed formats -> None (caller falls back per blob)
+    assert native.native_bulk_decode_resize_mem(
+        [blobs[0], b"not jpeg"], 32) is None

@@ -231,8 +231,34 @@ def test_rn_lock_mask_stagewise(rn_bundle):
                                 unlocked_groups=6, is_vit=False)
     flat = traverse_util.flatten_dict(mask_full)
     vis = {k: v for k, v in flat.items() if k[0] == "visual"}
-    assert all(vis.values())  # full unlock trains the whole tower
+    # full unlock trains the whole tower EXCEPT the BatchNorm statistics
+    # (inference stats, never weights — PARITY.md "FrozenBatchNorm PEFT
+    # semantics")
+    assert all(v for k, v in vis.items() if k[-1] not in ("mean", "var"))
+    assert not any(v for k, v in vis.items() if k[-1] in ("mean", "var"))
     assert not any(v for k, v in flat.items() if k[0] != "visual")
+
+
+def test_rn_unlocked_stage_keeps_bn_stats_frozen(rn_bundle):
+    """Unlocking RN stages trains scale/bias over FIXED inference
+    statistics: mean/var leaves are never marked trainable at any unlock
+    depth (the open_clip lock semantic; VERDICT r2 weak #6)."""
+    for groups in (1, 2, 4, 6):
+        mask = build_lock_mask(rn_bundle.params, 0,
+                               RN_TINY.transformer_layers,
+                               unlocked_groups=groups, is_vit=False)
+        flat = traverse_util.flatten_dict(mask)
+        stats = {k: v for k, v in flat.items()
+                 if k[-1] in ("mean", "var")}
+        assert stats, "RN tower must expose BN statistic leaves"
+        assert not any(stats.values()), (
+            f"BN stats marked trainable at unlocked_groups={groups}")
+        # while the same stages' affine params DO train at full unlock
+        if groups == 6:
+            affine = [v for k, v in flat.items()
+                      if k[0] == "visual" and k[-1] in ("scale", "bias")
+                      and k[1].startswith("bn")]
+            assert affine and all(affine)
 
 
 @pytest.mark.slow

@@ -176,6 +176,39 @@ def test_predict_matches_engine_directly(server):
         assert direct[label] == pytest.approx(prob, abs=1e-5)
 
 
+def test_decode_bytes_native_path(server):
+    """JPEG requests take the native memory decoder; its output stays
+    within IDCT variance of the cv2 fallback, and decode_blobs agrees
+    with per-blob decode_bytes."""
+    from aihab_clip_tpu.native import native_mem_decode_available
+
+    eng = server.engine
+    rng = np.random.default_rng(7)
+    blobs = [_jpeg_bytes(rng, size=40 + 8 * i) for i in range(3)]
+
+    via_engine = eng.decode_bytes(blobs[0])
+    via_cv2 = eng._decode_bytes_cv2(blobs[0])
+    assert via_engine is not None and via_engine.shape == via_cv2.shape
+    diff = np.abs(via_engine.astype(int) - via_cv2.astype(int))
+    assert diff.mean() < 2.0 and np.percentile(diff, 99) <= 12
+
+    if native_mem_decode_available():
+        from aihab_clip_tpu.native import native_decode_resize_mem
+
+        native_img = native_decode_resize_mem(blobs[0], eng.decode_dim)
+        np.testing.assert_array_equal(via_engine, native_img)
+
+    batch = eng.decode_blobs(blobs)
+    assert len(batch) == 3
+    for one, many in zip((eng.decode_bytes(b) for b in blobs), batch):
+        np.testing.assert_array_equal(one, many)
+
+    # a corrupt blob in the middle: others decode, it returns None
+    mixed = eng.decode_blobs([blobs[0], b"garbage", blobs[2]])
+    assert mixed[1] is None
+    np.testing.assert_array_equal(mixed[0], batch[0])
+
+
 def test_predict_bad_inputs(server):
     port = server.server_port
     # undecodable image -> per-image error, not a failed request

@@ -67,7 +67,14 @@ def main():
                    help="synthetic source size (CS camera fixture = 439)")
     p.add_argument("--distinct", type=int, default=64,
                    help="distinct JPEGs to cycle through")
+    p.add_argument("--decode", default="native", choices=["native", "cv2"],
+                   help="host decode path (cv2 forces the fallback for A/B)")
     args = p.parse_args()
+
+    if args.decode == "cv2":
+        import os
+
+        os.environ["AIHAB_SERVE_DECODE"] = "cv2"
 
     from aihab_clip_tpu.serving import ClassifierEngine, PredictServer
     from aihab_clip_tpu.utils.profiling import enable_compilation_cache
@@ -116,6 +123,7 @@ def main():
     lat_s = sorted(lat[1:]) or lat
     result = {
         "model": args.model,
+        "decode": args.decode,
         "quantize": args.quantize,
         "batch_size": args.batch_size,
         "clients": args.clients,
