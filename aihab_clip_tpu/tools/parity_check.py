@@ -354,6 +354,11 @@ def main():
     p.add_argument("--parity_md", default=None,
                    help="append the report as a markdown section to this "
                         "file (e.g. PARITY.md)")
+    p.add_argument("--train", action="store_true",
+                   help="also run TRAINING parity: fixed-seed ProLIP "
+                        "(cache -> 7x7 search -> train -> test acc) and a "
+                        "short PEFT run, the reference's own code as a "
+                        "torch oracle (tools/train_parity.py)")
     args = p.parse_args()
     if not REF_MODEL_PATH.is_file():
         sys.exit("reference implementation not available")
@@ -362,7 +367,16 @@ def main():
                         random_arch=args.random_arch, weights=args.weights,
                         check_int8=args.check_int8 or bool(args.weights),
                         parity_md=args.parity_md)
-    if not report["gate_pass"]:
+    ok = report["gate_pass"]
+    if args.train:
+        from .train_parity import run_train_parity
+
+        train_report = run_train_parity(
+            args.backbone, args.random or args.weights is None,
+            args.random_arch, weights=args.weights,
+            resolution=args.resolution, parity_md=args.parity_md)
+        ok = ok and train_report["gate_pass"]
+    if not ok:
         sys.exit(1)
 
 
