@@ -761,6 +761,31 @@ def finetune(
 
             trainable = shard_params(mesh, trainable, fsdp=fsdp)
             frozen = shard_params(mesh, frozen, fsdp=fsdp)
+            if "opt_state" in restored:
+                # the checkpoint restore can land leaves on the default
+                # device; re-place them to match a freshly initialized
+                # state over the (re-sharded) trainable — without this a
+                # multi-process resume feeds the jitted step a
+                # device-0-only Adam state next to globally sharded
+                # params ("incompatible devices", caught by
+                # tests/test_multiprocess_distributed.py elastic test)
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
+                rep = NamedSharding(mesh, _P())
+                ref = opt.init(trainable)
+
+                def _replace(a, r):
+                    if not isinstance(r, jax.Array):
+                        return a
+                    # mesh-placed template leaves (Adam moments) keep
+                    # their placement; scalar leaves (count) are fresh
+                    # uncommitted arrays in a normal init — replicate
+                    sh = (r.sharding if isinstance(r.sharding,
+                                                   NamedSharding) else rep)
+                    return jax.device_put(np.asarray(a), sh)
+
+                opt_state = jax.tree.map(_replace, opt_state, ref)
         start_epoch = int(restored["meta"].get("epoch", 0))
         if verbose:
             print(f"[resume] restored epoch {start_epoch} "

@@ -24,6 +24,31 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight tier (pipeline parity, multiprocess, e2e "
+        "trainings).  Excluded from the default run; `--runslow` runs "
+        "everything, `-m slow` runs only this tier.")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier too (full suite)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # the default `pytest tests/` run is the sub-10-minute tier; any
+    # explicit -m expression (e.g. `-m slow`, `-m "not slow"`) takes over
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_backend():
     assert jax.devices()[0].platform == "cpu", (

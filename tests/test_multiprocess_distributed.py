@@ -21,13 +21,24 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # multiprocess tier (see conftest)
+
 WORKER = Path(__file__).with_name("distributed_worker.py")
+TP_WORKER = Path(__file__).with_name("tp_worker.py")
+ELASTIC_WORKER = Path(__file__).with_name("elastic_worker.py")
 
 
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = str(WORKER.parent.parent)
+    return env
 
 
 @pytest.fixture(scope="module")
@@ -128,3 +139,170 @@ def test_dp_step_parity_with_single_process(worker_results):
 
     for r in worker_results:
         assert r["loss"] == pytest.approx(ref_loss, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 4-process 2x2 (data x model): tensor parallelism ACROSS processes
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tp_results(tmp_path_factory):
+    workdir = tmp_path_factory.mktemp("tp")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(TP_WORKER), str(i), "4", str(port),
+             str(workdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=_worker_env())
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"tp worker {i} failed:\n{out[-4000:]}"
+    return [json.loads((workdir / f"tp_result{i}.json").read_text())
+            for i in range(4)]
+
+
+def test_four_process_2x2_topology(tp_results):
+    """4 processes x 1 device, mesh (data=2, model=2): the model axis
+    spans process boundaries — column/row-sharded weights live on
+    DIFFERENT processes and the step's TP collectives cross them."""
+    for i, r in enumerate(tp_results):
+        assert r["process_id"] == i
+        assert r["process_count"] == 4
+        assert r["global_devices"] == 4
+        assert r["mesh_shape"] == [2, 2]
+        assert r["tp_sharded"]
+        assert r["qkv_local_cols"] * 2 == r["qkv_global_cols"]
+
+
+def test_four_process_2x2_step_parity(tp_results):
+    """The cross-process DPxTP step loss equals this process's own
+    single-process (data=2, model=2) run on the identical batch."""
+    import jax.numpy as jnp
+
+    from aihab_clip_tpu.models import CLIPConfig, load
+    from aihab_clip_tpu.parallel import make_mesh, shard_batch, shard_params
+    from aihab_clip_tpu.train.peft import (
+        PEFTConfig,
+        build_lock_mask,
+        make_train_step,
+        partition_params,
+    )
+
+    tiny = CLIPConfig(
+        embed_dim=64, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=128, transformer_heads=2, transformer_layers=2)
+    bundle = load("random:dryrun-mp", random_cfg=tiny, seed=0)
+
+    mesh = make_mesh(jax.devices()[:4], model_parallel=2)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(16, 48, 48, 3), dtype=np.uint8)
+    labels = rng.integers(0, 20, size=16).astype(np.int32)
+    valid = np.ones(16, bool)
+    with jax.set_mesh(mesh):
+        params = shard_params(mesh, bundle.params)
+        mask = build_lock_mask(params, tiny.vision_layers,
+                               tiny.transformer_layers, unlocked_groups=2)
+        trainable, frozen = partition_params(params, mask)
+        text_w = np.eye(tiny.embed_dim, 20, dtype=np.float32)
+        cfg = PEFTConfig(resolution=32, num_classes=20, lr=1e-3, epochs=1,
+                         crop_mode="random", flip=True)
+        opt, step = make_train_step(bundle.model, cfg, jnp.asarray(text_w),
+                                    None)
+        b = shard_batch(mesh, images, labels, valid)
+        _, _, metrics = step(trainable, frozen, opt.init(trainable),
+                             *b, jax.random.key(0), 1e-3)
+        ref_loss = float(metrics["loss"])
+
+    for r in tp_results:
+        assert r["loss"] == pytest.approx(ref_loss, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Elastic recovery: kill a training process, restart, resume bit-identically
+# ---------------------------------------------------------------------------
+
+def _run_elastic(workdir, mode, resume_path=None, die=False):
+    port = _free_port()
+    argv = lambda i: ([sys.executable, str(ELASTIC_WORKER), str(i), "2",
+                       str(port), str(workdir), mode]
+                      + ([resume_path] if resume_path else []))
+    procs = [subprocess.Popen(argv(i), stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True,
+                              env=_worker_env())
+             for i in range(2)]
+    if not die:
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"{mode} worker {i}:\n{out[-4000:]}"
+        return
+
+    # fault injection: worker 1 hard-kills itself mid-epoch-3 (exit 137);
+    # worker 0 is left stranded in a cross-process collective — kill it
+    # by PID exactly as a pod scheduler would reap a wedged host
+    try:
+        procs[1].communicate(timeout=600)
+    except subprocess.TimeoutExpired:
+        procs[1].kill()
+        procs[1].communicate()
+    assert procs[1].returncode == 137, (
+        f"worker 1 should have died with os._exit(137), got "
+        f"{procs[1].returncode}")
+    try:
+        procs[0].communicate(timeout=30)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        procs[0].communicate()
+
+
+def test_elastic_recovery_across_processes(tmp_path):
+    """Kill one of two distributed training processes mid-epoch, restart
+    both, resume from the last durable checkpoint: the final params are
+    BITWISE identical to a run that never died."""
+    from aihab_clip_tpu.data import make_synthetic_cs_dataset
+
+    synth = make_synthetic_cs_dataset(tmp_path, n_train_per_class=4,
+                                      n_test_per_class=2, image_size=40)
+    (tmp_path / "synth.json").write_text(json.dumps(
+        {"dataset_paths": synth["dataset_paths"],
+         "index_file_names": synth["index_file_names"]}))
+
+    _run_elastic(tmp_path, "full")
+    assert (tmp_path / "full_final.npz").is_file()
+
+    _run_elastic(tmp_path, "die", die=True)
+    # both processes recorded the epoch-2 checkpoint as durable
+    paths = []
+    for i in range(2):
+        lines = [json.loads(ln) for ln in
+                 (tmp_path / f"progress{i}.jsonl").read_text().splitlines()]
+        done = {e["epoch"]: e["path"] for e in lines}
+        assert 2 in done, f"proc {i} never checkpointed epoch 2: {done}"
+        paths.append(done[2])
+    assert paths[0] == paths[1]
+
+    _run_elastic(tmp_path, "resume", resume_path=paths[0])
+    assert (tmp_path / "resume_final.npz").is_file()
+
+    full = np.load(tmp_path / "full_final.npz")
+    resumed = np.load(tmp_path / "resume_final.npz")
+    assert set(full.files) == set(resumed.files)
+    for k in full.files:
+        np.testing.assert_array_equal(full[k], resumed[k], err_msg=k)
