@@ -228,9 +228,13 @@ def load_folders(
             ip = fp / idx_name
             st = ip.stat() if ip.is_file() else None
             content.append([st.st_size, st.st_mtime_ns] if st else None)
+        # "v2": the prescale scale-selection changed (SIMD-fast m only,
+        # r3) — pixel values differ for 2x..4x sources, so keyed caches
+        # from the old rule must not be reused
         key = hashlib.sha1(json.dumps(
             [list(map(str, folder_paths)), list(index_file_names),
-             resize_dim, channel_order, bool(prescale), content]).encode()
+             resize_dim, channel_order,
+             "prescale_v2" if prescale else False, content]).encode()
         ).hexdigest()[:16]
         cpath = Path(cache_dir) / f"bulk_{key}"
         if (cpath / "images.npy").is_file():

@@ -47,17 +47,6 @@ import numpy as np
 
 from .backend import dispatch_backend
 
-__all__ = [
-    "ClassifierEngine",
-    "DynamicBatcher",
-    "PredictServer",
-    "ServerStats",
-]
-
-
-# ---------------------------------------------------------------------------
-# engine
-
 
 class ClassifierEngine:
     """Load-once, compile-once image classifier.
@@ -245,22 +234,23 @@ class ClassifierEngine:
     def decode_bytes(self, data: bytes) -> Optional[np.ndarray]:
         """Decode encoded image bytes -> RGB uint8 [decode_dim, decode_dim, 3].
 
-        Returns None on undecodable input.  JPEG bytes take the native
-        memory-source decoder (`native/image_pipeline.cpp::decode_resize_mem`
-        — the same RGBX decode + AVX2 fixed-point resize as the bulk
-        loader's file path, which beats the cv2 pair, BENCHMARKS.md host-
-        decode table); non-JPEG formats and missing-native builds fall back
-        to cv2.  Output matches the cv2 path to IDCT variance (p99 = 1
-        pixel level), the same bound the bulk loader's native path carries.
-        Decode+resize contract: `/root/reference/data/dataset.py:117-120`.
-        ``AIHAB_SERVE_DECODE=cv2`` forces the fallback (A/B benchmarking).
+        Returns None on undecodable input.  Camera-size JPEGs take the
+        native memory-source decoder with DCT prescale
+        (`native/image_pipeline.cpp::decode_resize_mem`, the bulk
+        loader's decode contract); small sources, non-JPEG formats and
+        missing-native builds use cv2.  Outputs match the cv2 pair to
+        IDCT variance on the full-res path and to the bulk CLI bit-for-
+        bit on the prescale path.  Decode+resize contract:
+        `/root/reference/data/dataset.py:117-120`.
+        ``AIHAB_SERVE_DECODE=cv2|native`` forces one path (A/B).
         """
         import os
 
         from .native import native_decode_resize_mem
 
         if os.environ.get("AIHAB_SERVE_DECODE") != "cv2":
-            img = native_decode_resize_mem(data, self.decode_dim)
+            img = native_decode_resize_mem(data, self.decode_dim,
+                                           prescale_min=2 * self.decode_dim)
             if img is not None:
                 return img
         return self._decode_bytes_cv2(data)
@@ -277,14 +267,16 @@ class ClassifierEngine:
 
     def decode_blobs(self, blobs: List[bytes]) -> List[Optional[np.ndarray]]:
         """Decode a request's image list; one OpenMP call when every blob
-        is a JPEG (the common serving payload), per-blob fallback otherwise.
-        Returns one [D, D, 3] uint8 array (or None) per input blob."""
+        is a camera-size JPEG (the common serving payload), per-blob
+        size-routed fallback otherwise.  Returns one [D, D, 3] uint8
+        array (or None) per input blob."""
         import os
 
         from .native import native_bulk_decode_resize_mem
 
         if len(blobs) > 1 and os.environ.get("AIHAB_SERVE_DECODE") != "cv2":
-            res = native_bulk_decode_resize_mem(blobs, self.decode_dim)
+            res = native_bulk_decode_resize_mem(
+                blobs, self.decode_dim, prescale_min=2 * self.decode_dim)
             if res is not None:
                 out, ok = res
                 # failed entries retry through the per-blob path (cv2 can

@@ -67,11 +67,15 @@ void decode_body(jpeg_decompress_struct& cinfo, std::vector<uint8_t>& rgb,
   cinfo.out_color_space = JCS_RGB;
 #endif
   if (prescale_min > 0) {
-    // smallest m in 1..8 keeping ceil(dim*m/8) >= prescale_min for both
-    // dims; if the source is already smaller than prescale_min this stays
-    // at 8/8 (full resolution, unchanged output).
+    // smallest SIMD-fast m in {1, 2, 4} keeping ceil(dim*m/8) >=
+    // prescale_min for both dims, else 8/8 (full resolution, unchanged
+    // output).  Intermediate ratios (3/8..7/8) route libjpeg-turbo to
+    // its SCALAR scaled-IDCT (only 1x1/2x2/4x4/8x8 have SIMD kernels)
+    // and measured SLOWER than full-res SIMD decode: 66 vs 84 img/s at
+    // 1317px -> 439 where the old smallest-any-m rule picked 6/8 (r3).
     unsigned int m = 8;
-    for (unsigned int c = 1; c < 8; ++c) {
+    const unsigned int kFast[] = {1, 2, 4};
+    for (unsigned int c : kFast) {
       const unsigned long sw = (cinfo.image_width * c + 7) / 8;
       const unsigned long sh = (cinfo.image_height * c + 7) / 8;
       if (sw >= static_cast<unsigned long>(prescale_min) &&

@@ -67,14 +67,17 @@ def main():
                    help="synthetic source size (CS camera fixture = 439)")
     p.add_argument("--distinct", type=int, default=64,
                    help="distinct JPEGs to cycle through")
-    p.add_argument("--decode", default="native", choices=["native", "cv2"],
-                   help="host decode path (cv2 forces the fallback for A/B)")
+    p.add_argument("--decode", default="auto",
+                   choices=["auto", "native", "cv2"],
+                   help="host decode path: auto = size-routed dispatch "
+                        "(the production default), native/cv2 force one "
+                        "path for A/B")
     args = p.parse_args()
 
-    if args.decode == "cv2":
+    if args.decode != "auto":
         import os
 
-        os.environ["AIHAB_SERVE_DECODE"] = "cv2"
+        os.environ["AIHAB_SERVE_DECODE"] = args.decode
 
     from aihab_clip_tpu.serving import ClassifierEngine, PredictServer
     from aihab_clip_tpu.utils.profiling import enable_compilation_cache
