@@ -209,6 +209,16 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
             return vit_encode_block_fused_sharded(
                 params, x, config, mesh, project=project, dtype=x.dtype)
+    if (on_tpu and isinstance(config, CLIPConfig)
+            and getattr(config, "vision_tower", "") == "convnext"
+            and mesh is None):
+        # ConvNeXt: convs stay canonical XLA, every block's MLP half runs
+        # the fused VMEM-resident kernel (HBM-bound through XLA —
+        # BENCHMARKS.md "ConvNeXt-CLIP encode")
+        from .fast_convnext import convnext_encode_fused
+
+        return convnext_encode_fused(params, x, config, project=project,
+                                     dtype=x.dtype)
     if on_tpu and isinstance(config, SigLIPConfig):
         from .fast_siglip import siglip_encode_fast
 

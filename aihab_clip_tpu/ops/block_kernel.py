@@ -328,6 +328,18 @@ def _mlp_train_bwd(interpret, tile_m, res, dy):
 _mlp_block_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
 
 
+def _erf_f32(x):
+    """f32 erf from exp only (Abramowitz & Stegun 7.1.26, |err| <= 1.5e-7
+    — below bf16 resolution).  Mosaic has no erf/erfc lowering (probed on
+    hardware, PERF_NOTES "ViT-H"), so exact-GELU towers could not enter
+    the fused kernels at all; this rational approximation unblocks them
+    with sub-f32-epsilon activation error."""
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-x * x))
+
+
 def _act_f32(h, act: str):
     if act == "quick_gelu":
         return h * jax.nn.sigmoid(1.702 * h)
@@ -335,6 +347,9 @@ def _act_f32(h, act: str):
         return jax.nn.gelu(h, approximate=True)
     if act == "gelu":
         return jax.nn.gelu(h, approximate=False)
+    if act == "gelu_poly":
+        # exact-erf GELU via the in-kernel erf approximation
+        return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
     raise ValueError(f"unknown activation {act!r}")
 
 
@@ -504,6 +519,114 @@ def mlp_block_fused(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
       w_fc, jnp.asarray(b_fc, jnp.float32),
       w_proj, jnp.asarray(b_proj, jnp.float32))
     return out[:m]
+
+
+def _convnext_mlp_kernel(y_ref, res_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
+                         w2_ref, b2_ref, g_ref, o_ref, *, act: str,
+                         ln_eps: float):
+    """One ConvNeXt MLP sub-block on a row tile: LN(y) -> fc1 -> GELU ->
+    fc2 -> gamma scale -> + residual, the [TM, 4C] hidden held in VMEM."""
+    y = y_ref[:].astype(jnp.float32)                        # [TM, C]
+    ln = _ln_f32(y, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
+    h = jax.lax.dot(ln.astype(o_ref.dtype), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+    h = _act_f32(h + b1_ref[:][None, :], act)
+    out = jax.lax.dot(h.astype(o_ref.dtype), w2_ref[:],
+                      preferred_element_type=jnp.float32)
+    out = (out + b2_ref[:][None, :]) * g_ref[:][None, :]
+    o_ref[:] = (res_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _convnext_mlp_chunk_kernel(y_ref, acc_ref, ln_s_ref, ln_b_ref, w1_ref,
+                               b1_ref, w2_ref, g_ref, o_ref, *, act: str,
+                               ln_eps: float):
+    """Later hidden-dim chunk: out = acc + gamma * chunk(y).  LN(y) is
+    recomputed per chunk (VPU-cheap); only [TM, C] tensors cross HBM."""
+    y = y_ref[:].astype(jnp.float32)
+    ln = _ln_f32(y, ln_s_ref[:], ln_b_ref[:], eps=ln_eps)
+    h = jax.lax.dot(ln.astype(o_ref.dtype), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+    h = _act_f32(h + b1_ref[:][None, :], act)
+    part = jax.lax.dot(h.astype(o_ref.dtype), w2_ref[:],
+                       preferred_element_type=jnp.float32)
+    o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                + part * g_ref[:][None, :]).astype(o_ref.dtype)
+
+
+def convnext_mlp_block(y, residual, ln_scale, ln_bias, w1, b1, w2, b2,
+                       gamma, *, act: str = "gelu_poly",
+                       ln_eps: float = 1e-6, interpret: bool = False,
+                       tile_m: int = 0, n_chunks: int = 0):
+    """ConvNeXt block minus the depthwise conv, fused:
+    ``residual + gamma * fc2(GELU(fc1(LN(y))))`` over [M, C] rows
+    (y = dwconv output, residual = block input).
+
+    The ConvNeXt MLP measured HBM-bound through XLA (17-34% effective
+    MFU, BENCHMARKS.md "ConvNeXt-CLIP encode"): the [tokens, 4C] hidden
+    round-trips HBM per block.  This is the ViT ``mlp_block_fused``
+    structure with ConvNeXt's quirks — eps-1e-6 LN, exact-erf GELU (via
+    ``_erf_f32``; Mosaic has no erf), layer-scale gamma, and a residual
+    stream DISTINCT from the LN input.  Wide stages whose weight pair
+    exceeds the one-kernel budget split the hidden dim across sequential
+    kernels (the ``mlp_block_split`` recipe — gamma distributes over the
+    chunk sum)."""
+    m, c = y.shape
+    hidden = w1.shape[1]
+    wbytes = jnp.dtype(y.dtype).itemsize * (c * hidden + hidden * c)
+    if not n_chunks:
+        n_chunks = 1
+        while wbytes // n_chunks > 10 * 1024 * 1024 and hidden % (
+                n_chunks * 2) == 0:
+            n_chunks *= 2
+    if not tile_m:
+        budget = int(14.5 * 1024 * 1024) - wbytes // n_chunks
+        tile_m = 256 if 256 * (hidden // n_chunks * 4 + c * 10) <= budget \
+            else 128
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+    if m_pad != m:
+        y = jnp.pad(y, ((0, m_pad - m), (0, 0)))
+        residual = jnp.pad(residual, ((0, m_pad - m), (0, 0)))
+
+    ln_scale = jnp.asarray(ln_scale, jnp.float32)
+    ln_bias = jnp.asarray(ln_bias, jnp.float32)
+    b1 = jnp.asarray(b1, jnp.float32)
+    b2 = jnp.asarray(b2, jnp.float32)
+    gamma = jnp.asarray(gamma, jnp.float32)
+
+    row_spec = pl.BlockSpec((tile_m, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    ch = hidden // n_chunks
+    chunk_specs = [
+        pl.BlockSpec((c, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    acc = None
+    for k in range(n_chunks):
+        wk = (w1[:, k * ch:(k + 1) * ch], b1[k * ch:(k + 1) * ch],
+              w2[k * ch:(k + 1) * ch, :])
+        if k == 0:
+            acc = pl.pallas_call(
+                partial(_convnext_mlp_kernel, act=act, ln_eps=ln_eps),
+                out_shape=jax.ShapeDtypeStruct((m_pad, c), y.dtype),
+                grid=(m_pad // tile_m,),
+                in_specs=[row_spec, row_spec, vec_c, vec_c, *chunk_specs,
+                          vec_c, vec_c],
+                out_specs=row_spec,
+                interpret=interpret,
+            )(y, residual, ln_scale, ln_bias, *wk, b2, gamma)
+        else:
+            acc = pl.pallas_call(
+                partial(_convnext_mlp_chunk_kernel, act=act, ln_eps=ln_eps),
+                out_shape=jax.ShapeDtypeStruct((m_pad, c), y.dtype),
+                grid=(m_pad // tile_m,),
+                in_specs=[row_spec, row_spec, vec_c, vec_c, chunk_specs[0],
+                          chunk_specs[1], chunk_specs[2], vec_c],
+                out_specs=row_spec,
+                interpret=interpret,
+            )(y, acc, ln_scale, ln_bias, *wk, gamma)
+    return acc[:m]
 
 
 # ---------------------------------------------------------------------------

@@ -272,3 +272,74 @@ def test_peft_pipeline_convnext(tmp_path):
     t = result["peft"]["test"]
     assert t is not None and 0.0 <= t["top1"] <= 1.0
     assert np.isfinite(t["loss"])
+
+
+# ---------------------------------------------------------------------------
+# fused encode path (interpret-mode parity; the TPU dispatch reuses it)
+# ---------------------------------------------------------------------------
+
+class TestFusedEncode:
+    def test_erf_poly_accuracy(self):
+        from aihab_clip_tpu.ops.block_kernel import _erf_f32
+
+        import scipy.special as sp
+
+        x = jnp.asarray(np.linspace(-6, 6, 4001), jnp.float32)
+        got = np.asarray(_erf_f32(x))
+        want = sp.erf(np.asarray(x, np.float64))
+        # A&S 7.1.26 is 1.5e-7 in f64; f32 evaluation rounds to ~4e-7
+        assert np.abs(got - want).max() <= 1e-6
+
+    def test_gelu_poly_matches_exact(self):
+        from aihab_clip_tpu.ops.block_kernel import _act_f32
+
+        h = jnp.asarray(np.linspace(-8, 8, 2001), jnp.float32)
+        got = np.asarray(_act_f32(h, "gelu_poly"))
+        want = np.asarray(jax.nn.gelu(h, approximate=False))
+        assert np.abs(got - want).max() <= 1e-6
+
+    def test_mlp_block_kernel_parity(self, rng):
+        from aihab_clip_tpu.ops.block_kernel import convnext_mlp_block
+
+        m, c = 96, 64
+        y = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+        res = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+        ln_s = jnp.asarray(rng.normal(size=c).astype(np.float32)) * 0.1 + 1
+        ln_b = jnp.asarray(rng.normal(size=c).astype(np.float32)) * 0.1
+        w1 = jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)) * 0.05
+        b1 = jnp.asarray(rng.normal(size=4 * c).astype(np.float32)) * 0.05
+        w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)) * 0.05
+        b2 = jnp.asarray(rng.normal(size=c).astype(np.float32)) * 0.05
+        g = jnp.asarray(rng.normal(size=c).astype(np.float32)) * 0.2
+
+        def canonical():
+            xf = y.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = jnp.square(xf - mean).mean(-1, keepdims=True)
+            ln = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+            h = jax.nn.gelu(ln @ w1 + b1, approximate=False)
+            return res + (h @ w2 + b2) * g
+
+        want = np.asarray(canonical())
+        got = np.asarray(convnext_mlp_block(
+            y, res, ln_s, ln_b, w1, b1, w2, b2, g, interpret=True))
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+        # chunked variant (wide-stage recipe) must match bit-for-tolerance
+        got2 = np.asarray(convnext_mlp_block(
+            y, res, ln_s, ln_b, w1, b1, w2, b2, g, interpret=True,
+            n_chunks=2))
+        np.testing.assert_allclose(got2, want, atol=5e-5, rtol=1e-4)
+
+    def test_fused_encode_matches_canonical(self, tiny, rng):
+        from aihab_clip_tpu.models.fast_convnext import convnext_encode_fused
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        pre_ref, proj_ref = tiny.model.apply(
+            {"params": tiny.params}, x, method=type(tiny.model).encode_image,
+            project=True)
+        pre, proj = convnext_encode_fused(tiny.params, x, tiny.config,
+                                          project=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(pre), np.asarray(pre_ref),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
+                                   atol=2e-5, rtol=1e-4)

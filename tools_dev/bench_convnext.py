@@ -113,6 +113,9 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--components", action="store_true",
                    help="bench per-stage block components instead of e2e")
+    p.add_argument("--impl", default="fastest", choices=["fastest", "xla"],
+                   help="fastest = dispatched path (fused MLP kernels); "
+                        "xla = canonical Flax module (A/B control)")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip bf16 peak for the MFU figure (v5e measured "
                         "GEMM ceiling, PERF_NOTES.md)")
@@ -142,8 +145,13 @@ def main():
 
     def one(params, images_u8):
         x = eval_transform(images_u8, res, dtype=jnp.bfloat16)
-        _, feats = encode_image_fastest(bundle.model, params, x, config,
-                                        project=True)
+        if args.impl == "xla":
+            _, feats = bundle.model.apply(
+                {"params": params}, x,
+                method=type(bundle.model).encode_image, project=True)
+        else:
+            _, feats = encode_image_fastest(bundle.model, params, x, config,
+                                            project=True)
         return jnp.sum(feats.astype(jnp.float32))
 
     def bench_n(params, images_u8, n):
@@ -153,8 +161,18 @@ def main():
 
     bench = jax.jit(bench_n, static_argnames="n")
 
-    # XLA's flop count for ONE step (the fori_loop body), for MFU
-    cost = jax.jit(one).lower(params, imgs).compile().cost_analysis()
+    # XLA's flop count for ONE step (the fori_loop body), for MFU.
+    # Always counted on the CANONICAL graph: cost analysis cannot see
+    # inside a pallas_call, so the fused path would report ~0 FLOPs
+    # (the math is identical either way).
+    def one_xla(params, images_u8):
+        x = eval_transform(images_u8, res, dtype=jnp.bfloat16)
+        _, feats = bundle.model.apply(
+            {"params": params}, x,
+            method=type(bundle.model).encode_image, project=True)
+        return jnp.sum(feats.astype(jnp.float32))
+
+    cost = jax.jit(one_xla).lower(params, imgs).compile().cost_analysis()
     step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     t0 = time.perf_counter()
