@@ -40,42 +40,52 @@ def _ln_f32(x, scale, bias, eps=1e-5):
 def _attn_block_kernel(x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref,
                        wout_ref, bout_ref, o_ref, *, heads: int,
                        seq_len: int):
-    """Blocks: x/o [1, S_pad, W]; weights whole."""
-    s_pad, width = x_ref.shape[1], x_ref.shape[2]
+    """Blocks: x/o [G, S_pad, W] (G images per program; LN/QKV/out-proj
+    GEMMs run on the G*S_pad row stack, the attention core loops
+    (image, head)); weights whole."""
+    n_img, s_pad, width = x_ref.shape
     head_dim = width // heads
-    x = x_ref[0].astype(jnp.float32)                       # [S, W]
+    x = x_ref[:].astype(jnp.float32).reshape(n_img * s_pad, width)
     ln1 = _ln_f32(x, ln_s_ref[:], ln_b_ref[:])
     qkv = jax.lax.dot(ln1.astype(o_ref.dtype), wqkv_ref[:],
                       preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[:][None, :]                       # [S, 3W] f32
+    qkv = qkv + bqkv_ref[:][None, :]                       # [G*S, 3W] f32
 
     scale = 1.0 / math.sqrt(head_dim)
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     key_ok = col < seq_len
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
-        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
-        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
-        s = jax.lax.dot_general(q.astype(o_ref.dtype), k.astype(o_ref.dtype),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(key_ok, s, jnp.float32(-1e30))
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot(p.astype(o_ref.dtype), v.astype(o_ref.dtype),
-                                preferred_element_type=jnp.float32))
-    attn = jnp.concatenate(outs, axis=-1)                  # [S, W] f32
+    rows = []
+    for g in range(n_img):
+        qkv_g = qkv[g * s_pad:(g + 1) * s_pad]
+        outs = []
+        for h in range(heads):
+            q = qkv_g[:, h * head_dim:(h + 1) * head_dim] * scale
+            k = qkv_g[:, width + h * head_dim:width + (h + 1) * head_dim]
+            v = qkv_g[:, 2 * width + h * head_dim:
+                      2 * width + (h + 1) * head_dim]
+            s = jax.lax.dot_general(q.astype(o_ref.dtype),
+                                    k.astype(o_ref.dtype),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(key_ok, s, jnp.float32(-1e30))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot(p.astype(o_ref.dtype),
+                                    v.astype(o_ref.dtype),
+                                    preferred_element_type=jnp.float32))
+        rows.append(jnp.concatenate(outs, axis=-1))        # [S, W] f32
+    attn = jnp.concatenate(rows, axis=0)                   # [G*S, W] f32
     out = jax.lax.dot(attn.astype(o_ref.dtype), wout_ref[:],
                       preferred_element_type=jnp.float32)
     out = out + bout_ref[:][None, :] + x
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(n_img, s_pad, width).astype(o_ref.dtype)
 
 
 def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                      heads: int, interpret: bool = False,
-                     padded_io: bool = False, seq_len: int | None = None):
+                     padded_io: bool = False, seq_len: int | None = None,
+                     images_per_program: int = 1):
     """x: [B, S, W] -> x + out_proj(MHA(LN(x))).  One program per image.
 
     S pads to a multiple of 16 (bf16 sublane), NOT 128: the score matrix
@@ -103,12 +113,16 @@ def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
         s_pad = ((s + 15) // 16) * 16
         if s_pad != s:
             x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    g = images_per_program
+    if b % g:
+        raise ValueError(f"batch {b} not divisible by "
+                         f"images_per_program={g}")
     out = pl.pallas_call(
         partial(_attn_block_kernel, heads=heads, seq_len=s),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -118,7 +132,7 @@ def attn_block_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
             pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, jnp.asarray(ln_scale, jnp.float32), jnp.asarray(ln_bias, jnp.float32),

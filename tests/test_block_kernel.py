@@ -38,6 +38,13 @@ def test_attn_block_fused_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
+    # multi-image grid programs compute identical math (G*S_pad-row
+    # LN/QKV/out GEMMs, per-(image, head) attention core)
+    out2 = attn_block_fused(x, g, beta, wqkv, bqkv, wout, bout, heads,
+                            interpret=True, images_per_program=2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
 
 def test_mlp_block_fused_matches_reference(rng):
     m, w, hidden = 70, 64, 256

@@ -84,6 +84,7 @@ def test_projector_save_load(tmp_path):
     np.testing.assert_array_equal(b, b2)
 
 
+@pytest.mark.slow
 def test_peft_save_then_eval_only_restore(synth, tmp_path):
     # train one epoch with save_model
     cfg = _cfg(synth, tmp_path)

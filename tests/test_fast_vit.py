@@ -41,6 +41,7 @@ def test_fast_projected_matches(bundle, rng):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fast_vitb_shapes():
     """ViT-B/16 single tiny batch through the fast path (CPU, fp32)."""
     b = load("random:ViT-B/16", seed=0)
@@ -53,6 +54,7 @@ def test_fast_vitb_shapes():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_block_fused_sharded_matches_canonical(bundle, rng):
     """shard_map'd whole-block encode over an 8-device data mesh ==
     canonical tower (interpret-mode Pallas per shard)."""
@@ -297,6 +299,7 @@ def test_vit_encode_scan_matches_module():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_vit_scan_remat_matches_plain():
     """remat=True on the scanned ViT body (the XLA grad-of-scan crash
     workaround) is forward- and gradient-identical to remat=False."""

@@ -176,6 +176,7 @@ def test_lora_epoch_scan_matches_per_step(bundle, data):
                                    err_msg="/".join(k))
 
 
+@pytest.mark.slow
 def test_lora_step_under_dp_mesh(siglip_bundle, data):
     """LoRA composes with a pure-DP mesh: adapters replicate, the step
     runs, only adapters update."""

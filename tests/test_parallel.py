@@ -229,6 +229,7 @@ def test_sharded_encode_image(bundle):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_runner_peft_spmd_dp8(tmp_path):
     """Full runner PEFT under the virtual 8-device mesh (auto-enabled) —
     DP8 and DP4xTP2 both train and evaluate through run()."""
@@ -284,6 +285,7 @@ def test_runner_peft_spmd_dp8(tmp_path):
     assert t_fsdp["loss"] == pytest.approx(t_dp["loss"], rel=1e-3)
 
 
+@pytest.mark.slow
 def test_siglip_tp_rules_and_sharded_encode():
     """SigLIP's separate q/k/v projections get column-parallel placement
     and the sharded tower matches unsharded execution (DP and DP4xTP2)."""
@@ -316,6 +318,7 @@ def test_siglip_tp_rules_and_sharded_encode():
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dp8_fused_prefix_hybrid_step_matches_single_device(bundle, head):
     """The frozen-prefix fused hybrid inside the train step composes with
     a pure-DP mesh (prefix shard_mapped over `data`, interpret-mode
@@ -385,6 +388,7 @@ def test_dp8_fused_prefix_hybrid_step_matches_single_device(bundle, head):
                    for k in g_ref)
 
 
+@pytest.mark.slow
 def test_dp8_int8_prefix_hybrid_grads_match_single_device(bundle, head):
     """The int8 frozen prefix (qprefix) composes with a pure-DP mesh: the
     shard_mapped prefix broadcasts the quantized pytree (in_specs P()),
@@ -434,6 +438,7 @@ def test_dp8_int8_prefix_hybrid_grads_match_single_device(bundle, head):
                    for k in g_ref)
 
 
+@pytest.mark.slow
 def test_scan_blocks_step_matches_canonical_under_mesh():
     """finetune.scan_blocks composes with a pure-DP mesh (and FSDP): the
     scanned SigLIP step produces the canonical step's loss and params —

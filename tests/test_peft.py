@@ -357,6 +357,7 @@ def test_finetune_siglip_fused_prefix_smoke(data):
     assert changed > 0
 
 
+@pytest.mark.slow
 def test_finetune_fused_prefix_quant(bundle, data):
     """PEFT with the int8 frozen prefix (prefix_quant=True, interpret-mode
     Pallas on CPU): frozen leaves stay put, trainables move, the epoch-scan

@@ -5,6 +5,8 @@ scan + ppermute schedule."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # GPipe parity tier (dryrun_multichip covers the smoke)
+
 import jax
 import jax.numpy as jnp
 

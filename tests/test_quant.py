@@ -98,6 +98,7 @@ def test_int8_zero_shot_agreement(bundle, rng):
     assert agree >= 0.9, agree
 
 
+@pytest.mark.slow
 def test_int8_vitb_shapes():
     b = load("random:ViT-B/16", seed=0)
     rng = np.random.default_rng(0)
@@ -210,6 +211,7 @@ def test_whole_block_int8_mlp_matches_chained(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_siglip_int8_cosine_vs_canonical(rng):
     from aihab_clip_tpu.models import load
     from aihab_clip_tpu.models.quant_siglip import (
@@ -326,6 +328,7 @@ def test_split_attn_block_matches_bf16_block(rng):
         assert cos > 0.999, (n_groups, cos)
 
 
+@pytest.mark.slow
 def test_siglip_int8_split_attn_matches_xla(rng):
     """siglip_encode_int8 attn_impl='split' (interpret) tracks the xla
     int8 reference through the full tiny tower."""

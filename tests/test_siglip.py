@@ -127,6 +127,7 @@ def test_zoo_siglip_random_fallback():
     assert out.shape == (1, 64)
 
 
+@pytest.mark.slow
 def test_zoo_hf_hub_name_resolves_offline():
     """The reference's default backbone name resolves (random init only
     with the explicit opt-in when no local snapshot exists)."""
@@ -250,9 +251,7 @@ def test_zoo_snapshot_without_tokenizer_is_hard_error(tmp_path, monkeypatch):
 
 def test_runner_siglip_missing_assets_raises(tmp_path, monkeypatch):
     """Runner-level: the reference's default backbone without assets fails
-    fast (no silent random fallback) unless `allow_random_weights: true`."""
-    import warnings as w
-
+    fast (no silent random fallback)."""
     from aihab_clip_tpu.config import ConfigNode
     from aihab_clip_tpu.models.zoo import SigLIPAssetsMissingError
     from aihab_clip_tpu.runner import init_clip_and_text_head
@@ -264,7 +263,23 @@ def test_runner_siglip_missing_assets_raises(tmp_path, monkeypatch):
     })
     with pytest.raises(SigLIPAssetsMissingError):
         init_clip_and_text_head(cfg)
-    cfg["allow_random_weights"] = True
+
+
+@pytest.mark.slow
+def test_runner_siglip_allow_random_weights_opt_in(tmp_path, monkeypatch):
+    """`allow_random_weights: true` opts into the random bundle (builds
+    the FULL 1.1B-param SO400M on CPU — slow tier)."""
+    import warnings as w
+
+    from aihab_clip_tpu.config import ConfigNode
+    from aihab_clip_tpu.runner import init_clip_and_text_head
+
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+    cfg = ConfigNode({
+        "clip_backend": "openclip",
+        "open_clip_model": "hf-hub:timm/ViT-SO400M-16-SigLIP2-384",
+        "allow_random_weights": True,
+    })
     with w.catch_warnings():
         w.simplefilter("ignore")
         bundle = init_clip_and_text_head(cfg)
@@ -297,6 +312,7 @@ def test_fast_siglip_encode_parity(rng):
     assert pre.shape == post.shape == ref.shape
 
 
+@pytest.mark.slow
 def test_fast_siglip_sharded_matches_canonical(rng):
     """shard_map'd fast SigLIP encode over an 8-device data mesh ==
     canonical tower (interpret-mode Pallas per shard)."""
@@ -350,6 +366,7 @@ def test_siglip_hybrid_forward_matches_canonical(tiny_bundle):
     np.testing.assert_array_equal(np.asarray(pooled), np.asarray(proj))
 
 
+@pytest.mark.slow
 def test_siglip_hybrid_suffix_grads_match_canonical(tiny_bundle):
     """Grads w.r.t. the trainable suffix (last block + ln_post + MAP
     head) equal the canonical tower's; frozen-prefix grads are zero."""

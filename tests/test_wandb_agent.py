@@ -109,6 +109,7 @@ data:
     return base
 
 
+@pytest.mark.slow
 def test_agent_style_invocation_logs_to_wandb(fake_wandb, tmp_path,
                                               monkeypatch):
     from aihab_clip_tpu.data import make_synthetic_cs_dataset

@@ -144,6 +144,7 @@ def test_siglip_tag_outside_grid_falls_back():
     assert name is None and cfg is None
 
 
+@pytest.mark.slow
 def test_siglip_parsed_tag_random_init_runs():
     """A parsed (non-registry) tag builds and encodes end to end."""
     from aihab_clip_tpu.models import load
