@@ -350,10 +350,16 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     hidden = config.vision_mlp_dim or 4 * width
     pair_bytes = 2 * (width * hidden * jnp.dtype(dtype).itemsize)
     # exact-erf 'gelu' (LAION towers) cannot lower inside Mosaic kernels
-    # (no erf/erfc primitive — probed on hardware); the MLP half falls to
-    # the XLA path (ln_matmul routes it there) while the act-free
-    # attention kernels stay fused
-    kernel_act_ok = config.act in ("quick_gelu", "gelu_tanh")
+    # (no erf/erfc primitive — probed on hardware).  Since r3 the kernels
+    # compute it as 'gelu_poly' (`block_kernel._erf_f32`, A&S rational +
+    # exp, ~4e-7 activation error — below bf16 resolution), so gelu
+    # towers ride the full fused dispatch; AIHAB_NO_GELU_POLY=1 restores
+    # the old XLA-MLP fallback (A/B + emergency opt-out).
+    import os
+
+    gelu_poly = (config.act == "gelu"
+                 and not os.environ.get("AIHAB_NO_GELU_POLY"))
+    kernel_act_ok = config.act in ("quick_gelu", "gelu_tanh") or gelu_poly
     mlp_whole = kernel_act_ok and pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
     mlp_chunks = 0
     if not mlp_whole and kernel_act_ok:
@@ -387,7 +393,7 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     return dict(merge=merge, attn_split=attn_split, mlp_whole=mlp_whole,
                 mlp_chunks=mlp_chunks, full_chunks=full_chunks,
                 n_groups=n_groups, heads=heads, width=width,
-                act=config.act)
+                act="gelu_poly" if gelu_poly else config.act)
 
 
 def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,

@@ -90,6 +90,20 @@ def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
     }
 
 
+
+def _kernel_act(config) -> str:
+    """Kernel-side activation for this tower: exact-erf 'gelu' maps to
+    the in-kernel rational approximation (Mosaic has no erf lowering;
+    `ops/block_kernel._erf_f32`, ~4e-7 error); AIHAB_NO_GELU_POLY=1
+    restores the XLA fallback."""
+    import os
+
+    act = getattr(config, "act", "quick_gelu")
+    if act == "gelu" and not os.environ.get("AIHAB_NO_GELU_POLY"):
+        return "gelu_poly"
+    return act
+
+
 def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
                           *, start: int, stop: int,
                           interpret: bool = False) -> jax.Array:
@@ -106,6 +120,7 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
     width = config.vision_width
     heads = config.vision_heads
     b, s, _ = x.shape
+    act = _kernel_act(config)
 
     from ..models.fast_vit import (
         ATTN_WHOLE_KERNEL_MAX_BYTES,
@@ -161,7 +176,7 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
                 fc["w8"], fc["scale"], fc["bias"],
                 pr["w8"], pr["scale"], pr["bias"],
                 blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                heads, mlp_chunks=1, interpret=interpret)
+                heads, mlp_chunks=1, act=act, interpret=interpret)
             continue
         if attn_split:
             n_groups = (heads // 2 if heads % 2 == 0 and heads >= 2
@@ -185,7 +200,7 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
             x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
             pr["w8"], pr["scale"], pr["bias"],
             blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-            interpret=interpret)
+            act=act, interpret=interpret)
         x = x2.reshape(b, s, width)
     if not merge and s_pad != seq_len:
         x = x[:, :seq_len, :]
@@ -201,10 +216,10 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
     (whole-block), 'chained' (per-GEMM fused kernels), or 'xla'."""
     if impl == "auto":
         impl = "pallas" if dispatch_backend() == "tpu" else "xla"
-    if getattr(config, "act", "quick_gelu") == "gelu" and impl != "xla":
-        # exact-erf gelu (LAION towers) has no Mosaic lowering; the
-        # Pallas/chained int8 paths would either crash (erfc) or
-        # silently run the wrong activation — use the XLA int8 impl
+    # exact-erf gelu towers ride the kernels via the in-kernel rational
+    # erf since r3 (see _kernel_act); AIHAB_NO_GELU_POLY=1 restores the
+    # pre-r3 XLA fallback for them
+    if (_kernel_act(config) == "gelu" and impl != "xla"):
         impl = "xla"
     if impl in ("pallas", "chained"):
         from ..ops.quant_matmul import quant_matmul_fused
@@ -278,14 +293,13 @@ def vit_encode_int8(qparams: Dict, images: jax.Array, config: CLIPConfig,
                 hdn8, hsc = quant_matmul_fused_qout(
                     x2, fc["w8"], fc["scale"], fc["bias"],
                     blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                    interpret=interpret)
+                    act=_kernel_act(config), interpret=interpret)
                 x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
                                        pr["bias"], residual=x2,
                                        interpret=interpret)
             else:
                 ln2 = _ln(x2, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-                hdn = qmm(ln2, fc,
-                          act=getattr(config, "act", "quick_gelu"))
+                hdn = qmm(ln2, fc, act=_kernel_act(config))
                 x2 = qmm(hdn, pr, residual=x2)
 
     cls_tok = x2.reshape(b, s, width)[:, 0, :]

@@ -52,6 +52,10 @@ def _act_f32(x, activation: Optional[str]):
         return jax.nn.gelu(x, approximate=True)
     if activation == "gelu":
         return jax.nn.gelu(x, approximate=False)
+    if activation == "gelu_poly":
+        from .block_kernel import _erf_f32
+
+        return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
     if activation is not None:
         raise ValueError(f"unknown activation '{activation}'")
     return x

@@ -34,6 +34,10 @@ def _apply_act(y, act: str):
         return jax.nn.gelu(y, approximate=True)
     if act == "gelu":
         return jax.nn.gelu(y, approximate=False)
+    if act == "gelu_poly":
+        from .block_kernel import _erf_f32
+
+        return 0.5 * y * (1.0 + _erf_f32(y * 0.7071067811865476))
     if act != "none":
         raise ValueError(f"unknown activation '{act}'")
     return y

@@ -417,11 +417,11 @@ def test_gelu_act_full_block_kernel_matches(rng):
     assert np.abs(g - q).max() > 1e-5
 
 
-def test_gelu_act_plan_gates_kernels():
+def test_gelu_act_plan_gates_kernels(monkeypatch):
     """Exact-erf gelu has no Mosaic lowering (erfc unimplemented — probed
-    on hardware): the dispatch plan must keep the MLP half and the merged
-    kernel OFF for act='gelu' towers (attention kernels are act-free and
-    stay), and the int8 path must fall back to impl='xla'."""
+    on hardware).  Since r3 the plan maps it to the in-kernel rational
+    erf ('gelu_poly'), so gelu towers keep their MLP kernels; the
+    AIHAB_NO_GELU_POLY opt-out restores the pre-r3 XLA fallback."""
     from aihab_clip_tpu.models.fast_vit import _fused_block_plan
 
     gelu_cfg = CLIPConfig(
@@ -430,14 +430,56 @@ def test_gelu_act_plan_gates_kernels():
         vocab_size=49408, transformer_width=1024, transformer_heads=16,
         transformer_layers=24, act="gelu")
     plan = _fused_block_plan(gelu_cfg, jnp.bfloat16)
-    assert not plan["merge"]
-    assert not plan["mlp_whole"]
-    assert plan["mlp_chunks"] == 0
-    # quick_gelu tower of the same dims keeps its kernels
+    assert plan["act"] == "gelu_poly"
+    assert plan["mlp_whole"] or plan["mlp_chunks"] > 0
+
+    monkeypatch.setenv("AIHAB_NO_GELU_POLY", "1")
+    plan_off = _fused_block_plan(gelu_cfg, jnp.bfloat16)
+    assert plan_off["act"] == "gelu"
+    assert not plan_off["merge"]
+    assert not plan_off["mlp_whole"]
+    assert plan_off["mlp_chunks"] == 0
+    monkeypatch.delenv("AIHAB_NO_GELU_POLY")
+
+    # quick_gelu tower of the same dims keeps its kernels and exact act
     q_cfg = CLIPConfig(
         embed_dim=512, image_resolution=224, vision_layers=32,
         vision_width=1280, vision_patch_size=14, context_length=77,
         vocab_size=49408, transformer_width=1024, transformer_heads=16,
         transformer_layers=24)
     qplan = _fused_block_plan(q_cfg, jnp.bfloat16)
+    assert qplan["act"] == "quick_gelu"
     assert qplan["mlp_whole"] or qplan["mlp_chunks"] > 0
+
+
+def test_gelu_poly_block_fused_encode_matches_canonical(rng):
+    """act='gelu' towers through the (now-unblocked) fused block kernels
+    match the canonical exact-erf module to activation-approx tolerance."""
+    from aihab_clip_tpu.models.fast_vit import vit_encode_block_fused
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+        act="gelu")
+    b = load("random:tiny-gelu-blk", random_cfg=cfg, seed=7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = b.model.apply({"params": b.params}, x,
+                        method=CLIPModel.encode_image)
+    out = vit_encode_block_fused(b.params, x, cfg, dtype=jnp.float32,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_gelu_poly_int8_act_mapping(monkeypatch):
+    from aihab_clip_tpu.models.quant_vit import _kernel_act
+
+    gelu_cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+        act="gelu")
+    assert _kernel_act(gelu_cfg) == "gelu_poly"
+    monkeypatch.setenv("AIHAB_NO_GELU_POLY", "1")
+    assert _kernel_act(gelu_cfg) == "gelu"
