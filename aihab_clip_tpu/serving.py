@@ -18,7 +18,9 @@ the TPU encode path into a long-lived service:
   collects and dispatches while batch *i*'s result is in flight
   (lag-1 pipelining — the same discipline as the predict CLI's loop).
 * :class:`PredictServer` — stdlib ``ThreadingHTTPServer`` exposing
-  ``POST /predict`` (raw image bytes, or JSON ``{"images_b64": [...]}``),
+  ``POST /predict`` (raw image bytes; JSON ``{"images_b64": [...]}``; or
+  the length-prefixed ``application/x-aihab-batch`` binary wire —
+  ``encode_binary_batch`` — which skips base64+JSON on the hot path),
   ``GET /healthz`` and ``GET /stats``.
 
 TPU-first design notes: batching exists to keep the MXU fed — a single
@@ -46,6 +48,44 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from .backend import dispatch_backend
+
+
+def _parse_binary_batch(body: bytes) -> List[bytes]:
+    """``application/x-aihab-batch`` framing -> blob list.
+
+    Layout: u32le N, then N u32le lengths, then the N blobs
+    concatenated.  ``encode_binary_batch`` is the client-side inverse.
+    """
+    import struct
+
+    if len(body) < 4:
+        raise ValueError("truncated header")
+    (n,) = struct.unpack_from("<I", body, 0)
+    if n == 0 or n > 1 << 20:
+        raise ValueError(f"implausible image count {n}")
+    header_end = 4 + 4 * n
+    if len(body) < header_end:
+        raise ValueError("truncated length table")
+    lengths = struct.unpack_from(f"<{n}I", body, 4)
+    total = sum(lengths)
+    if len(body) != header_end + total:
+        raise ValueError(
+            f"body size {len(body)} != header {header_end} + blobs {total}")
+    blobs, off = [], header_end
+    for ln in lengths:
+        blobs.append(body[off:off + ln])
+        off += ln
+    return blobs
+
+
+def encode_binary_batch(blobs: Sequence[bytes]) -> bytes:
+    """Client-side framing for ``POST /predict`` with
+    ``Content-Type: application/x-aihab-batch``."""
+    import struct
+
+    head = struct.pack("<I", len(blobs)) + struct.pack(
+        f"<{len(blobs)}I", *[len(b) for b in blobs])
+    return head + b"".join(blobs)
 
 
 class ClassifierEngine:
@@ -533,6 +573,18 @@ class _Handler(BaseHTTPRequestHandler):
                 except (json.JSONDecodeError, KeyError, TypeError,
                         binascii.Error) as e:
                     self._json(400, {"error": f"bad JSON request: {e}"})
+                    return
+            elif ctype == "application/x-aihab-batch":
+                # length-prefixed binary batch: u32le count, count x u32le
+                # blob lengths, then the raw blobs back to back.  The JSON
+                # wire costs +33% bytes (base64) plus encode/parse CPU on
+                # the 1-vCPU serving host — measured payload-bound at
+                # camera sizes (BENCHMARKS.md serving A/B); this framing
+                # removes both.
+                try:
+                    blobs = _parse_binary_batch(body)
+                except ValueError as e:
+                    self._json(400, {"error": f"bad binary batch: {e}"})
                     return
             else:
                 blobs = [body]

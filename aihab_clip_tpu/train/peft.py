@@ -251,6 +251,14 @@ class PEFTConfig:
     # compiled in 1484 s).  Applies when the fused prefix is off; grads
     # flow through the in-jit stack -> lax.scan -> slice chain.
     scan_blocks: bool = False
+    # remat the scanned body.  Un-remat'd grad-of-scan still crashes the
+    # XLA:TPU compiler at SO400M [B>=16, S=576, W=1152] shapes (re-probed
+    # r3: scan_remat=False died in ab_so400m_fullstep while the remat'd
+    # body compiles; tools_dev/repro_scan_crash.py arm4 now pins
+    # scan_remat=False so the ladder keeps testing the raw body).  Flip
+    # to False to recover the ~2x remat recompute the day a toolchain
+    # compiles arm4.
+    scan_remat: bool = True
     # LoRA adapter fine-tuning (beyond-reference PEFT): rank > 0 freezes
     # the ENTIRE tower and trains low-rank (A, B) pairs on the block
     # attention (and optionally MLP) kernels; W_eff = W + (alpha/r)·A·B is
@@ -334,17 +342,18 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
         if isinstance(model.config, SigLIPConfig):
             from ..models.fast_siglip import siglip_encode_scan
 
-            # remat=True: train steps differentiate this encode, and
-            # un-remat'd grad-of-scan crashes the XLA:TPU compiler at
-            # SO400M b>=16 shapes (bisected in tools_dev/
-            # repro_scan_crash.py; the remat'd backward compiles)
+            # cfg.scan_remat: the r2 grad-of-scan compiler crash is fixed
+            # in the r3 toolchain (repro_scan_crash.py arm4 ok), so remat
+            # is now an opt-in workaround/memory knob, not a default tax
             return siglip_encode_scan(params, x, model.config, project=True,
-                                      dtype=cfg.compute_dtype, remat=True)
+                                      dtype=cfg.compute_dtype,
+                                      remat=cfg.scan_remat)
         if model.config.is_vit:
             from ..models.fast_vit import vit_encode_scan
 
             return vit_encode_scan(params, x, model.config, project=True,
-                                   dtype=cfg.compute_dtype, remat=True)
+                                   dtype=cfg.compute_dtype,
+                                   remat=cfg.scan_remat)
         # RN towers have no block stack to scan — canonical module below
     return model.apply({"params": params}, x,
                        method=type(model).encode_image, project=True)

@@ -275,3 +275,42 @@ def test_cli_build_server():
         assert len(payload["predictions"][0]["topk"]) == 2
     finally:
         srv.stop()
+
+
+def test_binary_batch_framing_roundtrip():
+    from aihab_clip_tpu.serving import _parse_binary_batch, encode_binary_batch
+
+    blobs = [b"abc", b"", b"\x00\x01\x02\x03" * 100]
+    assert _parse_binary_batch(encode_binary_batch(blobs)) == blobs
+    with pytest.raises(ValueError):
+        _parse_binary_batch(b"\x01")                      # truncated header
+    with pytest.raises(ValueError):
+        _parse_binary_batch(b"\x00\x00\x00\x00")          # zero images
+    body = encode_binary_batch([b"abcd"])
+    with pytest.raises(ValueError):
+        _parse_binary_batch(body[:-1])                    # short blob data
+
+
+def test_predict_binary_batch(server):
+    """The binary wire returns the same predictions as the JSON wire
+    for identical images (the payload-bound serving fix: no base64/JSON
+    on the hot path)."""
+    from aihab_clip_tpu.serving import encode_binary_batch
+
+    rng = np.random.default_rng(2)
+    raw = [_jpeg_bytes(rng) for _ in range(3)]
+    code, bin_payload = _post(server.server_port, "/predict",
+                              encode_binary_batch(raw),
+                              "application/x-aihab-batch")
+    assert code == 200
+    code, json_payload = _post(
+        server.server_port, "/predict",
+        json.dumps({"images_b64": [base64.b64encode(b).decode()
+                                   for b in raw]}),
+        "application/json")
+    assert code == 200
+    assert bin_payload["predictions"] == json_payload["predictions"]
+
+    code, err = _post(server.server_port, "/predict", b"\x02\x00\x00\x00",
+                      "application/x-aihab-batch")
+    assert code == 400 and "binary batch" in err["error"]

@@ -72,6 +72,9 @@ def main():
                    help="host decode path: auto = size-routed dispatch "
                         "(the production default), native/cv2 force one "
                         "path for A/B")
+    p.add_argument("--wire", default="json", choices=["json", "binary"],
+                   help="request encoding: json = base64 in JSON; binary "
+                        "= length-prefixed application/x-aihab-batch")
     args = p.parse_args()
 
     if args.decode != "auto":
@@ -95,10 +98,21 @@ def main():
 
     n_requests = args.images // args.request_images
     payloads = []
-    for r in range(n_requests):
-        sel = [blobs[(r * args.request_images + i) % len(blobs)]
-               for i in range(args.request_images)]
-        payloads.append(json.dumps({"images_b64": sel}))
+    if args.wire == "binary":
+        from aihab_clip_tpu.serving import encode_binary_batch
+
+        raw = [base64.b64decode(b) for b in blobs]
+        for r in range(n_requests):
+            sel = [raw[(r * args.request_images + i) % len(raw)]
+                   for i in range(args.request_images)]
+            payloads.append(encode_binary_batch(sel))
+        content_type = "application/x-aihab-batch"
+    else:
+        for r in range(n_requests):
+            sel = [blobs[(r * args.request_images + i) % len(blobs)]
+                   for i in range(args.request_images)]
+            payloads.append(json.dumps({"images_b64": sel}))
+        content_type = "application/json"
 
     lat = []
 
@@ -106,7 +120,7 @@ def main():
         t0 = time.perf_counter()
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
         conn.request("POST", "/predict", body=body,
-                     headers={"Content-Type": "application/json"})
+                     headers={"Content-Type": content_type})
         r = conn.getresponse()
         out = json.loads(r.read())
         conn.close()
@@ -127,6 +141,7 @@ def main():
     result = {
         "model": args.model,
         "decode": args.decode,
+        "wire": args.wire,
         "quantize": args.quantize,
         "batch_size": args.batch_size,
         "clients": args.clients,

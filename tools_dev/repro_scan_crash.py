@@ -54,7 +54,12 @@ def compile_arm(tag, model, params, tune_text, prompt_tokens, bs, res_in,
                      crop_mode="random" if aug else "center",
                      flip=aug, rotation=aug, compute_dtype=jnp.bfloat16,
                      fused_prefix=0, scan_blocks=True, tune_text=tune_text,
-                     num_templates=1)
+                     num_templates=1,
+                     # probe the RAW scanned body: since the r2 fix the
+                     # train paths remat by default, which made every arm
+                     # compile vacuously (r3 post-mortem) — the ladder
+                     # exists to tell us when the UN-remat'd body works
+                     scan_remat=False)
     mask = build_lock_mask(params, config.vision_layers,
                            config.transformer_layers,
                            unlocked_groups=groups, tune_text=tune_text,
