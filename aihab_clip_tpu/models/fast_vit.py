@@ -210,15 +210,25 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
             return vit_encode_block_fused_sharded(
                 params, x, config, mesh, project=project, dtype=x.dtype)
     if (on_tpu and isinstance(config, CLIPConfig)
-            and getattr(config, "vision_tower", "") == "convnext"
-            and mesh is None):
+            and getattr(config, "vision_tower", "") == "convnext"):
         # ConvNeXt: convs stay canonical XLA, every block's MLP half runs
         # the fused VMEM-resident kernel (HBM-bound through XLA —
-        # BENCHMARKS.md "ConvNeXt-CLIP encode")
+        # BENCHMARKS.md "ConvNeXt-CLIP encode").  Pure-DP meshes run the
+        # same kernels per shard via shard_map (a pallas_call is opaque
+        # to GSPMD), exactly like the ViT/SigLIP fast paths.
         from .fast_convnext import convnext_encode_fused
 
-        return convnext_encode_fused(params, x, config, project=project,
-                                     dtype=x.dtype)
+        if mesh is None:
+            return convnext_encode_fused(params, x, config, project=project,
+                                         dtype=x.dtype)
+        if (all(v == 1 for k, v in dict(mesh.shape).items() if k != "data")
+                and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
+            def local_encode(p, xs):
+                return convnext_encode_fused(p, xs, config, project=project,
+                                             dtype=xs.dtype)
+
+            return encode_fn_sharded(local_encode, params, x, mesh,
+                                     pair_output=project)
     if on_tpu and isinstance(config, SigLIPConfig):
         from .fast_siglip import siglip_encode_fast
 

@@ -343,3 +343,30 @@ class TestFusedEncode:
                                    atol=2e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
                                    atol=2e-5, rtol=1e-4)
+
+    def test_fused_encode_sharded_matches_canonical(self, tiny, rng):
+        """The DP-mesh dispatch: same fused kernels per shard via
+        shard_map (GSPMD cannot partition a pallas_call)."""
+        import jax
+
+        from aihab_clip_tpu.models.fast_convnext import convnext_encode_fused
+        from aihab_clip_tpu.models.fast_vit import encode_fn_sharded
+        from aihab_clip_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices()[:8])
+        x = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
+                        .astype(np.float32))
+        ref_pre, ref_post = tiny.model.apply(
+            {"params": tiny.params}, x, method=type(tiny.model).encode_image,
+            project=True)
+
+        def local(p, xs):
+            return convnext_encode_fused(p, xs, tiny.config, project=True,
+                                         interpret=True)
+
+        pre, post = encode_fn_sharded(local, tiny.params, x, mesh,
+                                      pair_output=True)
+        np.testing.assert_allclose(np.asarray(pre), np.asarray(ref_pre),
+                                   atol=5e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(post), np.asarray(ref_post),
+                                   atol=5e-5, rtol=1e-4)
