@@ -44,36 +44,70 @@ def _conv(x, p, *, stride, padding, groups=1):
     return out + p["bias"].astype(x.dtype)
 
 
-def convnext_encode_fused(params, x: jax.Array, config, *,
-                          project: bool = False, dtype=None,
-                          interpret: bool = False):
-    """params: the CLIP tree (``params['visual']`` = ConvNeXt tower);
-    x: [B, H, W, 3] preprocessed images.  Returns pre-projection features
-    or ``(pre, projected)`` — the framework-wide contract."""
-    vis = params["visual"]
-    depths = tuple(config.vision_layers)
-    if dtype is not None:
-        x = x.astype(dtype)
-
+def _stem(vis, x):
     x = _conv(x, vis["stem_conv"], stride=4, padding="VALID")
-    x = _ln_f32(x, vis["stem_norm"]["scale"], vis["stem_norm"]["bias"])
-    for s, depth in enumerate(depths):
-        if s:
-            dn = vis[f"down_norm_{s}"]
-            x = _ln_f32(x, dn["scale"], dn["bias"])
-            x = _conv(x, vis[f"down_conv_{s}"], stride=2, padding="VALID")
-        b_, h_, w_, c_ = x.shape
-        for b in range(depth):
-            blk = vis[f"stage{s}_block{b}"]
-            y = _conv(x, blk["dwconv"], stride=1, padding="SAME", groups=c_)
-            out = convnext_mlp_block(
-                y.reshape(b_ * h_ * w_, c_), x.reshape(b_ * h_ * w_, c_),
-                blk["norm"]["scale"], blk["norm"]["bias"],
-                blk["fc1"]["kernel"].astype(x.dtype), blk["fc1"]["bias"],
-                blk["fc2"]["kernel"].astype(x.dtype), blk["fc2"]["bias"],
-                blk["gamma"], interpret=interpret)
-            x = out.reshape(b_, h_, w_, c_)
+    return _ln_f32(x, vis["stem_norm"]["scale"], vis["stem_norm"]["bias"])
 
+
+def _block_jnp(blk, x):
+    """One differentiable ConvNeXt block in plain jnp — the canonical
+    module's math (LN f32, exact-erf GELU), used for the trainable
+    suffix of the PEFT hybrid."""
+    b_, h_, w_, c_ = x.shape
+    y = _conv(x, blk["dwconv"], stride=1, padding="SAME", groups=c_)
+    y = _ln_f32(y, blk["norm"]["scale"], blk["norm"]["bias"], eps=1e-6)
+    y = y @ blk["fc1"]["kernel"].astype(x.dtype) \
+        + blk["fc1"]["bias"].astype(x.dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    y = y @ blk["fc2"]["kernel"].astype(x.dtype) \
+        + blk["fc2"]["bias"].astype(x.dtype)
+    return x + y * blk["gamma"].astype(x.dtype)
+
+
+def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
+                          stop: int, fused: bool = True,
+                          interpret: bool = False):
+    """Run ConvNeXt trunk blocks [start, stop) (GLOBAL depth-order index
+    over all stages) on ``x``, applying each stage's downsample before
+    its first in-range block (a stage's downsample belongs to its first
+    block's lock group — `train/peft._convnext_group_of`).  ``x`` must be
+    the activation just before block ``start``.  ``fused`` runs the MLP
+    halves through the forward-only Pallas kernel; ``fused=False`` is the
+    differentiable jnp formulation."""
+    depths = tuple(config.vision_layers)
+    k = 0
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            if k >= stop:
+                return x
+            if k >= start:
+                if s and b == 0:
+                    dn = vis[f"down_norm_{s}"]
+                    x = _ln_f32(x, dn["scale"], dn["bias"])
+                    x = _conv(x, vis[f"down_conv_{s}"], stride=2,
+                              padding="VALID")
+                blk = vis[f"stage{s}_block{b}"]
+                if not fused:
+                    x = _block_jnp(blk, x)
+                else:
+                    b_, h_, w_, c_ = x.shape
+                    y = _conv(x, blk["dwconv"], stride=1, padding="SAME",
+                              groups=c_)
+                    out = convnext_mlp_block(
+                        y.reshape(b_ * h_ * w_, c_),
+                        x.reshape(b_ * h_ * w_, c_),
+                        blk["norm"]["scale"], blk["norm"]["bias"],
+                        blk["fc1"]["kernel"].astype(x.dtype),
+                        blk["fc1"]["bias"],
+                        blk["fc2"]["kernel"].astype(x.dtype),
+                        blk["fc2"]["bias"],
+                        blk["gamma"], interpret=interpret)
+                    x = out.reshape(b_, h_, w_, c_)
+            k += 1
+    return x
+
+
+def _head(vis, x, *, project: bool):
     pooled = jnp.mean(x, axis=(1, 2))
     pre = _ln_f32(pooled, vis["head_norm"]["scale"], vis["head_norm"]["bias"])
     if not project:
@@ -88,3 +122,59 @@ def convnext_encode_fused(params, x: jax.Array, config, *,
         y = pre @ vis["head_proj"]["kernel"].astype(pre.dtype) \
             + vis["head_proj"]["bias"].astype(pre.dtype)
     return pre, y
+
+
+def convnext_encode_fused(params, x: jax.Array, config, *,
+                          project: bool = False, dtype=None,
+                          interpret: bool = False):
+    """params: the CLIP tree (``params['visual']`` = ConvNeXt tower);
+    x: [B, H, W, 3] preprocessed images.  Returns pre-projection features
+    or ``(pre, projected)`` — the framework-wide contract."""
+    vis = params["visual"]
+    if dtype is not None:
+        x = x.astype(dtype)
+    x = _stem(vis, x)
+    x = apply_convnext_blocks(vis, x, config, start=0,
+                              stop=sum(config.vision_layers),
+                              fused=True, interpret=interpret)
+    return _head(vis, x, project=project)
+
+
+def convnext_encode_hybrid(params, images: jax.Array, config,
+                           n_prefix: int, *, project: bool = False,
+                           dtype=None, interpret: bool = False, mesh=None):
+    """PEFT-training encode for ConvNeXt towers: the stem + ``n_prefix``
+    FROZEN bottom blocks run the forward-only fused kernels under
+    ``stop_gradient`` (no gradients flow below the lowest trainable
+    group), then the differentiable jnp formulation for the trainable
+    suffix + head.  The ViT/SigLIP hybrid recipe
+    (`fast_vit.vit_encode_hybrid`) applied to the ConvNeXt trunk; under
+    a pure data-parallel ``mesh`` the prefix runs per shard via
+    ``shard_map``."""
+    vis = params["visual"]
+    if dtype is not None:
+        images = images.astype(dtype)
+    total = sum(config.vision_layers)
+    if n_prefix > 0:
+        from .fast_vit import _shard_mapped_prefix
+
+        x_sg = jax.lax.stop_gradient(images)
+        w_sg = jax.lax.stop_gradient(vis)
+
+        def prefix_fn(w, xs):
+            h = _stem(w, xs)
+            return apply_convnext_blocks(w, h, config, start=0,
+                                         stop=n_prefix, fused=True,
+                                         interpret=interpret)
+
+        if mesh is not None:
+            x = _shard_mapped_prefix(prefix_fn, w_sg, x_sg, mesh)
+        else:
+            x = prefix_fn(w_sg, x_sg)
+        if dtype is not None:
+            x = x.astype(dtype)
+    else:
+        x = _stem(vis, images)
+    x = apply_convnext_blocks(vis, x, config, start=n_prefix, stop=total,
+                              fused=False)
+    return _head(vis, x, project=project)

@@ -570,6 +570,16 @@ def peft_fused_prefix_len(config, unlocked_groups: int, mesh=None,
             return 0  # sharded weights (TP/pipeline): canonical module
         if batch_size is None or batch_size % data != 0:
             return 0
+    if isinstance(config, CLIPConfig) and \
+            getattr(config, "vision_tower", "") == "convnext":
+        # MEASURED NEGATIVE in-step (r3, ab_peft_hybrid --model convnext:
+        # hybrid 74.9 vs canonical 60.9/64.0 ms/step at base_w b64,
+        # groups=2) — the fused prefix that wins 1.65x on ENCODE loses
+        # inside the scanned train step, the same in-context inversion
+        # PERF_NOTES records for the int8 SigLIP MLP.  Auto keeps the
+        # canonical module; finetune.fused_prefix > 0 still opts in
+        # (convnext_encode_hybrid, parity-tested).
+        return 0
     if not (isinstance(config, (CLIPConfig, SigLIPConfig))
             and config.is_vit):
         return 0

@@ -277,6 +277,8 @@ def _quantize_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
     the int8 prefix is off."""
     if cfg.fused_prefix <= 0 or not cfg.prefix_quant:
         return None
+    if getattr(model.config, "vision_tower", "") == "convnext":
+        return None   # no int8 ConvNeXt prefix (second-order, BENCHMARKS)
     from ..models.siglip import SigLIPConfig
 
     if isinstance(model.config, SigLIPConfig):
@@ -330,6 +332,12 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
                 params, x, model.config, cfg.fused_prefix, project=True,
                 dtype=cfg.compute_dtype, interpret=interpret, mesh=mesh,
                 qprefix=qprefix, packed_prefix=pprefix)
+        if getattr(model.config, "vision_tower", "") == "convnext":
+            from ..models.fast_convnext import convnext_encode_hybrid
+
+            return convnext_encode_hybrid(
+                params, x, model.config, cfg.fused_prefix, project=True,
+                dtype=cfg.compute_dtype, interpret=interpret, mesh=mesh)
         from ..models.fast_vit import vit_encode_hybrid
 
         return vit_encode_hybrid(
@@ -639,8 +647,11 @@ def finetune(
                 ccfg, unlocked_groups, mesh,
                 batch_size=train_view.batch_size))
         if verbose and cfg.fused_prefix:
+            n_blocks_v = (sum(ccfg.vision_layers)
+                          if getattr(ccfg, "vision_tower", "") == "convnext"
+                          else ccfg.vision_layers)
             print(f"[peft] fused frozen-prefix forward: bottom "
-                  f"{cfg.fused_prefix}/{ccfg.vision_layers} visual blocks "
+                  f"{cfg.fused_prefix}/{n_blocks_v} visual blocks "
                   "run the forward-only "
                   + ("int8 " if cfg.prefix_quant else "")
                   + "Pallas kernels"
@@ -651,11 +662,15 @@ def finetune(
         # actually be frozen — a trainable block inside the prefix would get
         # its gradients silently zeroed by the stop_gradient (bf16 path) or
         # crash on a missing frozen leaf (int8 path)
-        max_prefix = max(0, ccfg.vision_layers + 1 - unlocked_groups)
-        if not ccfg.is_vit:
+        is_convnext = getattr(ccfg, "vision_tower", "") == "convnext"
+        n_blocks = (sum(ccfg.vision_layers) if is_convnext
+                    else ccfg.vision_layers)
+        max_prefix = max(0, n_blocks + 1 - unlocked_groups)
+        if not (ccfg.is_vit or is_convnext):
             raise ValueError(
-                "finetune.fused_prefix > 0 requires a ViT-family vision "
-                "tower (the RN tower has no fused-prefix hybrid)")
+                "finetune.fused_prefix > 0 requires a ViT-family or "
+                "ConvNeXt vision tower (the RN tower has no fused-prefix "
+                "hybrid)")
         if cfg.fused_prefix > max_prefix:
             raise ValueError(
                 f"finetune.fused_prefix={cfg.fused_prefix} exceeds the "

@@ -370,3 +370,64 @@ class TestFusedEncode:
                                    atol=5e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(post), np.asarray(ref_post),
                                    atol=5e-5, rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_hybrid_forward_matches_canonical(self, tiny, rng):
+        """Fused frozen prefix + differentiable jnp suffix == canonical
+        module (interpret-mode kernels), at several prefix depths."""
+        from aihab_clip_tpu.models.fast_convnext import convnext_encode_hybrid
+
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3))
+                        .astype(np.float32))
+        ref_pre, ref_post = tiny.model.apply(
+            {"params": tiny.params}, x, method=type(tiny.model).encode_image,
+            project=True)
+        total = sum(tiny.config.vision_layers)
+        for n_prefix in (0, 1, total // 2, total):
+            pre, post = convnext_encode_hybrid(
+                tiny.params, x, tiny.config, n_prefix, project=True,
+                interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(pre), np.asarray(ref_pre), atol=5e-5, rtol=1e-4,
+                err_msg=f"n_prefix={n_prefix}")
+            np.testing.assert_allclose(
+                np.asarray(post), np.asarray(ref_post), atol=5e-5,
+                rtol=1e-4, err_msg=f"n_prefix={n_prefix}")
+
+    @pytest.mark.slow
+    def test_hybrid_suffix_grads_match_canonical(self, tiny, rng):
+        """Suffix gradients through the hybrid == canonical module grads
+        (the frozen prefix receives none by construction)."""
+        from flax import traverse_util
+
+        from aihab_clip_tpu.models.fast_convnext import convnext_encode_hybrid
+
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3))
+                        .astype(np.float32))
+        n_prefix = 2
+
+        def loss_hybrid(p):
+            _, post = convnext_encode_hybrid(p, x, tiny.config, n_prefix,
+                                             project=True, interpret=True)
+            return jnp.sum(post.astype(jnp.float32) ** 2)
+
+        def loss_canonical(p):
+            _, post = tiny.model.apply(
+                {"params": p}, x, method=type(tiny.model).encode_image,
+                project=True)
+            return jnp.sum(post.astype(jnp.float32) ** 2)
+
+        g_h = traverse_util.flatten_dict(jax.grad(loss_hybrid)(tiny.params))
+        g_c = traverse_util.flatten_dict(
+            jax.grad(loss_canonical)(tiny.params))
+        # frozen-prefix leaves get exactly zero through the hybrid
+        zeroed = [k for k, v in g_h.items()
+                  if k[0] == "visual" and not np.any(np.asarray(v))]
+        assert any("stem_conv" in "/".join(k) for k in zeroed)
+        # trainable-suffix + head grads match the canonical formulation
+        for k, v in g_h.items():
+            path = "/".join(k)
+            if np.any(np.asarray(v)):
+                np.testing.assert_allclose(
+                    np.asarray(v), np.asarray(g_c[k]), atol=2e-2, rtol=2e-3,
+                    err_msg=path)

@@ -38,8 +38,10 @@ def main():
 
     argv = sys.argv[1:]
     siglip = False
+    convnext = False
     if "--model" in argv:
         i = argv.index("--model")
+        convnext = argv[i + 1] == "convnext"
         siglip = ("tiny" if argv[i + 1] == "tiny-siglip"
                   else argv[i + 1] == "siglip")
         del argv[i:i + 2]
@@ -67,11 +69,16 @@ def main():
             bundle = load("random:ViT-SO400M-16-SigLIP2-384", seed=0,
                           dtype=jnp.bfloat16)
         n, bs, groups = 256, 16, 11  # reference-default unlock depth
+    elif convnext:
+        bundle = load("random:convnext_base_w", seed=0, dtype=jnp.bfloat16)
+        n, bs, groups = 256, 64, 2
     else:
         bundle = load("random:ViT-B/16", seed=0, dtype=jnp.bfloat16)
         n, bs, groups = 512, 64, 2
     model, params, config = bundle.model, bundle.params, bundle.config
-    prefix = config.vision_layers + 1 - groups
+    is_cnx = getattr(config, "vision_tower", "") == "convnext"
+    n_blocks = sum(config.vision_layers) if is_cnx else config.vision_layers
+    prefix = n_blocks + 1 - groups
     res, res_in = config.image_resolution, (64 if bs <= 8 else 439)
 
     steps = n // bs
@@ -87,7 +94,8 @@ def main():
     valid = jnp.ones((steps, bs), bool)
 
     mask = build_lock_mask(params, config.vision_layers,
-                           config.transformer_layers, unlocked_groups=groups)
+                           config.transformer_layers, unlocked_groups=groups,
+                           tower="convnext" if is_cnx else "")
     trainable0, frozen = partition_params(params, mask)
     if siglip:
         # image-only step (tune_text off): the frozen text tower + 256k-row
