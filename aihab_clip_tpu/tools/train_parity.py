@@ -631,8 +631,15 @@ def run_train_parity(backbone: str = "ViT-B/16", use_random: bool = True,
     peft = run_peft_train_parity(
         backbone, use_random, random_arch, weights, resolution,
         verbose=verbose)
-    report = {"prolip": prolip, "peft": peft,
-              "gate_pass": prolip["gate_pass"] and peft["gate_pass"]}
+    try:
+        import transformers  # noqa: F401 — oracle dependency
+
+        siglip = run_peft_train_parity_siglip(verbose=verbose)
+    except ImportError:
+        siglip = {"gate_pass": True, "skipped": "transformers unavailable"}
+    report = {"prolip": prolip, "peft": peft, "peft_siglip": siglip,
+              "gate_pass": (prolip["gate_pass"] and peft["gate_pass"]
+                            and siglip["gate_pass"])}
     if parity_md:
         from .parity_check import _append_parity_section
 
@@ -644,4 +651,193 @@ def run_train_parity(backbone: str = "ViT-B/16", use_random: bool = True,
     if verbose:
         print("\ntraining-parity gate:",
               "PASS" if report["gate_pass"] else "FAIL")
+    return report
+
+
+# ---------------------------------------------------------------------------
+# PEFT training parity — SigLIP family (the reference's DEFAULT backbone)
+# ---------------------------------------------------------------------------
+
+def _tiny_hf_siglip():
+    """Tiny HF SiglipModel (the torch oracle for the default-backbone
+    family; `models/convert_hf.py` is the weight bridge)."""
+    import torch
+    import transformers
+
+    cfg = transformers.SiglipConfig.from_text_vision_configs(
+        transformers.SiglipTextConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=16,
+            vocab_size=512),
+        transformers.SiglipVisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=8),
+    )
+    torch.manual_seed(0)
+    return transformers.SiglipModel(cfg).train()
+
+
+def run_peft_train_parity_siglip(epochs: int = 2,
+                                 batches_per_epoch: int = 3,
+                                 batch_size: int = 8,
+                                 lr: float = 1e-3,
+                                 tune_text: bool = True,
+                                 num_classes: int = 20,
+                                 num_templates: int = 2,
+                                 verbose: bool = True) -> Dict:
+    """Short PEFT run on a SigLIP tower, both stacks, identical pixel
+    batches — the reference's default backbone family
+    (`configs/base.yaml:33` names a SigLIP2 tag; its PEFT step semantics
+    are backbone-independent, `PEFT_openclip.py:240-279`).  The torch
+    oracle is HF ``SiglipModel`` (the same oracle the forward-parity
+    suite uses); prompts are shared token-id matrices, so this isolates
+    the TRAIN math (tokenizer parity is gated separately)."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.convert_hf import (hf_siglip_state_dict_to_params,
+                                     siglip_config_from_hf)
+    from ..models.siglip import SigLIPModel, siglip_normalize_stats
+    from ..ops.fast_warp import fast_train_transform
+    from ..train.peft import (PEFTConfig, build_lock_mask, make_train_step,
+                              partition_params, trainable_report)
+    from ..train.prolip import cosine_lr
+
+    t_model = _tiny_hf_siglip()
+    cfg = siglip_config_from_hf(t_model.config)
+    params = _copy_tree(hf_siglip_state_dict_to_params(
+        t_model.state_dict(), cfg.vision_width))
+    j_model = SigLIPModel(cfg)
+    resolution = cfg.image_resolution
+
+    data = _synthetic_split(resolution, image_size=resolution)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(1, cfg.vocab_size,
+                          size=(num_classes * num_templates,
+                                cfg.context_length)).astype(np.int32)
+
+    nmean, nstd = siglip_normalize_stats()
+
+    n_steps = epochs * batches_per_epoch
+    order = rng.permutation(len(data["train_labels"]))
+    base = np.arange(batch_size)
+    idx = [np.take(order, base + s * batch_size, mode="wrap")
+           for s in range(n_steps)]
+    labels_mod = data["train_labels"] % num_classes
+
+    peft_cfg = PEFTConfig(
+        resolution=resolution, num_classes=num_classes, lr=lr,
+        epochs=epochs, crop_mode="center", flip=False, rotation=False,
+        tune_text=tune_text, num_templates=num_templates,
+        compute_dtype=jnp.float32, fused_prefix=0)
+    mask = build_lock_mask(params, cfg.vision_layers, cfg.text_layers,
+                           unlocked_groups=cfg.vision_layers + 2,
+                           tune_text=tune_text,
+                           unlocked_text_layers=(cfg.text_layers + 2
+                                                 if tune_text else 0))
+    trainable, frozen = partition_params(params, mask)
+    rep = trainable_report(mask)
+
+    # fixed text head for the frozen-text arm: OUR initial head, shared
+    if not tune_text:
+        from ..models.text_head import compute_text_weights
+
+        text_w = np.asarray(compute_text_weights(
+            j_model, params, jnp.asarray(tokens), num_classes,
+            num_templates), np.float32)
+    else:
+        text_w = None
+
+    opt, step = make_train_step(
+        j_model, peft_cfg,
+        jnp.asarray(text_w) if text_w is not None else None,
+        jnp.asarray(tokens) if tune_text else None)
+    opt_state = opt.init(trainable)
+
+    key = jax.random.PRNGKey(0)
+    batches = []
+    for s, ids in enumerate(idx):
+        imgs = data["train_images"][ids]
+        labs = labels_mod[ids]
+        k = jax.random.fold_in(key, s)
+        x = np.asarray(fast_train_transform(
+            jnp.asarray(imgs), k, resolution, crop_mode="center",
+            flip=False, rotation=False, dtype=jnp.float32,
+            mean=nmean, std=nstd))
+        batches.append((imgs, labs, k, x))
+
+    # torch oracle: reference PEFT step semantics on HF SiglipModel
+    for name, p in t_model.named_parameters():
+        if not tune_text:
+            p.requires_grad = name.startswith("vision_model.")
+        else:
+            p.requires_grad = name not in ("logit_scale", "logit_bias")
+    opt_t = torch.optim.Adam(
+        [p for p in t_model.parameters() if p.requires_grad], lr=lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt_t, epochs)
+    ids_t = torch.from_numpy(tokens.astype(np.int64))
+
+    def torch_text_head():
+        txt = t_model.text_model(input_ids=ids_t).pooler_output
+        txt = F.normalize(txt.float(), dim=-1)
+        txt = txt.reshape(num_classes, num_templates, -1).mean(1)
+        return F.normalize(txt, dim=-1).t()
+
+    t_losses = []
+    for s, (imgs, labs, k, x) in enumerate(batches):
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+        feats = t_model.vision_model(pixel_values=xt).pooler_output
+        feats = F.normalize(feats.float(), dim=-1)
+        w = torch_text_head() if tune_text else torch.from_numpy(text_w)
+        logits = 100.0 * feats @ w
+        loss = F.cross_entropy(logits, torch.from_numpy(labs).long())
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+        t_losses.append(float(loss.detach()))
+        if (s + 1) % batches_per_epoch == 0:
+            sched.step()
+
+    our_losses = []
+    valid = jnp.ones((batch_size,), bool)
+    for s, (imgs, labs, k, x) in enumerate(batches):
+        lr_e = cosine_lr(lr, s // batches_per_epoch, epochs)
+        trainable, opt_state, metrics = step(
+            trainable, frozen, opt_state, jnp.asarray(imgs),
+            jnp.asarray(labs), valid, k, lr_e)
+        our_losses.append(float(metrics["loss"]))
+
+    from flax import traverse_util
+
+    flat_mask = traverse_util.flatten_dict(mask)
+    flat_params = traverse_util.flatten_dict(params)
+    our_elems = int(sum(np.prod(np.shape(flat_params[k]))
+                        for k, v in flat_mask.items() if v))
+    t_elems = int(sum(p.numel() for p in t_model.parameters()
+                      if p.requires_grad))
+    diffs = [abs(a - b) for a, b in zip(t_losses, our_losses)]
+    report = {
+        "family": "siglip",
+        "n_steps": n_steps,
+        "tune_text": tune_text,
+        # tensor counts differ by layout granularity (our MAP head
+        # splits HF's fused in_proj into q/k/v); ELEMENT counts gate
+        "torch_trainable_params": t_elems,
+        "ours_trainable_params": our_elems,
+        "ours_trainable_tensors": rep["num_trainable"],
+        "loss_trail_ref": [round(v, 6) for v in t_losses],
+        "loss_trail_ours": [round(v, 6) for v in our_losses],
+        "loss_max_abs_diff": max(diffs),
+    }
+    report["gate_pass"] = (
+        report["loss_max_abs_diff"] <= PEFT_GATE_MAX_LOSS_DIFF
+        and report["torch_trainable_params"]
+        == report["ours_trainable_params"])
+    if verbose:
+        print("\n==== PEFT training parity (SigLIP) ====")
+        for k_, v in report.items():
+            print(f"{k_}: {v}")
     return report

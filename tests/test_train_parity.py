@@ -45,3 +45,21 @@ def test_peft_training_parity_vs_reference_frozen_text():
     assert report["torch_trainable_tensors"] == report["ours_trainable_tensors"]
     assert report["loss_max_abs_diff"] <= PEFT_GATE_MAX_LOSS_DIFF, report
     assert report["gate_pass"]
+
+
+@pytest.mark.slow
+def test_peft_training_parity_siglip_vs_hf_oracle():
+    """The reference's DEFAULT backbone family: reference PEFT step
+    semantics on HF SiglipModel vs our jitted step on the converted
+    tower — identical pixels, shared token ids."""
+    from aihab_clip_tpu.tools.train_parity import run_peft_train_parity_siglip
+
+    pytest.importorskip("transformers")
+    report = run_peft_train_parity_siglip(verbose=False, tune_text=True)
+    assert report["torch_trainable_params"] == report["ours_trainable_params"]
+    assert report["loss_max_abs_diff"] <= PEFT_GATE_MAX_LOSS_DIFF, report
+    assert report["gate_pass"]
+
+    report2 = run_peft_train_parity_siglip(verbose=False, tune_text=False,
+                                           epochs=1)
+    assert report2["gate_pass"], report2
