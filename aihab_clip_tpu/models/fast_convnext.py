@@ -64,9 +64,28 @@ def _block_jnp(blk, x):
     return x + y * blk["gamma"].astype(x.dtype)
 
 
+def quantize_convnext_mlp(params, config):
+    """Per-block int8 (w8, scale) pairs for fc1/fc2 (jnp ops — load time
+    or in-jit).  Convs, LNs, gamma, stem and head stay bf16/f32."""
+    from ..ops.quant import quantize_weight
+
+    vis = params["visual"]
+    q = {}
+    for s, depth in enumerate(tuple(config.vision_layers)):
+        for b in range(depth):
+            blk = vis[f"stage{s}_block{b}"]
+            w1_8, s1 = quantize_weight(blk["fc1"]["kernel"])
+            w2_8, s2 = quantize_weight(blk["fc2"]["kernel"])
+            q[f"stage{s}_block{b}"] = {
+                "fc1": {"w8": w1_8, "scale": s1},
+                "fc2": {"w8": w2_8, "scale": s2},
+            }
+    return q
+
+
 def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
                           stop: int, fused: bool = True,
-                          interpret: bool = False):
+                          qmlp=None, interpret: bool = False):
     """Run ConvNeXt trunk blocks [start, stop) (GLOBAL depth-order index
     over all stages) on ``x``, applying each stage's downsample before
     its first in-range block (a stage's downsample belongs to its first
@@ -89,6 +108,23 @@ def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
                 blk = vis[f"stage{s}_block{b}"]
                 if not fused:
                     x = _block_jnp(blk, x)
+                elif qmlp is not None:
+                    from ..ops.quant_matmul import quant_convnext_mlp_block
+
+                    qb = qmlp[f"stage{s}_block{b}"]
+                    b_, h_, w_, c_ = x.shape
+                    y = _conv(x, blk["dwconv"], stride=1, padding="SAME",
+                              groups=c_)
+                    out = quant_convnext_mlp_block(
+                        y.reshape(b_ * h_ * w_, c_),
+                        x.reshape(b_ * h_ * w_, c_),
+                        blk["norm"]["scale"], blk["norm"]["bias"],
+                        qb["fc1"]["w8"], qb["fc1"]["scale"],
+                        blk["fc1"]["bias"],
+                        qb["fc2"]["w8"], qb["fc2"]["scale"],
+                        blk["fc2"]["bias"],
+                        blk["gamma"], interpret=interpret)
+                    x = out.reshape(b_, h_, w_, c_)
                 else:
                     b_, h_, w_, c_ = x.shape
                     y = _conv(x, blk["dwconv"], stride=1, padding="SAME",
@@ -126,17 +162,19 @@ def _head(vis, x, *, project: bool):
 
 def convnext_encode_fused(params, x: jax.Array, config, *,
                           project: bool = False, dtype=None,
-                          interpret: bool = False):
+                          qmlp=None, interpret: bool = False):
     """params: the CLIP tree (``params['visual']`` = ConvNeXt tower);
     x: [B, H, W, 3] preprocessed images.  Returns pre-projection features
-    or ``(pre, projected)`` — the framework-wide contract."""
+    or ``(pre, projected)`` — the framework-wide contract.  ``qmlp``
+    (from :func:`quantize_convnext_mlp`) switches every block MLP to the
+    W8A8 int8 kernel (the serving density path); convs stay bf16."""
     vis = params["visual"]
     if dtype is not None:
         x = x.astype(dtype)
     x = _stem(vis, x)
     x = apply_convnext_blocks(vis, x, config, start=0,
                               stop=sum(config.vision_layers),
-                              fused=True, interpret=interpret)
+                              fused=True, qmlp=qmlp, interpret=interpret)
     return _head(vis, x, project=project)
 
 

@@ -286,6 +286,79 @@ def quant_mlp_block_fused(x, w1_8, w1_scale, b1, w2_8, w2_scale, b2,
     return out[:m]
 
 
+def _convnext_mlp_kernel_int8(y_ref, res_ref, ln_s_ref, ln_b_ref, w1_ref,
+                              s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                              g_ref, o_ref, *, act: str, ln_eps: float):
+    """int8 ConvNeXt MLP sub-block on a row tile: LN(y) -> quantize ->
+    W8A8 fc1 -> GELU -> requantize (in VMEM) -> W8A8 fc2 -> gamma ->
+    + residual.  The `_mlp_block_kernel_int8` structure with ConvNeXt's
+    quirks: eps-1e-6 LN, layer-scale gamma, residual DISTINCT from the
+    LN input (y = dwconv output), exact-GELU via `gelu_poly`."""
+    y = y_ref[:].astype(jnp.float32)                       # [TM, C]
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    ln = (y - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = ln * ln_s_ref[:][None, :] + ln_b_ref[:][None, :]
+    amax = jnp.max(jnp.abs(ln), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(ln / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot(x8, w1_ref[:],
+                      preferred_element_type=jnp.int32)    # [TM, H]
+    h = acc.astype(jnp.float32) * (sx * s1_ref[:][None, :])
+    h = _apply_act(h + b1_ref[:][None, :], act)
+    hmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    hs = jnp.maximum(hmax, 1e-12) * (1.0 / 127.0)
+    h8 = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot(h8, w2_ref[:],
+                       preferred_element_type=jnp.int32)   # [TM, C]
+    out = acc2.astype(jnp.float32) * (hs * s2_ref[:][None, :])
+    out = (out + b2_ref[:][None, :]) * g_ref[:][None, :]
+    o_ref[:] = (res_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def quant_convnext_mlp_block(y, residual, ln_scale, ln_bias, w1_8,
+                             w1_scale, b1, w2_8, w2_scale, b2, gamma, *,
+                             act: str = "gelu_poly", ln_eps: float = 1e-6,
+                             tile_m: int = 0, interpret: bool = False):
+    """``residual + gamma * int8_fc2(GELU(int8_fc1(LN(y))))`` over
+    [M, C] rows — the int8 twin of `block_kernel.convnext_mlp_block`.
+    int8 halves the weight pair, so even the widest base_w stage
+    (C=1024, H=4096: 8.4 MB) fits one kernel unchunked."""
+    m, c = y.shape
+    hidden = w1_8.shape[1]
+    if not tile_m:
+        weights = c * hidden + hidden * c
+        bufs128 = 128 * (c * 13 + hidden * 9)
+        tile_m = 128 if weights + bufs128 <= int(17 * 1024 * 1024) else 64
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+    if m_pad != m:
+        y = jnp.pad(y, ((0, m_pad - m), (0, 0)))
+        residual = jnp.pad(residual, ((0, m_pad - m), (0, 0)))
+    row = pl.BlockSpec((tile_m, c), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    vec_h = pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_convnext_mlp_kernel_int8, act=act, ln_eps=ln_eps),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), y.dtype),
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            row, row, vec_c, vec_c,
+            pl.BlockSpec((c, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM), vec_h, vec_h,
+            pl.BlockSpec((hidden, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM), vec_c, vec_c, vec_c,
+        ],
+        out_specs=row,
+        interpret=interpret,
+    )(y, residual, jnp.asarray(ln_scale, jnp.float32),
+      jnp.asarray(ln_bias, jnp.float32),
+      w1_8, jnp.asarray(w1_scale, jnp.float32), jnp.asarray(b1, jnp.float32),
+      w2_8, jnp.asarray(w2_scale, jnp.float32), jnp.asarray(b2, jnp.float32),
+      jnp.asarray(gamma, jnp.float32))
+    return out[:m]
+
+
 def _dispatch_kernel(*refs, act: str, has_res: bool, has_ln: bool,
                      ln_eps: float = 1e-5):
     """refs order: x, w8, ws, b, [ln_scale, ln_bias], [residual], out."""

@@ -192,6 +192,22 @@ class ClassifierEngine:
                 def encode(p, x):
                     return siglip_encode_int8(p[0], p[1], x, bundle.config,
                                               project=True)[1]
+            elif getattr(bundle.config, "vision_tower", "") == "convnext":
+                from .models.fast_convnext import (
+                    convnext_encode_fused,
+                    quantize_convnext_mlp,
+                )
+
+                weights = (params,
+                           quantize_convnext_mlp(params, bundle.config))
+                # interpret-mode kernels off-TPU (tests; production int8
+                # serving is a TPU path)
+                interp = dispatch_backend() != "tpu"
+
+                def encode(p, x):
+                    return convnext_encode_fused(
+                        p[0], x, bundle.config, project=True, qmlp=p[1],
+                        interpret=interp)[1]
             elif bundle.config.is_vit:
                 from .models.quant_vit import (
                     quantize_vit_params,
@@ -205,7 +221,8 @@ class ClassifierEngine:
                                            project=True)[1]
             else:
                 raise ValueError(
-                    "quantize='int8' requires a ViT/SigLIP backbone")
+                    "quantize='int8' requires a ViT/SigLIP/ConvNeXt "
+                    "backbone")
         elif quantize == "none":
             from .models.fast_vit import encode_image_fastest
 

@@ -431,3 +431,66 @@ class TestFusedEncode:
                 np.testing.assert_allclose(
                     np.asarray(v), np.asarray(g_c[k]), atol=2e-2, rtol=2e-3,
                     err_msg=path)
+
+    def test_int8_mlp_kernel_parity(self, rng):
+        """W8A8 ConvNeXt MLP kernel vs the f32 math with identically
+        quantized weights (activation-quantization noise bounded)."""
+        from aihab_clip_tpu.ops.quant import quantize_weight
+        from aihab_clip_tpu.ops.quant_matmul import quant_convnext_mlp_block
+
+        m, c = 96, 64
+        y = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+        res = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+        ln_s = jnp.asarray(rng.normal(size=c).astype(np.float32)) * .1 + 1
+        ln_b = jnp.asarray(rng.normal(size=c).astype(np.float32)) * .1
+        w1 = jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)) * .05
+        b1 = jnp.asarray(rng.normal(size=4 * c).astype(np.float32)) * .05
+        w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)) * .05
+        b2 = jnp.asarray(rng.normal(size=c).astype(np.float32)) * .05
+        g = jnp.asarray(rng.normal(size=c).astype(np.float32)) * .2
+        w1_8, s1 = quantize_weight(w1)
+        w2_8, s2 = quantize_weight(w2)
+
+        got = np.asarray(quant_convnext_mlp_block(
+            y, res, ln_s, ln_b, w1_8, s1, b1, w2_8, s2, b2, g,
+            interpret=True))
+
+        xf = np.asarray(y, np.float64)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        ln = (xf - mean) / np.sqrt(var + 1e-6) * np.asarray(ln_s) \
+            + np.asarray(ln_b)
+        h = ln @ np.asarray(w1_8, np.float64) * np.asarray(s1)
+        import scipy.special as sp
+
+        h = h + np.asarray(b1)
+        h = 0.5 * h * (1.0 + sp.erf(h / np.sqrt(2.0)))
+        out = h @ np.asarray(w2_8, np.float64) * np.asarray(s2)
+        want = np.asarray(res) + (out + np.asarray(b2)) * np.asarray(g)
+        # activation quantization (per-row 127-level) bounds the error
+        denom = np.abs(want).max()
+        assert np.abs(got - want).max() / denom < 0.05
+        cos = (got * want).sum() / (np.linalg.norm(got)
+                                    * np.linalg.norm(want))
+        assert cos > 0.999
+
+    def test_int8_encode_cosine_vs_bf16(self, tiny, rng):
+        """Whole-tower int8 features stay aligned with the fused bf16
+        path (the serving-density accuracy bound)."""
+        from aihab_clip_tpu.models.fast_convnext import (
+            convnext_encode_fused,
+            quantize_convnext_mlp,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3))
+                        .astype(np.float32))
+        _, ref = convnext_encode_fused(tiny.params, x, tiny.config,
+                                       project=True, interpret=True)
+        qmlp = quantize_convnext_mlp(tiny.params, tiny.config)
+        _, q = convnext_encode_fused(tiny.params, x, tiny.config,
+                                     project=True, qmlp=qmlp,
+                                     interpret=True)
+        ref, q = np.asarray(ref, np.float64), np.asarray(q, np.float64)
+        cos = (ref * q).sum(-1) / (np.linalg.norm(ref, axis=-1)
+                                   * np.linalg.norm(q, axis=-1))
+        assert cos.min() > 0.99, cos

@@ -113,9 +113,11 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--components", action="store_true",
                    help="bench per-stage block components instead of e2e")
-    p.add_argument("--impl", default="fastest", choices=["fastest", "xla"],
+    p.add_argument("--impl", default="fastest",
+                   choices=["fastest", "xla", "int8"],
                    help="fastest = dispatched path (fused MLP kernels); "
-                        "xla = canonical Flax module (A/B control)")
+                        "xla = canonical Flax module (A/B control); "
+                        "int8 = W8A8 MLP kernels (serving density path)")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip bf16 peak for the MFU figure (v5e measured "
                         "GEMM ceiling, PERF_NOTES.md)")
@@ -143,12 +145,27 @@ def main():
     imgs = jnp.asarray(rng.integers(0, 256, size=(bs, res, res, 3),
                                     dtype=np.uint8))
 
+    qmlp = None
+    if args.impl == "int8":
+        import jax as _jax
+
+        from aihab_clip_tpu.models.fast_convnext import quantize_convnext_mlp
+
+        qmlp = _jax.jit(lambda p: quantize_convnext_mlp(p, config))(params)
+
     def one(params, images_u8):
         x = eval_transform(images_u8, res, dtype=jnp.bfloat16)
         if args.impl == "xla":
             _, feats = bundle.model.apply(
                 {"params": params}, x,
                 method=type(bundle.model).encode_image, project=True)
+        elif args.impl == "int8":
+            from aihab_clip_tpu.models.fast_convnext import (
+                convnext_encode_fused,
+            )
+
+            _, feats = convnext_encode_fused(params, x, config,
+                                             project=True, qmlp=qmlp)
         else:
             _, feats = encode_image_fastest(bundle.model, params, x, config,
                                             project=True)
