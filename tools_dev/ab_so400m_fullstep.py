@@ -175,17 +175,29 @@ def main():
                 f"{str(e).splitlines()[0][:200]}")
             results[tag] = None
             continue
-        t0 = time.perf_counter()
-        run(e_short)
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(e_long)
-        tl = time.perf_counter() - t0
-        ms = (tl - ts) / ((e_long - e_short) * steps) * 1e3
+        # 3 paired windows, report the MIN (PERF_NOTES "Measurement
+        # variance warning": identical compiled arms have measured
+        # 108.8 vs 385.3 ms back-to-back through the shared tunnel, and
+        # a single-sample diff once produced a physically impossible
+        # 138% 'MFU' reading — single samples at this config are
+        # meaningless)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(e_short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(e_long)
+            tl = time.perf_counter() - t0
+            samples.append((tl - ts) / ((e_long - e_short) * steps) * 1e3)
+        ms = min(samples)
         mfu = gflops / (ms / 1e3) / 1e3 / peak
-        log(f"  {tag}: {ms:.1f} ms/step -> {bs / ms * 1e3:,.0f} img/s, "
+        log(f"  {tag}: {ms:.1f} ms/step (samples "
+            f"{[round(v, 1) for v in samples]}) -> "
+            f"{bs / ms * 1e3:,.0f} img/s, "
             f"training MFU {mfu:.1%} (compile {t_compile:.0f}s)")
         results[tag] = {"ms_per_step": round(ms, 1),
+                        "ms_samples": [round(v, 1) for v in samples],
                         "img_per_s": round(bs / ms * 1e3),
                         "train_mfu": round(mfu, 4),
                         "compile_s": round(t_compile)}
