@@ -373,7 +373,10 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     mlp_whole = kernel_act_ok and pair_bytes <= MLP_WHOLE_KERNEL_MAX_BYTES
     mlp_chunks = 0
     if not mlp_whole and kernel_act_ok:
-        for n in (2, 3, 4):
+        # extend past 4 for the widest towers: ViT-bigG's 54.5 MB pair
+        # needs 8 chunks (6.8 MB each); the per-op ln_matmul fallback
+        # would try to hold the whole c_fc resident and crash Mosaic
+        for n in (2, 3, 4, 6, 8):
             if hidden % n == 0 and pair_bytes // n <= MLP_WHOLE_KERNEL_MAX_BYTES:
                 mlp_chunks = n
                 break
