@@ -196,11 +196,32 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
                 blk["ln_1"]["scale"], blk["ln_1"]["bias"], heads,
                 interpret=interpret,
                 padded_io=True, seq_len=seq_len)
-        x2 = quant_mlp_block_fused(
-            x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
-            pr["w8"], pr["scale"], pr["bias"],
-            blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-            act=act, interpret=interpret)
+        hidden = fc["w8"].shape[1]
+        if width * hidden * 2 <= 12 * 2 ** 20:
+            x2 = quant_mlp_block_fused(
+                x.reshape(b * s, width), fc["w8"], fc["scale"], fc["bias"],
+                pr["w8"], pr["scale"], pr["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                act=act, interpret=interpret)
+        else:
+            # towers whose int8 MLP pair alone approaches physical VMEM
+            # (ViT-g: 17.3 MB — measured scoped-vmem OOM at any row
+            # tile, r3) take the chained qout->q8in pair: only ONE
+            # weight matrix resident per kernel, the int8 hidden crosses
+            # HBM at 1 byte/elem
+            from ..ops.quant_matmul import (
+                quant_matmul_fused_qout,
+                quant_matmul_q8in,
+            )
+
+            x2 = x.reshape(b * s, width)
+            hdn8, hsc = quant_matmul_fused_qout(
+                x2, fc["w8"], fc["scale"], fc["bias"],
+                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
+                act=act, interpret=interpret)
+            x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
+                                   pr["bias"], residual=x2,
+                                   interpret=interpret)
         x = x2.reshape(b, s, width)
     if not merge and s_pad != seq_len:
         x = x[:, :seq_len, :]
