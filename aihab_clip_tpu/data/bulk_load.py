@@ -213,6 +213,13 @@ def load_folders(
         from ..native import native_prescale_supported
 
         prescale = native_prescale_supported()
+    # the decode-rule version the LIBRARY reports (not which symbols
+    # exist): a stale .so with the v2 entry point but the pre-r3
+    # m-selection rule produces different pixels and must not share a
+    # cache key with current builds (ADVICE r3)
+    from ..native import native_decode_rule_version
+
+    decode_rule = native_decode_rule_version() if prescale else 0
 
     if cache_dir is not None:
         # the key must change when the DATASET changes, not just its
@@ -228,13 +235,14 @@ def load_folders(
             ip = fp / idx_name
             st = ip.stat() if ip.is_file() else None
             content.append([st.st_size, st.st_mtime_ns] if st else None)
-        # "v2": the prescale scale-selection changed (SIMD-fast m only,
-        # r3) — pixel values differ for 2x..4x sources, so keyed caches
-        # from the old rule must not be reused
+        # the decode-rule version keys the prescale pixels: rule 2 is the
+        # r3 SIMD-fast m selection; a pre-version .so keys as rule 1 and
+        # cannot reuse rule-2 caches (or vice versa)
         key = hashlib.sha1(json.dumps(
             [list(map(str, folder_paths)), list(index_file_names),
              resize_dim, channel_order,
-             "prescale_v2" if prescale else False, content]).encode()
+             f"prescale_rule{decode_rule}" if prescale else False,
+             content]).encode()
         ).hexdigest()[:16]
         cpath = Path(cache_dir) / f"bulk_{key}"
         if (cpath / "images.npy").is_file():

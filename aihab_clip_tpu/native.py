@@ -149,6 +149,22 @@ def native_prescale_supported() -> bool:
     return lib is not None and hasattr(lib, "bulk_decode_resize2")
 
 
+def native_decode_rule_version() -> int:
+    """Decode-rule/ABI version reported by the loaded library itself
+    (``image_pipeline_abi_version``), so Python-side cache keys track the
+    binary's ACTUAL decode behavior — not just which symbols exist.  A
+    stale pre-version .so (has ``bulk_decode_resize2`` but not the version
+    export, i.e. the pre-SIMD-rule build) reports 1; no library reports 0."""
+    lib = _img_lib()
+    if lib is None:
+        return 0
+    if not hasattr(lib, "image_pipeline_abi_version"):
+        return 1
+    lib.image_pipeline_abi_version.restype = ctypes.c_int
+    lib.image_pipeline_abi_version.argtypes = []
+    return int(lib.image_pipeline_abi_version())
+
+
 def native_bulk_decode_resize(
     paths: List[str], resize_dim: int, num_threads: int = 0,
     prescale_min: int = 0,

@@ -376,7 +376,7 @@ def run_peft(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
         fused_prefix=_resolve_fused_prefix(ft_cfg.get("fused_prefix", "auto")),
         prefix_quant=bool(ft_cfg.get("fused_prefix_quant", False)),
         scan_blocks=bool(ft_cfg.get("scan_blocks", False)),
-        scan_remat=bool(ft_cfg.get("scan_remat", False)),
+        scan_remat=bool(ft_cfg.get("scan_remat", True)),
         lora_rank=int(ft_cfg.get("lora_rank", 0)),
         lora_alpha=float(ft_cfg.get("lora_alpha", 16.0)),
         lora_mlp=bool(ft_cfg.get("lora_mlp", False)),

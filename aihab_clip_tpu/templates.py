@@ -194,8 +194,8 @@ def gen_prompts(
     if use_descriptive and len(base_templates) != len(desc_templates):
         raise ValueError(
             "Descriptive templates enabled but template counts differ: "
-            f"{len(desc_templates)} (descriptive) vs {len(base_templates)} (base). "
-            "Please make them consistent."
+            f"{len(desc_templates)} (descriptive) vs {len(base_templates)} "
+            "(base); every base template needs a descriptive counterpart."
         )
 
     templates_per_class = len(desc_templates) if use_descriptive else len(base_templates)

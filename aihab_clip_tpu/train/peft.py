@@ -350,9 +350,10 @@ def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,
         if isinstance(model.config, SigLIPConfig):
             from ..models.fast_siglip import siglip_encode_scan
 
-            # cfg.scan_remat: the r2 grad-of-scan compiler crash is fixed
-            # in the r3 toolchain (repro_scan_crash.py arm4 ok), so remat
-            # is now an opt-in workaround/memory knob, not a default tax
+            # cfg.scan_remat stays True by default: the un-remat'd
+            # grad-of-scan body still crashes the XLA:TPU compiler at
+            # SO400M shapes (PERF_NOTES "Standing re-probes" r3).
+            # scan_remat=False is the probe/opt-out, not the default.
             return siglip_encode_scan(params, x, model.config, project=True,
                                       dtype=cfg.compute_dtype,
                                       remat=cfg.scan_remat)

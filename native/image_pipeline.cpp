@@ -411,6 +411,13 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
 
 extern "C" {
 
+// Decode-rule/ABI version of this library.  Bump whenever the PIXELS a
+// given (path, resize_dim, prescale_min) call produces can change — e.g.
+// the prescale m-selection rule — so Python-side decoded-array cache keys
+// can track the actual decode behavior instead of just probing symbols.
+//   2 = SIMD-fast m-selection (m in {1,2,4} else full res), r3 rule.
+int image_pipeline_abi_version(void) { return 2; }
+
 // Decode+resize a list of JPEG paths into out [n, resize_dim, resize_dim, 3]
 // (RGB, uint8, preallocated). paths: '\n'-joined. ok[i] set 1 on success.
 // Returns the number of successfully decoded images.
