@@ -112,7 +112,13 @@ def _eval_weight_mats(h: int, w: int, resolution: int):
         nh, nw = int(resolution * h / w), resolution
     mh = _resize_weight_mat(h, nh)
     mw = _resize_weight_mat(w, nw)
-    top, left = (nh - resolution) // 2, (nw - resolution) // 2
+    # torchvision center_crop: crop_top = int(round((H - crop_h) / 2.0)) —
+    # Python banker's rounding, NOT floor division: for odd differences
+    # with an odd half (diff % 4 == 3) round() lands one row LOWER than
+    # floor-div (round(17.5) = 18), and the reference's crop window
+    # shifts with it (torchvision _geometry.center_crop)
+    top, left = (int(round((nh - resolution) / 2.0)),
+                 int(round((nw - resolution) / 2.0)))
     return (mh[top:top + resolution], mw[left:left + resolution])
 
 

@@ -52,6 +52,103 @@ def test_eval_transform_non_square(rng):
     assert out.shape == (2, 64, 64, 3)
 
 
+def _pil_reference_chain(img: np.ndarray, res: int) -> np.ndarray:
+    """torchvision Resize(res, BICUBIC) + CenterCrop(res) emulated with
+    PIL: shorter side -> res with the long side TRUNCATED
+    (int(res * long / short)), then the banker's-rounded crop offset
+    (crop_top = int(round((H - res) / 2.0)), torchvision
+    _geometry.center_crop).  Reference semantics:
+    /root/reference/clip/clip.py:74-81."""
+    h, w = img.shape[:2]
+    if h <= w:
+        nh, nw = res, int(res * w / h)
+    else:
+        nh, nw = int(res * h / w), res
+    arr = np.asarray(
+        Image.fromarray(img).resize((nw, nh), Image.BICUBIC),
+        dtype=np.float32)
+    top = int(round((nh - res) / 2.0))
+    left = int(round((nw - res) / 2.0))
+    return arr[top:top + res, left:left + res]
+
+
+@pytest.mark.parametrize("h,w,res", [
+    (80, 120, 64),      # landscape, even crop diff
+    (585, 439, 224),    # portrait CS-camera aspect at full eval size
+    (64, 131, 64),      # odd crop diff (67), round()==floor (33)
+    (64, 133, 64),      # odd crop diff (69) with odd half: round(34.5)=34
+])
+def test_eval_transform_non_square_values(rng, h, w, res):
+    """VALUE-level PIL parity on non-square inputs — the shorter-side
+    resize + center-crop geometry matters here (the square golden above
+    degenerates to a plain resize).  Serving/predict feed arbitrary
+    aspect ratios through this exact path (VERDICT r3 item 6)."""
+    img = _rand_u8(rng, b=1, h=h, w=w)[0]
+    ref = _pil_reference_chain(img, res)
+
+    ours = np.asarray(eval_transform(jnp.asarray(img[None]), res))[0]
+    ours_px = (ours * np.array(CLIP_STD) + np.array(CLIP_MEAN)) * 255.0
+
+    err = np.abs(ours_px - ref)
+    assert err.mean() < 1.0, f"mean {err.mean():.2f}"
+    assert np.percentile(err, 99) < 4.0
+
+
+def test_serving_decode_eval_golden():
+    """Serving/predict-path golden: JPEG bytes -> decode (native
+    memory-source decoder or the cv2 fallback, both bound to the
+    reference's cv2.imdecode + square cv2.resize contract,
+    /root/reference/data/dataset.py:117-120) -> eval_transform, checked
+    value-level against the cv2 reference decode + an f64 AA-bicubic
+    resize + normalize chain."""
+    cv2 = pytest.importorskip("cv2")
+    from aihab_clip_tpu.native import native_decode_resize_mem
+    from aihab_clip_tpu.ops.preprocess import _eval_weight_mats
+
+    # smooth photo-like non-square source (pure noise is adversarial to
+    # JPEG and would measure codec error, not pipeline error)
+    hh, ww = 585, 439
+    yy, xx = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    img = np.stack([
+        127 + 90 * np.sin(yy / 37.0) * np.cos(xx / 23.0),
+        127 + 80 * np.cos(yy / 53.0 + 1.0),
+        127 + 70 * np.sin(xx / 41.0 + 2.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    ok, buf = cv2.imencode(
+        ".jpg", img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+    assert ok
+    data = buf.tobytes()
+    decode_dim, res = 439, 224
+
+    # the serving engine's decode contract (serving.py decode_bytes):
+    # native memory-source decoder with DCT prescale, cv2 fallback
+    dec = native_decode_resize_mem(data, decode_dim,
+                                   prescale_min=2 * decode_dim)
+    if dec is None:
+        bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        dec = cv2.cvtColor(cv2.resize(bgr, (decode_dim, decode_dim)),
+                           cv2.COLOR_BGR2RGB)
+
+    # reference decode: cv2 + square resize (the bulk-loader semantics);
+    # at this source size the prescale rule decodes full-res, so the
+    # native decode must agree with cv2 almost everywhere
+    bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    ref_dec = cv2.cvtColor(cv2.resize(bgr, (decode_dim, decode_dim)),
+                           cv2.COLOR_BGR2RGB)
+    dec_err = np.abs(dec.astype(np.int32) - ref_dec.astype(np.int32))
+    assert dec_err.mean() < 1.0, f"decode mean |d| {dec_err.mean():.2f}"
+
+    # eval_transform on the decoded square vs the f64 reference chain
+    ours = np.asarray(eval_transform(jnp.asarray(dec[None]), res))[0]
+    rh, rw = _eval_weight_mats(decode_dim, decode_dim, res)
+    ref = np.einsum("oh,hwc->owc", rh.astype(np.float64),
+                    dec.astype(np.float64))
+    ref = np.einsum("pw,owc->opc", rw.astype(np.float64), ref)
+    ref = (ref / 255.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+    err = np.abs(ours - ref)
+    assert err.max() < 0.01, f"eval max |d| {err.max():.4f}"  # ~0.3 px
+
+
 def test_normalize_stats_per_family(rng):
     """SigLIP pipelines must normalize with 0.5/0.5, CLIP with CLIP stats;
     the transforms must honor the (mean, std) arguments."""
