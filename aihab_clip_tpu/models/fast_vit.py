@@ -403,9 +403,16 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     # measured 57.8 vs 58.3 ms unchunked for the 12-block ViT-B tower)
     full_chunks = 2 if hidden % 2 == 0 else 1
     n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
+    # short-sequence towers under-fill the merged kernel's GEMM M tiles
+    # (ViT-B/32: S_pad=64 -> every GEMM runs at M=64); batching G images
+    # into one program fills them (tools_dev/ab_vitb32.py A/B; dispatch
+    # default set from that measurement).  AIHAB_FULL_BLOCK_G overrides.
+    full_g = 1
+    if os.environ.get("AIHAB_FULL_BLOCK_G"):
+        full_g = int(os.environ["AIHAB_FULL_BLOCK_G"])
     return dict(merge=merge, attn_split=attn_split, mlp_whole=mlp_whole,
                 mlp_chunks=mlp_chunks, full_chunks=full_chunks,
-                n_groups=n_groups, heads=heads, width=width,
+                n_groups=n_groups, heads=heads, width=width, full_g=full_g,
                 act="gelu_poly" if gelu_poly else config.act)
 
 
@@ -456,7 +463,8 @@ def _apply_fused_blocks(vp, x, config: CLIPConfig, dtype, *, start: int,
                 jnp.asarray(blk["mlp"]["c_proj"]["kernel"], dtype),
                 blk["mlp"]["c_proj"]["bias"],
                 heads, mlp_chunks=full_chunks, act=plan["act"],
-                interpret=interpret)
+                interpret=interpret,
+                images_per_program=plan.get("full_g", 1))
             continue
         if attn_split:
             n_groups = plan["n_groups"]

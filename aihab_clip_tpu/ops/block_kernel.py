@@ -888,25 +888,35 @@ def _full_block_kernel(x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
                        heads: int, seq_len: int, mlp_chunks: int,
                        act: str, attn_impl: str = "base",
                        ln_eps: float = 1e-5):
-    """One grid program per image computes the ENTIRE transformer block:
-    LN1 -> QKV -> MHA -> out-proj -> +residual -> LN2 -> c_fc -> act ->
-    c_proj -> +residual.  Versus the two-kernel dispatch this removes the
-    inter-half [B, S, W] HBM round-trip and the pipeline drain between the
-    two pallas_calls.  The MLP hidden dim is processed in ``mlp_chunks``
-    sequential slices to bound the f32 hidden tile's VMEM liveness (the
-    weights are whole either way — residency is what it is)."""
-    s_pad, width = x_ref.shape[1], x_ref.shape[2]
+    """One grid program per image GROUP computes the ENTIRE transformer
+    block: LN1 -> QKV -> MHA -> out-proj -> +residual -> LN2 -> c_fc ->
+    act -> c_proj -> +residual.  Versus the two-kernel dispatch this
+    removes the inter-half [B, S, W] HBM round-trip and the pipeline
+    drain between the two pallas_calls.  The MLP hidden dim is processed
+    in ``mlp_chunks`` sequential slices to bound the f32 hidden tile's
+    VMEM liveness (the weights are whole either way — residency is what
+    it is).  Blocks x/o are [G, S_pad, W]: short-sequence towers
+    (ViT-B/32: S_pad=64) run G images per program so every GEMM sees
+    G*S_pad rows instead of an under-filled 64-row M tile; the attention
+    core loops (image, head) as in ``_attn_block_kernel``."""
+    n_img, s_pad, width = x_ref.shape
     head_dim = width // heads
     cdt = o_ref.dtype                                     # GEMM compute dtype
-    x = x_ref[0].astype(jnp.float32)                      # [S, W]
+    x = x_ref[:].astype(jnp.float32).reshape(n_img * s_pad, width)
 
-    # ---- attention half
+    # ---- attention half (QKV/out GEMMs on the G*S row stack)
     ln1 = _ln_f32(x, ln1_s_ref[:], ln1_b_ref[:], eps=ln_eps)
     qkv = jax.lax.dot(ln1.astype(cdt), wqkv_ref[:],
                       preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[:][None, :]                      # [S, 3W] f32
-    attn = _mha_f32(qkv, heads, head_dim, width, seq_len, s_pad, cdt,
-                    attn_impl)                            # [S, W] f32
+    qkv = qkv + bqkv_ref[:][None, :]                      # [G*S, 3W] f32
+    if n_img == 1:
+        attn = _mha_f32(qkv, heads, head_dim, width, seq_len, s_pad, cdt,
+                        attn_impl)                        # [S, W] f32
+    else:
+        attn = jnp.concatenate([
+            _mha_f32(qkv[g * s_pad:(g + 1) * s_pad], heads, head_dim,
+                     width, seq_len, s_pad, cdt, attn_impl)
+            for g in range(n_img)], axis=0)               # [G*S, W] f32
     y1 = jax.lax.dot(attn.astype(cdt), wout_ref[:],
                      preferred_element_type=jnp.float32)
     y1 = y1 + bout_ref[:][None, :] + x                    # residual stream
@@ -922,22 +932,29 @@ def _full_block_kernel(x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref,
         h = _act_f32(h + bfc_ref[c * ch:(c + 1) * ch][None, :], act)
         acc = acc + jax.lax.dot(h.astype(cdt), wpr_ref[c * ch:(c + 1) * ch, :],
                                 preferred_element_type=jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    o_ref[:] = acc.reshape(n_img, s_pad, width).astype(o_ref.dtype)
 
 
 def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
                      ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj,
                      heads: int, *, mlp_chunks: int = 2,
                      act: str = "quick_gelu", attn_impl: str = "base",
-                     vmem_limit_mb: int = 0, interpret: bool = False):
+                     vmem_limit_mb: int = 0, interpret: bool = False,
+                     images_per_program: int = 1):
     """x: [B, S, W] -> full transformer block in one Pallas program per
-    image.  All weights (~14 MB bf16 at ViT-B) stay VMEM-resident across
-    the grid — only viable where the QKV/out/MLP weight set plus the
-    per-image working set fits the chip's VMEM; caller A/Bs against the
-    two-kernel dispatch."""
+    image (group).  All weights (~14 MB bf16 at ViT-B) stay VMEM-resident
+    across the grid — only viable where the QKV/out/MLP weight set plus
+    the per-image working set fits the chip's VMEM; caller A/Bs against
+    the two-kernel dispatch.  ``images_per_program`` > 1 batches G images
+    into one program so short-sequence towers (ViT-B/32: S_pad=64) fill
+    the GEMM M tiles; falls back to 1 when it does not divide the
+    batch."""
     b, s, w = x.shape
     hidden = w_fc.shape[1]
     assert hidden % mlp_chunks == 0, (hidden, mlp_chunks)
+    g = images_per_program if images_per_program > 0 else 1
+    if b % g:
+        g = 1
     s_pad = ((s + 15) // 16) * 16
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -949,9 +966,9 @@ def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
         partial(_full_block_kernel, heads=heads, seq_len=s,
                 mlp_chunks=mlp_chunks, act=act, attn_impl=attn_impl),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -969,7 +986,7 @@ def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,

@@ -320,6 +320,17 @@ def test_full_block_fused_matches_two_kernel_dispatch(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-4, rtol=5e-4)
 
+    # multi-image programs (short-sequence M-tile fill, ViT-B/32): G=2
+    # packs both images into one program; G=3 does not divide b and must
+    # fall back to the per-image grid
+    for g in (2, 3):
+        out = full_block_fused(x, g1, b1, wqkv, bqkv, wout, bout,
+                               g2, b2, wfc, bfc, wpr, bpr, heads,
+                               mlp_chunks=2, images_per_program=g,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=5e-4)
+
 
 def test_block_fused_encode_merged_vs_two_kernel_dispatch(rng):
     """merge_blocks='auto' (merged single-program blocks, the ViT-B
