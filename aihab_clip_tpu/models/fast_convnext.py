@@ -64,6 +64,73 @@ def _block_jnp(blk, x):
     return x + y * blk["gamma"].astype(x.dtype)
 
 
+# per-layer cap on the banded dw matrix (80 MB covers S=256 at C=512 —
+# base_w stage 2 — and excludes S=400 at the _320 resolutions whose
+# 164 MB/layer A traffic would exceed the conv it replaces)
+DW_MAT_MAX_BYTES = 80 * 2 ** 20
+
+
+def _banded_dw_matrix(kernel: "np.ndarray", sp: int):
+    """[7,7,1,C] depthwise kernel -> banded A [C, S, S] (S = sp*sp), SAME
+    zero padding encoded in the band structure — exact math.  Host-side
+    numpy; run once at load/dispatch time."""
+    import numpy as np
+
+    k = np.asarray(kernel, np.float32)[:, :, 0, :]
+    kh, kw, c = k.shape
+    s = sp * sp
+    a = np.zeros((c, s, s), np.float32)
+    oi, oj = np.meshgrid(np.arange(sp), np.arange(sp), indexing="ij")
+    t_flat = oi * sp + oj
+    for dy in range(kh):
+        for dx in range(kw):
+            ii = oi + dy - kh // 2
+            jj = oj + dx - kw // 2
+            m = (ii >= 0) & (ii < sp) & (jj >= 0) & (jj < sp)
+            a[:, t_flat[m], (ii * sp + jj)[m]] = k[dy, dx][:, None]
+    return a
+
+
+def build_dw_matrices(params, config, *, dtype=jnp.bfloat16,
+                      max_bytes: int = DW_MAT_MAX_BYTES):
+    """Precompute banded dw-conv matrices for every block whose spatial
+    map is small enough (stage 2/3 at the 256 resolutions): the
+    contraction-free depthwise 7x7 becomes a c-batched [B,S]x[S,S] MXU
+    GEMM — measured ~4x over XLA's depthwise lowering at stage-2 shapes
+    (tools_dev/ab_convnext_dw.py, r4).  Returns {block_key: A [C, S, S]}
+    or None; pass as ``dwmat=`` to the fused encode.  MUST be built
+    OUTSIDE jit (scattering A in-jit costs ~2x the win in HBM writes)."""
+    import numpy as np
+
+    vis = params["visual"]
+    res = config.image_resolution
+    out = {}
+    for s, depth in enumerate(tuple(config.vision_layers)):
+        sp = res // 4 // 2 ** s
+        for b in range(depth):
+            key = f"stage{s}_block{b}"
+            kern = vis[key]["dwconv"]["kernel"]
+            c = kern.shape[-1]
+            nbytes = c * (sp * sp) ** 2 * jnp.dtype(dtype).itemsize
+            if nbytes > max_bytes:
+                continue
+            out[key] = jnp.asarray(
+                _banded_dw_matrix(np.asarray(kern), sp), dtype)
+    return out or None
+
+
+def _dw(blk, x, amat):
+    """Depthwise 7x7: banded-matmul form when ``amat`` is provided, XLA
+    conv otherwise."""
+    b_, h_, w_, c_ = x.shape
+    if amat is None:
+        return _conv(x, blk["dwconv"], stride=1, padding="SAME", groups=c_)
+    flat = x.reshape(b_, h_ * w_, c_)
+    y = jnp.einsum("bsc,cts->btc", flat, amat.astype(x.dtype))
+    return (y + blk["dwconv"]["bias"].astype(x.dtype)).reshape(
+        b_, h_, w_, c_)
+
+
 def quantize_convnext_mlp(params, config):
     """Per-block int8 (w8, scale) pairs for fc1/fc2 (jnp ops — load time
     or in-jit).  Convs, LNs, gamma, stem and head stay bf16/f32."""
@@ -85,7 +152,7 @@ def quantize_convnext_mlp(params, config):
 
 def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
                           stop: int, fused: bool = True,
-                          qmlp=None, interpret: bool = False):
+                          qmlp=None, dwmat=None, interpret: bool = False):
     """Run ConvNeXt trunk blocks [start, stop) (GLOBAL depth-order index
     over all stages) on ``x``, applying each stage's downsample before
     its first in-range block (a stage's downsample belongs to its first
@@ -106,6 +173,8 @@ def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
                     x = _conv(x, vis[f"down_conv_{s}"], stride=2,
                               padding="VALID")
                 blk = vis[f"stage{s}_block{b}"]
+                amat = None if dwmat is None else \
+                    dwmat.get(f"stage{s}_block{b}")
                 if not fused:
                     x = _block_jnp(blk, x)
                 elif qmlp is not None:
@@ -113,8 +182,7 @@ def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
 
                     qb = qmlp[f"stage{s}_block{b}"]
                     b_, h_, w_, c_ = x.shape
-                    y = _conv(x, blk["dwconv"], stride=1, padding="SAME",
-                              groups=c_)
+                    y = _dw(blk, x, amat)
                     out = quant_convnext_mlp_block(
                         y.reshape(b_ * h_ * w_, c_),
                         x.reshape(b_ * h_ * w_, c_),
@@ -127,8 +195,7 @@ def apply_convnext_blocks(vis, x: jax.Array, config, *, start: int,
                     x = out.reshape(b_, h_, w_, c_)
                 else:
                     b_, h_, w_, c_ = x.shape
-                    y = _conv(x, blk["dwconv"], stride=1, padding="SAME",
-                              groups=c_)
+                    y = _dw(blk, x, amat)
                     out = convnext_mlp_block(
                         y.reshape(b_ * h_ * w_, c_),
                         x.reshape(b_ * h_ * w_, c_),
@@ -162,7 +229,7 @@ def _head(vis, x, *, project: bool):
 
 def convnext_encode_fused(params, x: jax.Array, config, *,
                           project: bool = False, dtype=None,
-                          qmlp=None, interpret: bool = False):
+                          qmlp=None, dwmat=None, interpret: bool = False):
     """params: the CLIP tree (``params['visual']`` = ConvNeXt tower);
     x: [B, H, W, 3] preprocessed images.  Returns pre-projection features
     or ``(pre, projected)`` — the framework-wide contract.  ``qmlp``
@@ -174,7 +241,8 @@ def convnext_encode_fused(params, x: jax.Array, config, *,
     x = _stem(vis, x)
     x = apply_convnext_blocks(vis, x, config, start=0,
                               stop=sum(config.vision_layers),
-                              fused=True, qmlp=qmlp, interpret=interpret)
+                              fused=True, qmlp=qmlp, dwmat=dwmat,
+                              interpret=interpret)
     return _head(vis, x, project=project)
 
 

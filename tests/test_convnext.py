@@ -344,6 +344,38 @@ class TestFusedEncode:
         np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_fused_encode_dwmat_matches_canonical(self, tiny, rng):
+        """Banded-matmul depthwise path (dwmat=) == canonical module —
+        the A matrices encode the 7x7 SAME-pad conv exactly."""
+        from aihab_clip_tpu.models.fast_convnext import (
+            build_dw_matrices,
+            convnext_encode_fused,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        pre_ref, proj_ref = tiny.model.apply(
+            {"params": tiny.params}, x, method=type(tiny.model).encode_image,
+            project=True)
+        dwmat = build_dw_matrices(tiny.params, tiny.config,
+                                  dtype=jnp.float32)
+        assert dwmat is not None and len(dwmat) == 4  # all tiny stages fit
+        pre, proj = convnext_encode_fused(tiny.params, x, tiny.config,
+                                          project=True, dwmat=dwmat,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(pre), np.asarray(pre_ref),
+                                   atol=5e-5, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
+                                   atol=5e-5, rtol=2e-4)
+
+    def test_dwmat_budget_excludes_large_maps(self, tiny):
+        """Blocks over the per-layer byte cap keep the conv path (no
+        silent multi-GB A tensors at the _320 resolutions)."""
+        from aihab_clip_tpu.models.fast_convnext import build_dw_matrices
+
+        dwmat = build_dw_matrices(tiny.params, tiny.config,
+                                  dtype=jnp.float32, max_bytes=0)
+        assert dwmat is None
+
     def test_fused_encode_sharded_matches_canonical(self, tiny, rng):
         """The DP-mesh dispatch: same fused kernels per shard via
         shard_map (GSPMD cannot partition a pallas_call)."""

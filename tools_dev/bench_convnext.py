@@ -114,10 +114,15 @@ def main():
     p.add_argument("--components", action="store_true",
                    help="bench per-stage block components instead of e2e")
     p.add_argument("--impl", default="fastest",
-                   choices=["fastest", "xla", "int8"],
-                   help="fastest = dispatched path (fused MLP kernels); "
+                   choices=["fastest", "nodw", "xla", "int8"],
+                   help="fastest = dispatched path (fused MLP kernels + "
+                        "banded-matmul dw where it fits); "
+                        "nodw = fused MLP kernels, XLA depthwise (r3 "
+                        "dispatch, A/B control); "
                         "xla = canonical Flax module (A/B control); "
                         "int8 = W8A8 MLP kernels (serving density path)")
+    p.add_argument("--dw_max_mb", type=int, default=0,
+                   help="override the per-layer banded-dw byte cap (MB)")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip bf16 peak for the MFU figure (v5e measured "
                         "GEMM ceiling, PERF_NOTES.md)")
@@ -153,7 +158,22 @@ def main():
 
         qmlp = _jax.jit(lambda p: quantize_convnext_mlp(p, config))(params)
 
-    def one(params, images_u8):
+    dwmat = None
+    if args.impl in ("fastest", "int8"):
+        from aihab_clip_tpu.models.fast_convnext import (
+            DW_MAT_MAX_BYTES,
+            build_dw_matrices,
+        )
+
+        cap = args.dw_max_mb * 2 ** 20 if args.dw_max_mb else \
+            DW_MAT_MAX_BYTES
+        dwmat = build_dw_matrices(params, config, dtype=jnp.bfloat16,
+                                  max_bytes=cap)
+        n = 0 if dwmat is None else len(dwmat)
+        log(f"banded dw matrices: {n} blocks, "
+            f"{0 if dwmat is None else sum(a.size * 2 for a in dwmat.values()) / 1e9:.2f} GB")
+
+    def one(params, dwm, images_u8):
         x = eval_transform(images_u8, res, dtype=jnp.bfloat16)
         if args.impl == "xla":
             _, feats = bundle.model.apply(
@@ -165,15 +185,29 @@ def main():
             )
 
             _, feats = convnext_encode_fused(params, x, config,
-                                             project=True, qmlp=qmlp)
+                                             project=True, qmlp=qmlp,
+                                             dwmat=dwm)
+        elif args.impl == "nodw":
+            from aihab_clip_tpu.models.fast_convnext import (
+                convnext_encode_fused,
+            )
+
+            _, feats = convnext_encode_fused(params, x, config,
+                                             project=True)
         else:
-            _, feats = encode_image_fastest(bundle.model, params, x, config,
-                                            project=True)
+            from aihab_clip_tpu.models.fast_convnext import (
+                convnext_encode_fused,
+            )
+
+            _, feats = convnext_encode_fused(params, x, config,
+                                             project=True, dwmat=dwm)
         return jnp.sum(feats.astype(jnp.float32))
 
-    def bench_n(params, images_u8, n):
+    # dwmat rides as a jit ARGUMENT: closing over the multi-GB banded
+    # matrices oversizes the remote-compile payload (HTTP 413)
+    def bench_n(params, dwm, images_u8, n):
         def body(i, acc):
-            return acc + one(params, images_u8 ^ i.astype(jnp.uint8))
+            return acc + one(params, dwm, images_u8 ^ i.astype(jnp.uint8))
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     bench = jax.jit(bench_n, static_argnames="n")
@@ -193,18 +227,18 @@ def main():
     step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     t0 = time.perf_counter()
-    float(bench(params, imgs, 2))
+    float(bench(params, dwmat, imgs, 2))
     log(f"compile+run (short chain): {time.perf_counter() - t0:.0f}s")
     t0 = time.perf_counter()
-    float(bench(params, imgs, 2 + args.iters))  # compile the long chain too
+    float(bench(params, dwmat, imgs, 2 + args.iters))  # compile long chain
     log(f"compile+run (long chain): {time.perf_counter() - t0:.0f}s")
     # timed, warm executions only (a cold remote compile inside the timed
     # window produced the bogus r2 "66 img/s" ConvNeXt reading)
     t0 = time.perf_counter()
-    float(bench(params, imgs, 2 + args.iters))
+    float(bench(params, dwmat, imgs, 2 + args.iters))
     t_long = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(bench(params, imgs, 2))
+    float(bench(params, dwmat, imgs, 2))
     t_short = time.perf_counter() - t0
     per_iter = (t_long - t_short) / args.iters
     img_s = bs / per_iter
