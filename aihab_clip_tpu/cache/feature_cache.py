@@ -316,18 +316,24 @@ def cache_features_from_loader(
                      else f"{shard_index}/{shard_count}"),
            "crop_mode": crop_mode})
 
-    from ..models.fast_vit import encode_image_fastest
+    from ..models.fast_vit import encode_image_fastest, pack_fastest
+
+    # params are static on the cache-writer path — build the per-family
+    # fast pack once (SigLIP qkv groups / ConvNeXt banded dw / folded RN)
+    pack = pack_fastest(model, params, getattr(model, "config", None),
+                        compute_dtype)
 
     @jax.jit
-    def encode_batch(params, images_u8, key):
-        # params is an ARGUMENT, not a closure constant (closing over a
-        # real tower embeds hundreds of MB into the compiled program)
+    def encode_batch(params, pk, images_u8, key):
+        # params/pack are ARGUMENTS, not closure constants (closing over
+        # a real tower embeds hundreds of MB into the compiled program)
         x = aug_fn(images_u8, key, resolution, crop_mode=crop_mode,
                    flip=bool(aug.get("flip", False)),
                    rotation=bool(aug.get("rotation", False)),
                    dtype=compute_dtype, mean=nmean, std=nstd)
         pre = encode_image_fastest(model, params, x,
-                                   getattr(model, "config", None))
+                                   getattr(model, "config", None),
+                                   packed=pk)
         # cast to the on-disk dtype ON DEVICE: numpy's fp32->fp16 convert is
         # ~0.25 GB/s and would bottleneck the cache writer
         return pre.astype(jnp.float16)
@@ -340,7 +346,7 @@ def cache_features_from_loader(
         # serialize host prep behind every device step)
         for bi, batch in enumerate(cache_view.batches()):
             key = jax.random.fold_in(base, bi)
-            pre = encode_batch(params, jnp.asarray(batch.images), key)
+            pre = encode_batch(params, pack, jnp.asarray(batch.images), key)
             if pending is not None:
                 p_pre, p_valid = pending
                 feats.append(np.asarray(p_pre)[p_valid])

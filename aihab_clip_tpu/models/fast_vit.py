@@ -178,6 +178,40 @@ def vit_encode_scan(params, images: jax.Array, config: CLIPConfig, *,
     return pre, pre @ jnp.asarray(vp["proj"], dtype)
 
 
+def pack_fastest(model, params, config, dtype=jnp.bfloat16):
+    """Build the per-family precomputed pack for ``encode_image_fastest``
+    (run ONCE at load/setup time, outside jit; pass the result through a
+    jit ARGUMENT — closing over it would embed multi-GB constants):
+
+      * SigLIP: per-head-group q/k/v regrouping (`fast_siglip`)
+      * ConvNeXt: banded depthwise matrices (`fast_convnext`, ~4x over
+        XLA's depthwise lowering at stage-2 shapes, r4)
+      * ModifiedResNet: the FrozenBN-folded conv tree (`fast_resnet`)
+      * ViT: None (nothing to precompute)
+
+    Returns None when there is nothing to pack or the backend is not
+    TPU (the canonical paths need no pack)."""
+    from .siglip import SigLIPConfig
+
+    if dispatch_backend() != "tpu":
+        return None
+    if isinstance(config, SigLIPConfig):
+        from .fast_siglip import pack_siglip_fast_params
+
+        return pack_siglip_fast_params(params, config, dtype)
+    if isinstance(config, CLIPConfig) \
+            and getattr(config, "vision_tower", "") == "convnext":
+        from .fast_convnext import build_dw_matrices
+
+        dwmat = build_dw_matrices(params, config, dtype=dtype)
+        return None if dwmat is None else {"dwmat": dwmat}
+    if isinstance(config, CLIPConfig) and not config.is_vit:
+        from .fast_resnet import fold_resnet_bn
+
+        return {"folded_rn": fold_resnet_bn(params["visual"], dtype=dtype)}
+    return None
+
+
 def encode_image_fastest(model, params, x: jax.Array, config, *,
                          project: bool = False, mesh=None, packed=None):
     """Fastest parity-tested image encode for the current backend.
@@ -211,24 +245,48 @@ def encode_image_fastest(model, params, x: jax.Array, config, *,
                 params, x, config, mesh, project=project, dtype=x.dtype)
     if (on_tpu and isinstance(config, CLIPConfig)
             and getattr(config, "vision_tower", "") == "convnext"):
-        # ConvNeXt: convs stay canonical XLA, every block's MLP half runs
-        # the fused VMEM-resident kernel (HBM-bound through XLA —
-        # BENCHMARKS.md "ConvNeXt-CLIP encode").  Pure-DP meshes run the
-        # same kernels per shard via shard_map (a pallas_call is opaque
-        # to GSPMD), exactly like the ViT/SigLIP fast paths.
+        # ConvNeXt: stem/downsample convs stay canonical XLA; every
+        # block's MLP half runs the fused VMEM-resident kernel and the
+        # depthwise 7x7 takes the banded-matmul form when the caller
+        # passes the precomputed matrices (`packed` from pack_fastest —
+        # building them in-jit would cost the win back in HBM writes).
+        # Pure-DP meshes run the same kernels per shard via shard_map
+        # (a pallas_call is opaque to GSPMD), like the ViT/SigLIP paths.
         from .fast_convnext import convnext_encode_fused
 
+        dwmat = packed.get("dwmat") if isinstance(packed, dict) else None
         if mesh is None:
             return convnext_encode_fused(params, x, config, project=project,
-                                         dtype=x.dtype)
+                                         dtype=x.dtype, dwmat=dwmat)
         if (all(v == 1 for k, v in dict(mesh.shape).items() if k != "data")
                 and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
-            def local_encode(p, xs):
-                return convnext_encode_fused(p, xs, config, project=project,
-                                             dtype=xs.dtype)
+            def local_encode(w, xs):
+                return convnext_encode_fused(w[0], xs, config,
+                                             project=project,
+                                             dtype=xs.dtype, dwmat=w[1])
 
-            return encode_fn_sharded(local_encode, params, x, mesh,
+            return encode_fn_sharded(local_encode, (params, dwmat), x, mesh,
                                      pair_output=project)
+    if (on_tpu and isinstance(config, CLIPConfig) and not config.is_vit
+            and getattr(config, "vision_tower", "") != "convnext"
+            and isinstance(packed, dict) and "folded_rn" in packed):
+        # ModifiedResNet with the FrozenBN-folded conv tree precomputed
+        # (pack_fastest): exact fold of the frozen stats into conv
+        # kernels+biases — removes the separate BN elementwise pass per
+        # conv.  Without a pack the canonical module below applies.
+        from .fast_resnet import resnet_encode_folded
+
+        if mesh is None:
+            return resnet_encode_folded(packed["folded_rn"], x, config,
+                                        project=project, dtype=x.dtype)
+        if (all(v == 1 for k, v in dict(mesh.shape).items() if k != "data")
+                and x.shape[0] % dict(mesh.shape).get("data", 1) == 0):
+            def local_encode(w, xs):
+                return resnet_encode_folded(w, xs, config, project=project,
+                                            dtype=xs.dtype)
+
+            return encode_fn_sharded(local_encode, packed["folded_rn"], x,
+                                     mesh, pair_output=project)
     if on_tpu and isinstance(config, SigLIPConfig):
         from .fast_siglip import siglip_encode_fast
 
@@ -405,9 +463,14 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     n_groups = heads // 2 if heads % 2 == 0 and heads >= 2 else heads
     # short-sequence towers under-fill the merged kernel's GEMM M tiles
     # (ViT-B/32: S_pad=64 -> every GEMM runs at M=64); batching G images
-    # into one program fills them (tools_dev/ab_vitb32.py A/B; dispatch
-    # default set from that measurement).  AIHAB_FULL_BLOCK_G overrides.
-    full_g = 1
+    # into one program fills them.  Measured at ViT-B/32 b256
+    # (tools_dev/ab_vitb32.py, r4, A/B/A): G=8 18.1 ms vs G=1 20.0-20.3
+    # (+12%, 57.4->64.6% MFU); G=2 18.6, G=4 18.3; G=16/32 crash the
+    # Mosaic compiler, so 8 is the cap.  No change for S_pad >= 128
+    # towers (ViT-B/16 runs M=208 rows already).  AIHAB_FULL_BLOCK_G
+    # overrides for A/B.
+    s_pad16 = ((seq + 15) // 16) * 16
+    full_g = 8 if merge and s_pad16 <= 64 else 1
     if os.environ.get("AIHAB_FULL_BLOCK_G"):
         full_g = int(os.environ["AIHAB_FULL_BLOCK_G"])
     return dict(merge=merge, attn_split=attn_split, mlp_whole=mlp_whole,

@@ -953,8 +953,8 @@ def full_block_fused(x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
     hidden = w_fc.shape[1]
     assert hidden % mlp_chunks == 0, (hidden, mlp_chunks)
     g = images_per_program if images_per_program > 0 else 1
-    if b % g:
-        g = 1
+    while g > 1 and b % g:
+        g //= 2          # largest power-of-two divisor <= requested
     s_pad = ((s + 15) // 16) * 16
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))

@@ -553,26 +553,32 @@ def run_prolip(cfg, bundle, loaders, logger=None, config_file: str = "cfg"
                                              max_label=num_classes)
     init_spec = ProjectorSpec.from_clip_params(params, model.config.is_vit)
 
-    from .models.fast_vit import encode_image_fastest
+    from .models.fast_vit import encode_image_fastest, pack_fastest
 
     from .ops.preprocess import normalize_stats_for
 
     nmean, nstd = normalize_stats_for(model.config)
+    # per-family fast pack (SigLIP qkv groups / ConvNeXt banded dw / RN
+    # folded BN) — params are static on this path, build once
+    pack = pack_fastest(model, params, model.config,
+                        compute_dtype_for_backend())
 
     @jax.jit
-    def encode_pre(params, images_u8):
-        # params is an ARGUMENT, not a closure constant (closing over a
-        # real tower embeds hundreds of MB into the compiled program —
+    def encode_pre(params, pk, images_u8):
+        # params/pack are ARGUMENTS, not closure constants (closing over
+        # a real tower embeds hundreds of MB into the compiled program —
         # see DEV_NOTES.md / make_train_step)
         x = eval_transform(images_u8, resolution,
                            dtype=compute_dtype_for_backend(),
                            mean=nmean, std=nstd)
-        return encode_image_fastest(model, params, x, model.config)
+        return encode_image_fastest(model, params, x, model.config,
+                                    packed=pk)
 
     def encode_split(view) -> tuple:
         feats, labs = [], []
         for batch in view.batches():
-            pre = np.asarray(encode_pre(params, jnp.asarray(batch.images)),
+            pre = np.asarray(encode_pre(params, pack,
+                                        jnp.asarray(batch.images)),
                              np.float32)[batch.valid]
             feats.append(pre)
             labs.append(batch.labels[batch.valid])

@@ -194,20 +194,24 @@ class ClassifierEngine:
                                               project=True)[1]
             elif getattr(bundle.config, "vision_tower", "") == "convnext":
                 from .models.fast_convnext import (
+                    build_dw_matrices,
                     convnext_encode_fused,
                     quantize_convnext_mlp,
                 )
 
+                on_tpu = dispatch_backend() == "tpu"
                 weights = (params,
-                           quantize_convnext_mlp(params, bundle.config))
+                           quantize_convnext_mlp(params, bundle.config),
+                           build_dw_matrices(params, bundle.config)
+                           if on_tpu else None)
                 # interpret-mode kernels off-TPU (tests; production int8
                 # serving is a TPU path)
-                interp = dispatch_backend() != "tpu"
+                interp = not on_tpu
 
                 def encode(p, x):
                     return convnext_encode_fused(
                         p[0], x, bundle.config, project=True, qmlp=p[1],
-                        interpret=interp)[1]
+                        dwmat=p[2], interpret=interp)[1]
             elif bundle.config.is_vit:
                 from .models.quant_vit import (
                     quantize_vit_params,
@@ -224,29 +228,20 @@ class ClassifierEngine:
                     "quantize='int8' requires a ViT/SigLIP/ConvNeXt "
                     "backbone")
         elif quantize == "none":
-            from .models.fast_vit import encode_image_fastest
+            from .models.fast_vit import encode_image_fastest, pack_fastest
 
-            if (isinstance(bundle.config, SigLIPConfig)
-                    and dispatch_backend() == "tpu"):
-                # pack q/k/v head groups once at load time; pass through
-                # the jit ARGUMENT (closing over them would embed them as
-                # compile-time constants)
-                from .models.fast_siglip import pack_siglip_fast_params
+            # per-family fast pack built once at load time (SigLIP qkv
+            # head groups / ConvNeXt banded dw matrices / folded-RN
+            # convs); passed through the jit ARGUMENT — closing over it
+            # would embed multi-GB constants into the compiled program
+            pack = pack_fastest(bundle.model, params, bundle.config,
+                                self._compute_dtype)
+            weights = (params, pack)
 
-                weights = (params, pack_siglip_fast_params(
-                    params, bundle.config, self._compute_dtype))
-
-                def encode(w, x):
-                    return encode_image_fastest(
-                        bundle.model, w[0], x, bundle.config,
-                        project=True, packed=w[1])[1]
-            else:
-                weights = params
-
-                def encode(p, x):
-                    return encode_image_fastest(bundle.model, p, x,
-                                                bundle.config,
-                                                project=True)[1]
+            def encode(w, x):
+                return encode_image_fastest(
+                    bundle.model, w[0], x, bundle.config,
+                    project=True, packed=w[1])[1]
         else:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

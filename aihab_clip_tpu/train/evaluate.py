@@ -43,8 +43,13 @@ def masked_ce_metrics(logits, labels, valid):
 def make_eval_step(model, resolution: int, num_classes: int,
                    compute_dtype=jnp.float32, ks=(1, 3), project: bool = True,
                    mesh=None, sharded_weights: bool = False,
-                   scan_blocks: bool = False):
+                   scan_blocks: bool = False, pack=None):
     """Build the jitted (params, text_weights, batch, state) -> state step.
+
+    ``pack``: the per-family precomputed fast pack
+    (`fast_vit.pack_fastest` — SigLIP head-group weights, ConvNeXt banded
+    dw matrices, folded-RN convs), built ONCE by the caller outside jit
+    and threaded through a jit argument.
 
     Single-device steps dispatch to the whole-block fused encode; under a
     data-parallel mesh the same kernels run per shard via shard_map
@@ -58,7 +63,7 @@ def make_eval_step(model, resolution: int, num_classes: int,
 
     from ..models.fast_vit import encode_image_fastest
 
-    def encode_proj(params, x):
+    def encode_proj(params, pk, x):
         if sharded_weights:
             # FSDP-sharded weights keep the GSPMD-partitionable canonical
             # math; scan_blocks shrinks the compiled program L-fold for
@@ -81,7 +86,7 @@ def make_eval_step(model, resolution: int, num_classes: int,
                                method=type(model).encode_image, project=True)
         return encode_image_fastest(model, params, x,
                                     getattr(model, "config", None),
-                                    project=True, mesh=mesh)
+                                    project=True, mesh=mesh, packed=pk)
 
     # per-family pixel stats (SigLIP: 0.5/0.5, CLIP: CLIP stats)
     from ..ops.preprocess import normalize_stats_for
@@ -89,11 +94,12 @@ def make_eval_step(model, resolution: int, num_classes: int,
     nmean, nstd = normalize_stats_for(model.config)
 
     @jax.jit
-    def jit_step(params, text_weights, images_u8, targets, valid, state):
+    def jit_step_inner(pk, params, text_weights, images_u8, targets, valid,
+                       state):
         x = eval_transform(images_u8, resolution, dtype=compute_dtype,
                            mean=nmean, std=nstd)
         if project:
-            _, feats = encode_proj(params, x)
+            _, feats = encode_proj(params, pk, x)
         else:
             feats = model.apply({"params": params}, x,
                                 method=type(model).encode_image)
@@ -108,6 +114,11 @@ def make_eval_step(model, resolution: int, num_classes: int,
         state = M.update_metric_state(state, logits, targets, loss=loss,
                                       ks=ks, valid_mask=valid)
         return state, logits
+
+    def jit_step(params, *args, **kw):
+        # the pack rides as a leading jit ARGUMENT (a closure constant
+        # would embed the multi-GB ConvNeXt matrices into the program)
+        return jit_step_inner(pack, params, *args, **kw)
 
     if mesh is None:
         return jit_step
@@ -145,9 +156,15 @@ def evaluate(
     With ``mesh``, batches are sharded over the ``data`` axis and the
     step runs SPMD (metric state replicates; GSPMD inserts the
     reductions)."""
-    step = eval_step or make_eval_step(
-        model, resolution, num_classes, compute_dtype, project=project,
-        mesh=mesh, sharded_weights=sharded_weights)
+    if eval_step is None:
+        from ..models.fast_vit import pack_fastest
+
+        pack = None if sharded_weights else pack_fastest(
+            model, params, model.config, compute_dtype)
+        eval_step = make_eval_step(
+            model, resolution, num_classes, compute_dtype, project=project,
+            mesh=mesh, sharded_weights=sharded_weights, pack=pack)
+    step = eval_step
     state = M.init_metric_state(num_classes)
 
     l2_acc = None
