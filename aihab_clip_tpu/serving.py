@@ -109,6 +109,7 @@ class ClassifierEngine:
         lora_alpha: float = 16.0,
         quantize: str = "none",
         verbose: bool = True,
+        buckets: int = 3,
     ):
         import jax.numpy as jnp
 
@@ -118,6 +119,14 @@ class ClassifierEngine:
 
         self.model_name = model
         self.batch_size = int(batch_size)
+        # compiled batch-shape buckets (batch_size, /2, /4, ...): a
+        # partially-filled collection window dispatches the smallest
+        # bucket that holds it instead of wasting device time on padding
+        # (the r2 batcher's fill=0.42 case burned 58% of device compute —
+        # BENCHMARKS.md "Persistent serving").  XLA compiles one
+        # executable per shape; warmup() pre-compiles all of them.
+        self.bucket_sizes = sorted({max(1, self.batch_size >> i)
+                                    for i in range(max(1, int(buckets)))})
         self.verbose = verbose
         self.class_names = list(CS_CLASSNAMES)
         self.label_names = dict(REASSIGN_LABEL_NAME_L3)
@@ -264,18 +273,19 @@ class ClassifierEngine:
     # -- runtime -----------------------------------------------------------
 
     def warmup(self) -> float:
-        """Compile + run one full padded batch; returns seconds taken."""
+        """Compile + run every bucket shape; returns seconds taken."""
         import jax.numpy as jnp
 
         t0 = time.perf_counter()
-        dummy = np.zeros(
-            (self.batch_size, self.decode_dim, self.decode_dim, 3), np.uint8)
-        np.asarray(self._classify(self._weights, jnp.asarray(dummy)))
+        for b in reversed(self.bucket_sizes):
+            dummy = np.zeros((b, self.decode_dim, self.decode_dim, 3),
+                             np.uint8)
+            np.asarray(self._classify(self._weights, jnp.asarray(dummy)))
         self._warm = True
         dt = time.perf_counter() - t0
         if self.verbose:
             print(f"[serving] warmup compile+run: {dt:.1f}s "
-                  f"(batch {self.batch_size} @ {self.resolution}px, "
+                  f"(buckets {self.bucket_sizes} @ {self.resolution}px, "
                   f"{self.model_name})")
         return dt
 
@@ -352,18 +362,29 @@ class ClassifierEngine:
         """
         import jax.numpy as jnp
 
-        if images_u8.shape != (self.batch_size, self.decode_dim,
-                               self.decode_dim, 3):
-            raise ValueError(f"expected {(self.batch_size, self.decode_dim, self.decode_dim, 3)}, "
-                             f"got {images_u8.shape}")
+        if (images_u8.shape[0] not in self.bucket_sizes
+                or images_u8.shape[1:] != (self.decode_dim,
+                                           self.decode_dim, 3)):
+            raise ValueError(
+                f"expected (b in {self.bucket_sizes}, {self.decode_dim}, "
+                f"{self.decode_dim}, 3), got {images_u8.shape}")
         return self._classify(self._weights, jnp.asarray(images_u8))
+
+    def bucket_for(self, n: int) -> int:
+        """Smallest compiled batch shape holding ``n`` rows (largest
+        bucket when n exceeds it — callers chunk at batch_size)."""
+        for b in self.bucket_sizes:
+            if n <= b:
+                return b
+        return self.bucket_sizes[-1]
 
     def classify_batch(self, images_u8: np.ndarray,
                        n_valid: Optional[int] = None) -> np.ndarray:
-        """Pad to the static batch, classify, return probs for valid rows."""
+        """Pad to the smallest bucket shape, classify, return valid rows."""
         n = len(images_u8) if n_valid is None else n_valid
-        if len(images_u8) < self.batch_size:
-            pad = np.zeros((self.batch_size - len(images_u8),
+        bucket = self.bucket_for(len(images_u8))
+        if len(images_u8) < bucket:
+            pad = np.zeros((bucket - len(images_u8),
                             self.decode_dim, self.decode_dim, 3), np.uint8)
             images_u8 = np.concatenate([images_u8, pad])
         return np.asarray(self.classify_dispatch(images_u8))[:n]
@@ -392,15 +413,17 @@ class ServerStats:
     images: int = 0
     batches: int = 0
     batch_fill: int = 0          # sum of valid rows over batches
+    batch_rows: int = 0          # sum of DISPATCHED rows (bucket sizes)
     decode_failures: int = 0
     started_at: float = field(default_factory=time.time)
     _lat: deque = field(default_factory=lambda: deque(maxlen=2048))
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
-    def record_batch(self, n_valid: int) -> None:
+    def record_batch(self, n_valid: int, bucket_rows: int = 0) -> None:
         with self._lock:
             self.batches += 1
             self.batch_fill += n_valid
+            self.batch_rows += bucket_rows
 
     def record_request(self, n_images: int) -> None:
         with self._lock:
@@ -414,8 +437,11 @@ class ServerStats:
     def snapshot(self, batch_size: int) -> dict:
         with self._lock:
             lat = sorted(self._lat)
-            fill = (self.batch_fill / (self.batches * batch_size)
-                    if self.batches else 0.0)
+            # fill vs the rows actually dispatched (bucket shapes);
+            # falls back to batches*batch_size for legacy callers that
+            # never passed bucket_rows
+            denom = self.batch_rows or self.batches * batch_size
+            fill = self.batch_fill / denom if denom else 0.0
             snap = {
                 "requests": self.requests,
                 "images": self.images,
@@ -497,7 +523,13 @@ class DynamicBatcher:
                     items.append(self._submit.get(timeout=remaining))
                 except queue.Empty:
                     break
-            batch = np.zeros((bs, self.engine.decode_dim,
+            # dispatch the smallest compiled bucket that holds the
+            # collected items — a 0.42-filled full batch wastes 58% of
+            # device time, while a half bucket costs ~half a step
+            # (getattr: single-shape engines/stubs without bucket_for)
+            bucket_for = getattr(self.engine, "bucket_for", None)
+            bucket = bucket_for(len(items)) if bucket_for else bs
+            batch = np.zeros((bucket, self.engine.decode_dim,
                               self.engine.decode_dim, 3), np.uint8)
             for i, (img, _) in enumerate(items):
                 batch[i] = img
@@ -507,7 +539,7 @@ class DynamicBatcher:
                 for _, fut in items:
                     fut.set_exception(e)
                 continue
-            self.stats.record_batch(len(items))
+            self.stats.record_batch(len(items), bucket)
             self._inflight.put((items, dev))
 
     def _fetch_loop(self) -> None:

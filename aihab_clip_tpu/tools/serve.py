@@ -37,7 +37,11 @@ def build_server(argv=None):
     p.add_argument("--port", type=int, default=8000,
                    help="0 = ephemeral (printed at startup)")
     p.add_argument("--batch_size", type=int, default=64,
-                   help="device batch (the ONE compiled shape)")
+                   help="largest device batch (bucket shapes compile at "
+                        "batch_size, /2, /4 — see --buckets)")
+    p.add_argument("--buckets", type=int, default=3,
+                   help="number of compiled batch-shape buckets "
+                        "(batch_size >> i); 1 = single shape (r2 behavior)")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="max time to hold a non-full batch for stragglers")
     p.add_argument("--topk", type=int, default=3)
@@ -57,7 +61,8 @@ def build_server(argv=None):
     enable_compilation_cache()
     engine = ClassifierEngine(
         model=args.model, batch_size=args.batch_size, flat=args.flat,
-        lora=args.lora, lora_alpha=args.lora_alpha, quantize=args.quantize)
+        lora=args.lora, lora_alpha=args.lora_alpha, quantize=args.quantize,
+        buckets=args.buckets)
     return PredictServer(
         engine, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, topk=args.topk,

@@ -95,6 +95,45 @@ def test_stats_snapshot():
     assert snap["latency_ms"]["p50"] == pytest.approx(10.0)
 
 
+def test_stats_snapshot_bucket_rows():
+    """Fill accounts against the DISPATCHED bucket rows, not the max
+    batch shape (shape-bucket batcher, r4)."""
+    s = ServerStats()
+    s.record_batch(3, bucket_rows=4)    # 3 valid in a 4-row bucket
+    s.record_batch(8, bucket_rows=8)    # full 8-row bucket
+    snap = s.snapshot(batch_size=16)
+    assert snap["mean_batch_fill"] == pytest.approx(11 / 12, abs=1e-3)
+
+
+def test_batcher_picks_smallest_bucket():
+    """A partial collection window dispatches the smallest bucket shape
+    that holds it (not the full batch)."""
+    class _BucketStub(_StubEngine):
+        batch_size = 8
+        bucket_sizes = [2, 4, 8]
+
+        def bucket_for(self, n):
+            for b in self.bucket_sizes:
+                if n <= b:
+                    return b
+            return self.bucket_sizes[-1]
+
+    eng = _BucketStub()
+    b = DynamicBatcher(eng, max_wait_ms=50.0)
+    b.start()
+    try:
+        imgs = [np.full((8, 8, 3), v, np.uint8) for v in (10, 20, 30)]
+        futs = [b.submit(im) for im in imgs]
+        res = [f.result(timeout=5) for f in futs]
+        for im, r in zip(imgs, res):
+            assert r[0] == pytest.approx(im.mean())
+        # 3 items never dispatch an 8-row batch: 4-row bucket (or a 2+2
+        # split across windows) only
+        assert all(len(batch) in (2, 4) for batch in eng.batches)
+    finally:
+        b.stop()
+
+
 # ---------------------------------------------------------------------------
 # end-to-end HTTP server over a real (random tiny) model
 

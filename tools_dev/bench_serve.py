@@ -59,6 +59,8 @@ def main():
     p.add_argument("--quantize", default="none", choices=["none", "int8"])
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--buckets", type=int, default=3,
+                   help="compiled batch-shape buckets (1 = r2 single shape)")
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--images", type=int, default=1024)
     p.add_argument("--request_images", type=int, default=16,
@@ -89,6 +91,7 @@ def main():
     blobs = make_jpegs(args.distinct, args.source_px)
 
     engine = ClassifierEngine(model=args.model, batch_size=args.batch_size,
+                              buckets=args.buckets,
                               quantize=args.quantize, flat=True)
     srv = PredictServer(engine, port=0, max_wait_ms=args.max_wait_ms,
                         verbose=False)
