@@ -65,8 +65,15 @@ def siglip_attn_groups(config: SigLIPConfig) -> int:
     """2 heads/program (the measured/VMEM-fitting grouping at SO400M);
     1 head/program for odd head counts (the grouping must divide heads —
     and falling back to a single UNSPLIT group would hand the kernel the
-    whole-tower working set this split exists to avoid)."""
+    whole-tower working set this split exists to avoid).
+    ``AIHAB_SIGLIP_HPG`` overrides heads-per-group for A/B (narrower
+    towers than SO400M may fit 4 heads/program)."""
+    import os
+
     heads = config.vision_heads
+    hpg = int(os.environ.get("AIHAB_SIGLIP_HPG", "0"))
+    if hpg > 0 and heads % hpg == 0:
+        return heads // hpg
     return heads // 2 if heads % 2 == 0 and heads >= 2 else heads
 
 

@@ -104,6 +104,40 @@ def _kernel_act(config) -> str:
     return act
 
 
+def _chained_int8_mlp(x2, fc, pr, ln_scale, ln_bias, *, act: str,
+                      n_ch: int, interpret: bool = False):
+    """Chained qout->q8in int8 MLP with optional hidden-dim chunking:
+    n_ch > 1 slices c_fc's columns / c_proj's rows so only one
+    <= ~8 MB weight slice is resident per kernel (ViT-bigG's 13 MB c_fc
+    exceeds the one-matrix budget at any row tile).  Partial c_proj
+    outputs accumulate through the q8in residual chain; the c_proj bias
+    is applied exactly once.  Bit-identical to n_ch=1 up to f32
+    accumulation order (tested)."""
+    from ..ops.quant_matmul import quant_matmul_fused_qout, quant_matmul_q8in
+
+    hidden = fc["w8"].shape[1]
+    if n_ch <= 1:
+        hdn8, hsc = quant_matmul_fused_qout(
+            x2, fc["w8"], fc["scale"], fc["bias"], ln_scale, ln_bias,
+            act=act, interpret=interpret)
+        return quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
+                                 pr["bias"], residual=x2,
+                                 interpret=interpret)
+    ch = hidden // n_ch
+    acc = x2
+    zero_b = jnp.zeros_like(pr["bias"])
+    for c in range(n_ch):
+        sl = slice(c * ch, (c + 1) * ch)
+        hdn8, hsc = quant_matmul_fused_qout(
+            x2, fc["w8"][:, sl], fc["scale"][sl], fc["bias"][sl],
+            ln_scale, ln_bias, act=act, interpret=interpret)
+        acc = quant_matmul_q8in(
+            hdn8, hsc, pr["w8"][sl, :], pr["scale"],
+            pr["bias"] if c == 0 else zero_b, residual=acc,
+            interpret=interpret)
+    return acc
+
+
 def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
                           *, start: int, stop: int,
                           interpret: bool = False) -> jax.Array:
@@ -208,20 +242,24 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
             # (ViT-g: 17.3 MB — measured scoped-vmem OOM at any row
             # tile, r3) take the chained qout->q8in pair: only ONE
             # weight matrix resident per kernel, the int8 hidden crosses
-            # HBM at 1 byte/elem
+            # HBM at 1 byte/elem.  ViT-bigG's single c_fc (13 MB int8)
+            # exceeds even the one-matrix budget — split the hidden dim
+            # into the fewest chunks whose c_fc slice fits (r4; the bf16
+            # chunk-ladder recipe), accumulating partial c_proj outputs
+            # through the q8in residual chain (bias applied once)
             from ..ops.quant_matmul import (
                 quant_matmul_fused_qout,
                 quant_matmul_q8in,
             )
 
             x2 = x.reshape(b * s, width)
-            hdn8, hsc = quant_matmul_fused_qout(
-                x2, fc["w8"], fc["scale"], fc["bias"],
-                blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                act=act, interpret=interpret)
-            x2 = quant_matmul_q8in(hdn8, hsc, pr["w8"], pr["scale"],
-                                   pr["bias"], residual=x2,
-                                   interpret=interpret)
+            n_ch = 1
+            while (width * hidden // n_ch > 8 * 2 ** 20
+                   and hidden % (n_ch * 2) == 0):
+                n_ch *= 2
+            x2 = _chained_int8_mlp(x2, fc, pr, blk["ln_2"]["scale"],
+                                   blk["ln_2"]["bias"], act=act,
+                                   n_ch=n_ch, interpret=interpret)
         x = x2.reshape(b, s, width)
     if not merge and s_pad != seq_len:
         x = x[:, :seq_len, :]

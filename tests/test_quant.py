@@ -176,6 +176,35 @@ def test_chained_int8_mlp_matches_unfused(rng):
     assert rel < 0.02, rel
 
 
+def test_chained_int8_mlp_hidden_chunked_matches_whole(rng):
+    """Hidden-dim-chunked chained pair (the ViT-bigG recipe: c_fc slices
+    small enough for the one-matrix VMEM budget) == the unchunked chain
+    up to f32 accumulation order and per-chunk requant rounding."""
+    from aihab_clip_tpu.models.quant_vit import _chained_int8_mlp
+
+    x = jnp.asarray(rng.standard_normal((70, 128)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    w18, w1s = quantize_weight(w1)
+    w28, w2s = quantize_weight(w2)
+    fc = {"w8": w18, "scale": w1s, "bias": b1}
+    pr = {"w8": w28, "scale": w2s, "bias": b2}
+
+    ref = np.asarray(_chained_int8_mlp(x, fc, pr, g, beta,
+                                       act="quick_gelu", n_ch=1,
+                                       interpret=True))
+    for n_ch in (2, 4):
+        out = np.asarray(_chained_int8_mlp(x, fc, pr, g, beta,
+                                           act="quick_gelu", n_ch=n_ch,
+                                           interpret=True))
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, (n_ch, rel)
+
+
 def test_whole_block_int8_mlp_matches_chained(rng):
     """One-kernel LN->c_fc->act->requant->c_proj->+residual equals the
     qout->q8in pair (same math, no HBM hop for the int8 hidden)."""

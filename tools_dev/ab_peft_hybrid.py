@@ -39,11 +39,14 @@ def main():
     argv = sys.argv[1:]
     siglip = False
     convnext = False
+    vit_tag = ""
     if "--model" in argv:
         i = argv.index("--model")
         convnext = argv[i + 1] == "convnext"
         siglip = ("tiny" if argv[i + 1] == "tiny-siglip"
                   else argv[i + 1] == "siglip")
+        vit_tag = {"vitl": "ViT-L/14", "vith": "ViT-H/14"}.get(argv[i + 1],
+                                                               "")
         del argv[i:i + 2]
     quant = "--quant" in argv
     scan = "--scan" in argv  # scan_blocks arm (SigLIP only)
@@ -72,6 +75,14 @@ def main():
     elif convnext:
         bundle = load("random:convnext_base_w", seed=0, dtype=jnp.bfloat16)
         n, bs, groups = 256, 64, 2
+    elif vit_tag:
+        # ViT-L/H PEFT training rows (VERDICT r3 item 7): init on host
+        # CPU (the fp32 master params next to Adam state + backward
+        # activations are tight on v5e HBM at H scale)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            bundle = load(f"random:{vit_tag}", seed=0, dtype=jnp.bfloat16)
+        n, bs, groups = (128, 32, 2) if vit_tag == "ViT-L/14" else \
+            (64, 16, 2)
     else:
         bundle = load("random:ViT-B/16", seed=0, dtype=jnp.bfloat16)
         n, bs, groups = 512, 64, 2
