@@ -62,19 +62,28 @@ def _ln(x, scale, bias, eps=LN_EPS):
 
 
 def siglip_attn_groups(config: SigLIPConfig) -> int:
-    """2 heads/program (the measured/VMEM-fitting grouping at SO400M);
-    1 head/program for odd head counts (the grouping must divide heads —
-    and falling back to a single UNSPLIT group would hand the kernel the
-    whole-tower working set this split exists to avoid).
-    ``AIHAB_SIGLIP_HPG`` overrides heads-per-group for A/B (narrower
-    towers than SO400M may fit 4 heads/program)."""
+    """Heads per program by tower width (r4 ladder, SigLIP-L-16-384 b32:
+    1/2/4/8/16 heads-per-group -> 325/380/390/396/396 img/s — wider
+    groups amortize the per-program LN/QKV work until VMEM pushes back):
+
+      * width <= 1024 (B/L towers): 8 heads/program
+      * wider (SO400M W=1152): 2 heads/program — 4+ is a measured
+        Mosaic compile failure at S=576 (r3, re-confirmed r4)
+
+    1 head/program for head counts the grouping does not divide (a
+    single UNSPLIT group would hand the kernel the whole-tower working
+    set this split exists to avoid).  ``AIHAB_SIGLIP_HPG`` overrides
+    for A/B."""
     import os
 
     heads = config.vision_heads
     hpg = int(os.environ.get("AIHAB_SIGLIP_HPG", "0"))
     if hpg > 0 and heads % hpg == 0:
         return heads // hpg
-    return heads // 2 if heads % 2 == 0 and heads >= 2 else heads
+    hpg = 8 if config.vision_width <= 1024 else 2
+    while hpg > 1 and heads % hpg:
+        hpg //= 2
+    return heads // hpg if heads % hpg == 0 else heads
 
 
 def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
