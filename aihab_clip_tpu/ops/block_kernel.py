@@ -342,16 +342,89 @@ def _mlp_train_bwd(interpret, tile_m, res, dy):
 _mlp_block_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
 
 
-def _erf_f32(x):
+def _erf_f32_rational(x):
     """f32 erf from exp only (Abramowitz & Stegun 7.1.26, |err| <= 1.5e-7
     — below bf16 resolution).  Mosaic has no erf/erfc lowering (probed on
     hardware, PERF_NOTES "ViT-H"), so exact-GELU towers could not enter
-    the fused kernels at all; this rational approximation unblocks them
+    the fused kernels at all; this rational approximation unblocked them
     with sub-f32-epsilon activation error."""
     t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return jnp.sign(x) * (1.0 - poly * jnp.exp(-x * x))
+
+
+# Degree-14 Chebyshev fit of erf(z)/z in u = 2 z^2 / B^2 - 1 on [0, B]
+# (coefficients in u-monomials, highest degree first for Horner).  Pure
+# FMA chain — no exp, no divide: the A&S rational costs TWO VPU
+# transcendentals per element, which dominates the fused-MLP kernels at
+# large-spatial/narrow-channel shapes (ConvNeXt stage 0: the [M, 4C]
+# activation tensor is 4x stage 2's element count while the GEMM time is
+# constant — PERF_NOTES "ConvNeXt erf").  f32-eval |err| <= 3.6e-7, same
+# class as the rational; for |z| >= B, erf(z) = sign(z) to 2.6e-7.
+_ERF_CHEB_B = 3.6
+_ERF_CHEB_COEF = (
+    0.0005088007148386333, -0.0011450745066218335, 0.0009553941424598827,
+    -0.0023067730846365714, 0.006732319810367243, -0.012240412571535311,
+    0.01987247702073693, -0.03221640230820943, 0.048739224765080275,
+    -0.0681169523377421, 0.08974328889946132, -0.11378428952616813,
+    0.14381484871790284, -0.19549081076627062, 0.3927120878848258,
+)
+
+
+def _erf_f32_cheb(x):
+    """f32 erf as a transcendental-free odd polynomial (see above)."""
+    ax = jnp.minimum(jnp.abs(x), _ERF_CHEB_B)
+    u = ax * ax * (2.0 / (_ERF_CHEB_B * _ERF_CHEB_B)) - 1.0
+    p = _ERF_CHEB_COEF[0]
+    for c in _ERF_CHEB_COEF[1:]:
+        p = p * u + c
+    return jnp.where(jnp.abs(x) < _ERF_CHEB_B, x * p, jnp.sign(x))
+
+
+def _erf_f32(x):
+    import os
+
+    if os.environ.get("AIHAB_ERF_IMPL") == "cheb":
+        return _erf_f32_cheb(x)
+    return _erf_f32_rational(x)
+
+
+# GELU(h) = h * sigmoid(f(h)) with f an odd degree-9 polynomial fitted so
+# sigmoid(f) matches Phi(h) (IRLS minimax on |h|*|err|): max GELU abs
+# error 3.4e-6 in f32, tails exact via the +-7.5 clamp (Phi(7.5) = 1 -
+# 3e-14).  WHY: the fused-MLP kernels are activation-VPU-bound at
+# large-spatial/narrow-channel shapes (ConvNeXt s0: act is ~2.3 of 3.0
+# ms/layer), and on this VPU the transcendentals (exp, divide, logistic)
+# are ~1-slot EUP ops — so VPU cost is OP COUNT, not transcendental
+# count.  Measured ladder at s0 (ab_convnext_tiles, r4): quick_gelu
+# (~4 slots) 1.98 ms, this form (~9 slots) expected ~2.2, A&S rational
+# (~14 slots) 3.03, deg-14 Chebyshev Horner (~20 slots) 3.38 — the
+# "transcendental-free" Chebyshev chain LOST to the rational it was
+# meant to beat.
+_GELU_SIG_COEF = (1.5956563, 0.07293758, -2.4972331e-4, -6.1162005e-5,
+                  2.2381639e-6)
+
+
+def _gelu_sig_f32(h):
+    hc = jnp.clip(h, -7.5, 7.5)
+    u = hc * hc
+    c1, c3, c5, c7, c9 = _GELU_SIG_COEF
+    f = hc * (c1 + u * (c3 + u * (c5 + u * (c7 + u * c9))))
+    return h * jax.nn.sigmoid(f)
+
+
+def gelu_fast_f32(h):
+    """In-kernel exact-GELU approximation (the 'gelu_poly' act).  Default
+    is the sigmoid-of-odd-poly form above; ``AIHAB_ERF_IMPL`` selects
+    ``rational`` (A&S 7.1.26, ~4.6e-7) or ``cheb`` (deg-14 Chebyshev,
+    ~3.6e-7) for A/B and as accuracy fallbacks."""
+    import os
+
+    impl = os.environ.get("AIHAB_ERF_IMPL", "sig")
+    if impl == "sig":
+        return _gelu_sig_f32(h)
+    return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
 
 
 def _act_f32(h, act: str):
@@ -362,8 +435,8 @@ def _act_f32(h, act: str):
     if act == "gelu":
         return jax.nn.gelu(h, approximate=False)
     if act == "gelu_poly":
-        # exact-erf GELU via the in-kernel erf approximation
-        return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
+        # exact-GELU via the in-kernel fast approximation (see above)
+        return gelu_fast_f32(h)
     raise ValueError(f"unknown activation {act!r}")
 
 

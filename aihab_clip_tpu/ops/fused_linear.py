@@ -53,9 +53,9 @@ def _act_f32(x, activation: Optional[str]):
     if activation == "gelu":
         return jax.nn.gelu(x, approximate=False)
     if activation == "gelu_poly":
-        from .block_kernel import _erf_f32
+        from .block_kernel import gelu_fast_f32
 
-        return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
+        return gelu_fast_f32(x)
     if activation is not None:
         raise ValueError(f"unknown activation '{activation}'")
     return x

@@ -35,9 +35,9 @@ def _apply_act(y, act: str):
     if act == "gelu":
         return jax.nn.gelu(y, approximate=False)
     if act == "gelu_poly":
-        from .block_kernel import _erf_f32
+        from .block_kernel import gelu_fast_f32
 
-        return 0.5 * y * (1.0 + _erf_f32(y * 0.7071067811865476))
+        return gelu_fast_f32(y)
     if act != "none":
         raise ValueError(f"unknown activation '{act}'")
     return y

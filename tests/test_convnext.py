@@ -279,24 +279,35 @@ def test_peft_pipeline_convnext(tmp_path):
 # ---------------------------------------------------------------------------
 
 class TestFusedEncode:
-    def test_erf_poly_accuracy(self):
-        from aihab_clip_tpu.ops.block_kernel import _erf_f32
+    @pytest.mark.parametrize("impl", ["cheb", "rational"])
+    def test_erf_poly_accuracy(self, impl):
+        from aihab_clip_tpu.ops import block_kernel as bk
 
         import scipy.special as sp
 
-        x = jnp.asarray(np.linspace(-6, 6, 4001), jnp.float32)
-        got = np.asarray(_erf_f32(x))
+        fn = {"cheb": bk._erf_f32_cheb, "rational": bk._erf_f32_rational}[impl]
+        x = jnp.asarray(np.linspace(-12, 12, 8001), jnp.float32)
+        got = np.asarray(fn(x))
         want = sp.erf(np.asarray(x, np.float64))
-        # A&S 7.1.26 is 1.5e-7 in f64; f32 evaluation rounds to ~4e-7
+        # cheb (deg-14 Chebyshev, no transcendentals) evals to ~3.6e-7 in
+        # f32; A&S 7.1.26 rounds to ~4.6e-7
         assert np.abs(got - want).max() <= 1e-6
 
-    def test_gelu_poly_matches_exact(self):
+    @pytest.mark.parametrize("impl,tol", [
+        ("sig", 1e-5),        # sigmoid-of-odd-poly default: 3.4e-6 f32
+        ("cheb", 1e-6),
+        ("rational", 1e-6),
+    ])
+    def test_gelu_poly_matches_exact(self, impl, tol, monkeypatch):
         from aihab_clip_tpu.ops.block_kernel import _act_f32
 
-        h = jnp.asarray(np.linspace(-8, 8, 2001), jnp.float32)
+        monkeypatch.setenv("AIHAB_ERF_IMPL", impl)
+        # wide range: the sig form must stay exact past its +-7.5 clamp
+        h = jnp.asarray(np.linspace(-30, 30, 8001), jnp.float32)
         got = np.asarray(_act_f32(h, "gelu_poly"))
-        want = np.asarray(jax.nn.gelu(h, approximate=False))
-        assert np.abs(got - want).max() <= 1e-6
+        want = np.asarray(jax.nn.gelu(
+            jnp.asarray(np.asarray(h, np.float64)), approximate=False))
+        assert np.abs(got - want).max() <= tol
 
     def test_mlp_block_kernel_parity(self, rng):
         from aihab_clip_tpu.ops.block_kernel import convnext_mlp_block

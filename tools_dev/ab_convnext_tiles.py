@@ -33,6 +33,10 @@ def main():
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--stages", default="0,1,2,3")
     p.add_argument("--tiles", default="0,128,256,512,1024")
+    p.add_argument("--acts", default="gelu_poly",
+                   help="comma list; 'gelu_poly:cheb'/'gelu_poly:rational' "
+                        "pin AIHAB_ERF_IMPL; 'quick_gelu' probes the "
+                        "1-transcendental VPU bound")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--peak_tflops", type=float, default=197.0)
@@ -46,11 +50,18 @@ def main():
     rng = np.random.default_rng(0)
     reps = args.reps
 
-    def timed(tile_m, weights, x, label):
+    def timed(tile_m, weights, x, label, act="gelu_poly"):
+        import os
+        if ":" in act:
+            act, erf_impl = act.split(":")
+            os.environ["AIHAB_ERF_IMPL"] = erf_impl
+        else:
+            os.environ.pop("AIHAB_ERF_IMPL", None)
+
         def one(weights, xx):
             for (ls, lb, w1, b1, w2, b2, g) in weights:
                 xx = convnext_mlp_block(xx, xx, ls, lb, w1, b1, w2, b2, g,
-                                        tile_m=tile_m)
+                                        tile_m=tile_m, act=act)
             return xx
 
         def loop(weights, x, n):
@@ -95,9 +106,10 @@ def main():
                 jnp.asarray(rng.standard_normal(dim) * 0.03, jnp.float32),
                 jnp.asarray(rng.standard_normal(dim) * 0.1, jnp.float32),
             ))
-        for t in map(int, args.tiles.split(",")):
-            label = f"tile_m={t or 'auto'}"
-            timed(t, weights, x, label)
+        for act in args.acts.split(","):
+            for t in map(int, args.tiles.split(",")):
+                label = f"act={act} tile_m={t or 'auto'}"
+                timed(t, weights, x, label, act=act)
 
 
 if __name__ == "__main__":
