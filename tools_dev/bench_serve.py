@@ -65,6 +65,10 @@ def main():
     p.add_argument("--images", type=int, default=1024)
     p.add_argument("--request_images", type=int, default=16,
                    help="images per JSON request")
+    p.add_argument("--request_mix", default="",
+                   help="comma list of request sizes to cycle (mixed-size "
+                        "workload, e.g. '32,4,16,8'); overrides "
+                        "--request_images")
     p.add_argument("--source_px", type=int, default=439,
                    help="synthetic source size (CS camera fixture = 439)")
     p.add_argument("--distinct", type=int, default=64,
@@ -99,21 +103,33 @@ def main():
     port = srv.server_port
     print(f"[bench_serve] server warm on :{port}", file=sys.stderr)
 
-    n_requests = args.images // args.request_images
+    if args.request_mix:
+        mix = [int(v) for v in args.request_mix.split(",")]
+        sizes = []
+        left = args.images
+        k = 0
+        while left > 0:
+            s = min(mix[k % len(mix)], left)
+            sizes.append(s)
+            left -= s
+            k += 1
+    else:
+        sizes = [args.request_images] * (args.images // args.request_images)
     payloads = []
+    pos = 0
     if args.wire == "binary":
         from aihab_clip_tpu.serving import encode_binary_batch
 
         raw = [base64.b64decode(b) for b in blobs]
-        for r in range(n_requests):
-            sel = [raw[(r * args.request_images + i) % len(raw)]
-                   for i in range(args.request_images)]
+        for s in sizes:
+            sel = [raw[(pos + i) % len(raw)] for i in range(s)]
+            pos += s
             payloads.append(encode_binary_batch(sel))
         content_type = "application/x-aihab-batch"
     else:
-        for r in range(n_requests):
-            sel = [blobs[(r * args.request_images + i) % len(blobs)]
-                   for i in range(args.request_images)]
+        for s in sizes:
+            sel = [blobs[(pos + i) % len(blobs)] for i in range(s)]
+            pos += s
             payloads.append(json.dumps({"images_b64": sel}))
         content_type = "application/json"
 
@@ -148,7 +164,8 @@ def main():
         "quantize": args.quantize,
         "batch_size": args.batch_size,
         "clients": args.clients,
-        "request_images": args.request_images,
+        "request_images": args.request_mix or args.request_images,
+        "buckets": args.buckets,
         "source_px": args.source_px,
         "images": total,
         "wall_s": round(dt, 2),
