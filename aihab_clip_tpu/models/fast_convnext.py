@@ -9,8 +9,10 @@ canonical lowering (stem / downsample / depthwise — conv is XLA's home
 turf) and routes every block's LN -> fc1 -> exact-GELU -> fc2 -> gamma
 -> residual through ONE Pallas kernel per row tile
 (`ops/block_kernel.convnext_mlp_block`), holding the hidden in VMEM.
-Exact-erf GELU is computed in-kernel via the f32 rational approximation
-(`_erf_f32`, |err| <= 1.5e-7) because Mosaic has no erf lowering.
+Exact GELU is computed in-kernel via the fast f32 approximation
+(`block_kernel.gelu_fast_f32` — default sigmoid-of-odd-poly, |err| <=
+3.4e-6; `AIHAB_ERF_IMPL=rational|cheb` restores the erf forms) because
+Mosaic has no erf lowering.
 
 Forward-only, parity-tested against the canonical Flax tower
 (`tests/test_convnext.py::TestFusedEncode`); training keeps the module.

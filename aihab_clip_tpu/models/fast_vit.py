@@ -419,10 +419,11 @@ def _fused_block_plan(config: CLIPConfig, dtype, merge_blocks: str = "auto"):
     pair_bytes = 2 * (width * hidden * jnp.dtype(dtype).itemsize)
     # exact-erf 'gelu' (LAION towers) cannot lower inside Mosaic kernels
     # (no erf/erfc primitive — probed on hardware).  Since r3 the kernels
-    # compute it as 'gelu_poly' (`block_kernel._erf_f32`, A&S rational +
-    # exp, ~4e-7 activation error — below bf16 resolution), so gelu
-    # towers ride the full fused dispatch; AIHAB_NO_GELU_POLY=1 restores
-    # the old XLA-MLP fallback (A/B + emergency opt-out).
+    # compute it as 'gelu_poly' (`block_kernel.gelu_fast_f32` — default
+    # sigmoid-of-odd-poly since r4, ~3.4e-6 activation error, below bf16
+    # resolution; AIHAB_ERF_IMPL restores the erf forms), so gelu towers
+    # ride the full fused dispatch; AIHAB_NO_GELU_POLY=1 restores the
+    # old XLA-MLP fallback (A/B + emergency opt-out).
     import os
 
     gelu_poly = (config.act == "gelu"

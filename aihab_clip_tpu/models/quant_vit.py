@@ -92,9 +92,10 @@ def quantize_vit_params(params: Dict, config: CLIPConfig) -> Dict:
 
 
 def _kernel_act(config) -> str:
-    """Kernel-side activation for this tower: exact-erf 'gelu' maps to
-    the in-kernel rational approximation (Mosaic has no erf lowering;
-    `ops/block_kernel._erf_f32`, ~4e-7 error); AIHAB_NO_GELU_POLY=1
+    """Kernel-side activation for this tower: exact 'gelu' maps to the
+    in-kernel fast approximation (Mosaic has no erf lowering;
+    `ops/block_kernel.gelu_fast_f32` — default sig form, ~3.4e-6 error,
+    `AIHAB_ERF_IMPL` selects the erf variants); AIHAB_NO_GELU_POLY=1
     restores the XLA fallback."""
     import os
 
@@ -183,12 +184,30 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
     # and is bit-identical math to the two-kernel pair — prefer it
     hidden = qblocks[f"resblocks_{start}"]["mlp/c_fc"]["w8"].shape[1]
     s_pad16 = ((s + 15) // 16) * 16
+    # short-sequence towers (ViT-B/32: S_pad=64) run G images per merged
+    # program so the int8 GEMMs fill the M tile — the bf16 merge's G=8
+    # recipe (r4) applied to the int8 path (r5 ladder:
+    # tools_dev/ab_vitb32.py --int8); AIHAB_INT8_FULL_BLOCK_G overrides
+    import os
+
+    full_g = 8 if s_pad16 <= 64 else 1
+    if os.environ.get("AIHAB_INT8_FULL_BLOCK_G"):
+        full_g = int(os.environ["AIHAB_INT8_FULL_BLOCK_G"])
     est = ((4 * width * width + 2 * width * hidden)      # int8 weights
-           + s_pad16 * 3 * width * 4                     # qkv f32
-           + 3 * s_pad16 * width * 4                     # x/y1/out f32
-           + s_pad16 * hidden * 4                        # hidden f32
+           + full_g * (s_pad16 * 3 * width * 4           # qkv f32
+                       + 3 * s_pad16 * width * 4         # x/y1/out f32
+                       + s_pad16 * hidden * 4)           # hidden f32
            + s_pad16 * s_pad16 * 4)                      # score matrix
     merge = not attn_split and est <= 15 * 2 ** 20
+    if not merge and full_g > 1:
+        # re-gate at G=1 before giving up on the merge entirely
+        est1 = ((4 * width * width + 2 * width * hidden)
+                + s_pad16 * 3 * width * 4
+                + 3 * s_pad16 * width * 4
+                + s_pad16 * hidden * 4
+                + s_pad16 * s_pad16 * 4)
+        if not attn_split and est1 <= 15 * 2 ** 20:
+            merge, full_g = True, 1
 
     # two-kernel towers keep the sequence padded across every kernel
     # boundary (pad once / slice once) — see fast_vit._apply_fused_blocks
@@ -210,7 +229,8 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
                 fc["w8"], fc["scale"], fc["bias"],
                 pr["w8"], pr["scale"], pr["bias"],
                 blk["ln_2"]["scale"], blk["ln_2"]["bias"],
-                heads, mlp_chunks=1, act=act, interpret=interpret)
+                heads, mlp_chunks=1, act=act, interpret=interpret,
+                images_per_program=full_g)
             continue
         if attn_split:
             n_groups = (heads // 2 if heads % 2 == 0 and heads >= 2

@@ -382,10 +382,33 @@ def _erf_f32_cheb(x):
     return jnp.where(jnp.abs(x) < _ERF_CHEB_B, x * p, jnp.sign(x))
 
 
-def _erf_f32(x):
+_ERF_IMPLS = ("sig", "sig5", "rational", "cheb")
+
+
+def _erf_impl() -> str:
+    """Read + validate ``AIHAB_ERF_IMPL`` (default ``sig5`` since r5:
+    the deg-5 sigmoid-poly form measured fastest at every ConvNeXt stage
+    — s0 2.35 vs 2.51 ms/layer, e2e base_w A/B/A 52.9/54.1/53.5 — and
+    its 5.3e-5 max GELU error is ~75x below bf16 resolution; every
+    parity gate in tests/ passes under it).
+
+    The value is read at TRACE time: set it before the first jit of any
+    gelu_poly consumer — changing it after a function is compiled in this
+    process has no effect (the compiled kernel is cached).  Unknown
+    values raise instead of silently falling through to the rational
+    path (ADVICE r4)."""
     import os
 
-    if os.environ.get("AIHAB_ERF_IMPL") == "cheb":
+    impl = os.environ.get("AIHAB_ERF_IMPL", "sig5")
+    if impl not in _ERF_IMPLS:
+        raise ValueError(
+            f"AIHAB_ERF_IMPL={impl!r} is not one of {_ERF_IMPLS} "
+            "(note: read at trace time — set before the first compile)")
+    return impl
+
+
+def _erf_f32(x):
+    if _erf_impl() == "cheb":
         return _erf_f32_cheb(x)
     return _erf_f32_rational(x)
 
@@ -405,6 +428,16 @@ def _erf_f32(x):
 _GELU_SIG_COEF = (1.5956563, 0.07293758, -2.4972331e-4, -6.1162005e-5,
                   2.2381639e-6)
 
+# Odd deg-5 variant (r5): two fewer FMA slots than the deg-9 form for a
+# still-far-below-bf16 error — max GELU |err| 5.3e-5 f32 (vs deg-9's
+# 3.4e-6; bf16 abs resolution at O(1) activations is ~4e-3, so both are
+# invisible through bf16 towers).  IRLS-minimax fit of logistic(f) to
+# Phi weighted by h*Phi*(1-Phi); tails via the +-7.5 clamp (f(7.5) ~ 27
+# so sigmoid saturates to ~1e-12; the negative c5 flips f's sign past
+# |h|~11, so the clamp IS load-bearing — any value in [5, 10] gives the
+# same 5.3e-5 bound, the fit error inside the range).
+_GELU_SIG5_COEF = (1.5953873, 0.07364605, -6.3791875e-4)
+
 
 def _gelu_sig_f32(h):
     hc = jnp.clip(h, -7.5, 7.5)
@@ -414,16 +447,28 @@ def _gelu_sig_f32(h):
     return h * jax.nn.sigmoid(f)
 
 
+def _gelu_sig5_f32(h):
+    hc = jnp.clip(h, -7.5, 7.5)
+    u = hc * hc
+    c1, c3, c5 = _GELU_SIG5_COEF
+    f = hc * (c1 + u * (c3 + u * c5))
+    return h * jax.nn.sigmoid(f)
+
+
 def gelu_fast_f32(h):
     """In-kernel exact-GELU approximation (the 'gelu_poly' act).  Default
-    is the sigmoid-of-odd-poly form above; ``AIHAB_ERF_IMPL`` selects
-    ``rational`` (A&S 7.1.26, ~4.6e-7) or ``cheb`` (deg-14 Chebyshev,
-    ~3.6e-7) for A/B and as accuracy fallbacks."""
-    import os
-
-    impl = os.environ.get("AIHAB_ERF_IMPL", "sig")
+    is the deg-5 sigmoid-of-odd-poly form (~7 VPU slots, |err| <= 5.3e-5
+    — r5, fastest measured at every ConvNeXt stage); ``AIHAB_ERF_IMPL``
+    selects ``sig`` (deg-9, 3.4e-6), ``rational`` (A&S 7.1.26, ~4.6e-7)
+    or ``cheb`` (deg-14 Chebyshev, ~3.6e-7) for A/B and as accuracy
+    fallbacks — all far below bf16 resolution.  The env var is read at
+    TRACE time and validated by ``_erf_impl`` — set it before the first
+    compile in the process."""
+    impl = _erf_impl()
     if impl == "sig":
         return _gelu_sig_f32(h)
+    if impl == "sig5":
+        return _gelu_sig5_f32(h)
     return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
 
 
@@ -651,8 +696,8 @@ def convnext_mlp_block(y, residual, ln_scale, ln_bias, w1, b1, w2, b2,
     The ConvNeXt MLP measured HBM-bound through XLA (17-34% effective
     MFU, BENCHMARKS.md "ConvNeXt-CLIP encode"): the [tokens, 4C] hidden
     round-trips HBM per block.  This is the ViT ``mlp_block_fused``
-    structure with ConvNeXt's quirks — eps-1e-6 LN, exact-erf GELU (via
-    ``_erf_f32``; Mosaic has no erf), layer-scale gamma, and a residual
+    structure with ConvNeXt's quirks — eps-1e-6 LN, exact GELU (via
+    ``gelu_fast_f32``; Mosaic has no erf), layer-scale gamma, and a residual
     stream DISTINCT from the LN input.  Wide stages whose weight pair
     exceeds the one-kernel budget split the hidden dim across sequential
     kernels (the ``mlp_block_split`` recipe — gamma distributes over the

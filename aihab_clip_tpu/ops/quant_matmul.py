@@ -704,16 +704,21 @@ def _full_block_kernel_int8(x_ref, ln1_s_ref, ln1_b_ref, wqkv8_ref, sqkv_ref,
                             seq_len: int, mlp_chunks: int, act: str,
                             ln_eps: float = 1e-5):
     """The whole transformer block — int8 attention half + int8 MLP half —
-    in one program per image.  The int8 weight set is about half the bf16
-    one (~7 MB at ViT-B), which is what makes the merged kernel fit where
-    the bf16 merge is VMEM-borderline.  Versus the two-kernel int8
-    dispatch this removes the inter-half [B, S, W] HBM round-trip and the
-    pipeline drain between the calls."""
+    in one program per image GROUP.  The int8 weight set is about half
+    the bf16 one (~7 MB at ViT-B), which is what makes the merged kernel
+    fit where the bf16 merge is VMEM-borderline.  Versus the two-kernel
+    int8 dispatch this removes the inter-half [B, S, W] HBM round-trip
+    and the pipeline drain between the calls.  Blocks x/o are
+    [G, S_pad, W] (r5): short-sequence towers (ViT-B/32: S_pad=64) run G
+    images per program so the int8 GEMMs see G*S_pad rows instead of an
+    under-filled 64-row M tile — the same tile-fill win the bf16 merge
+    measured (+12% at G=8, PERF_NOTES r4); per-row quantize scales are
+    row-local, so the math is G-invariant."""
     import math as _math
 
-    s_pad, width = x_ref.shape[1], x_ref.shape[2]
+    n_img, s_pad, width = x_ref.shape
     head_dim = width // heads
-    x = x_ref[0].astype(jnp.float32)                     # [S, W]
+    x = x_ref[:].astype(jnp.float32).reshape(n_img * s_pad, width)
 
     # ---- attention half (per-row quantized activations, int8 GEMMs)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -731,23 +736,28 @@ def _full_block_kernel_int8(x_ref, ln1_s_ref, ln1_b_ref, wqkv8_ref, sqkv_ref,
     scale = 1.0 / _math.sqrt(head_dim)
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     key_ok = col < seq_len
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * head_dim:(h + 1) * head_dim] * scale
-        k = qkv[:, width + h * head_dim:width + (h + 1) * head_dim]
-        v = qkv[:, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
-        s = jax.lax.dot_general(q.astype(jnp.bfloat16),
-                                k.astype(jnp.bfloat16),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(key_ok, s, jnp.float32(-1e30))
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot(p.astype(jnp.bfloat16),
-                                v.astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32))
-    attn = jnp.concatenate(outs, axis=-1)                # [S, W] f32
+    imgs = []
+    for gi in range(n_img):
+        qkv_g = qkv[gi * s_pad:(gi + 1) * s_pad]
+        outs = []
+        for h in range(heads):
+            q = qkv_g[:, h * head_dim:(h + 1) * head_dim] * scale
+            k = qkv_g[:, width + h * head_dim:width + (h + 1) * head_dim]
+            v = qkv_g[:, 2 * width + h * head_dim:
+                      2 * width + (h + 1) * head_dim]
+            s = jax.lax.dot_general(q.astype(jnp.bfloat16),
+                                    k.astype(jnp.bfloat16),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(key_ok, s, jnp.float32(-1e30))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot(p.astype(jnp.bfloat16),
+                                    v.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32))
+        imgs.append(jnp.concatenate(outs, axis=-1))      # [S, W] f32
+    attn = imgs[0] if n_img == 1 else jnp.concatenate(imgs, axis=0)
     aamax = jnp.max(jnp.abs(attn), axis=-1, keepdims=True)
     sa = jnp.maximum(aamax, 1e-12) * (1.0 / 127.0)
     a8 = jnp.clip(jnp.round(attn / sa), -127, 127).astype(jnp.int8)
@@ -778,7 +788,7 @@ def _full_block_kernel_int8(x_ref, ln1_s_ref, ln1_b_ref, wqkv8_ref, sqkv_ref,
         pacc = jax.lax.dot(h8, w2_ref[c * ch:(c + 1) * ch, :],
                            preferred_element_type=jnp.int32)  # [S, W]
         out = out + pacc.astype(jnp.float32) * (hs * s2_ref[:][None, :])
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(n_img, s_pad, width).astype(o_ref.dtype)
 
 
 def quant_full_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
@@ -786,8 +796,11 @@ def quant_full_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
                            w2_8, w2_scale, b2, ln2_scale, ln2_bias,
                            heads: int, *, mlp_chunks: int = 1,
                            act: str = "quick_gelu",
-                           interpret: bool = False):
-    """x: [B, S, W] -> one full int8 transformer block per grid program.
+                           interpret: bool = False,
+                           images_per_program: int = 1):
+    """x: [B, S, W] -> one full int8 transformer block per grid program
+    (group of ``images_per_program`` images — see the kernel docstring;
+    falls back to the largest power-of-two divisor of the batch).
 
     NOTE the per-chunk hidden quantization: with ``mlp_chunks > 1`` each
     hidden slice gets its own per-row scale, which is numerically at
@@ -795,6 +808,9 @@ def quant_full_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
     b, s, w = x.shape
     hidden = w1_8.shape[1]
     assert hidden % mlp_chunks == 0, (hidden, mlp_chunks)
+    g = images_per_program if images_per_program > 0 else 1
+    while g > 1 and b % g:
+        g //= 2
     s_pad = ((s + 15) // 16) * 16
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -802,9 +818,9 @@ def quant_full_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
         partial(_full_block_kernel_int8, heads=heads, seq_len=s,
                 mlp_chunks=mlp_chunks, act=act),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, w), x.dtype),
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -826,7 +842,7 @@ def quant_full_block_fused(x, wqkv8, qkv_scale, b_qkv, wout8, out_scale,
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_pad, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, s_pad, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, jnp.asarray(ln1_scale, jnp.float32),

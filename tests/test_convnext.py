@@ -295,6 +295,7 @@ class TestFusedEncode:
 
     @pytest.mark.parametrize("impl,tol", [
         ("sig", 1e-5),        # sigmoid-of-odd-poly default: 3.4e-6 f32
+        ("sig5", 1e-4),       # deg-5 form: 5.3e-5 f32 (r5, 2 fewer slots)
         ("cheb", 1e-6),
         ("rational", 1e-6),
     ])

@@ -430,3 +430,18 @@ def test_int8_full_block_matches_two_kernel_dispatch(rng):
     rf, of = ref.reshape(-1), out2.reshape(-1)
     cos = float(rf @ of / (np.linalg.norm(rf) * np.linalg.norm(of)))
     assert cos > 0.999, cos
+
+    # multi-image grouped programs (r5): per-row quantize scales are
+    # row-local, so G>1 must be bit-identical to G=1
+    out_g2 = np.asarray(quant_full_block_fused(
+        x, q8, qs, bqkv, o8, osc, bout, g1, be1, w18, w1s, bfc,
+        w28, w2s, bpr, g2, be2, heads, mlp_chunks=1, interpret=True,
+        images_per_program=2))
+    np.testing.assert_allclose(out_g2, out1, atol=1e-6, rtol=1e-6)
+
+    # a non-divisor G falls back to the largest power-of-two divisor
+    out_g8 = np.asarray(quant_full_block_fused(
+        x, q8, qs, bqkv, o8, osc, bout, g1, be1, w18, w1s, bfc,
+        w28, w2s, bpr, g2, be2, heads, mlp_chunks=1, interpret=True,
+        images_per_program=8))
+    np.testing.assert_allclose(out_g8, out1, atol=1e-6, rtol=1e-6)

@@ -16,6 +16,17 @@ DISTINCT weights, so per-layer weight traffic is realistic):
           sensible where S = H*W is small (stage 2: 256, stage 3: 64).
   shift   sum of 49 statically-shifted multiplies on a padded buffer
           (pure XLA elementwise — tests whether XLA fuses the taps)
+  blockmat  r5: BLOCK-banded A.  With the 3-row zero pad made explicit
+          on x, the banded matrix is TRANSLATION-INVARIANT across
+          output-row blocks: ONE shared A [C, (Rb+6)*sp, Rb*sp] serves
+          every block of Rb output rows (vs the dense [C, S, S] —
+          stage2@320: 16 MB vs 164 MB, the exact traffic that made the
+          dense form LOSE there, PERF_NOTES r4).  x is restacked into
+          overlapping row windows [B, P, (Rb+6)*sp, C] ((Rb+6)/Rb x
+          activation traffic) and the whole thing is one batched einsum.
+  blockslc  same A, but per-block einsums on slices of x_pad (no
+          materialized window stack — probes whether XLA fuses the
+          overlapping slices into the GEMM reads).
 
 Each arm checks parity vs the `xla` arm before timing.  Chained
 fori_loop methodology (DEV_NOTES.md).
@@ -61,6 +72,27 @@ def build_dw_matrix(kernel: np.ndarray, sp: int) -> np.ndarray:
     return a
 
 
+def build_dw_block_matrix(kernel: np.ndarray, sp: int, rb: int) -> np.ndarray:
+    """[7,7,1,C] HWIO depthwise kernel -> SHARED block-banded A
+    [C, (rb+6)*sp, rb*sp].  Callers pad x with 3 zero rows top+bottom;
+    block p of rb output rows then reads padded input rows
+    [p*rb, p*rb + rb + 6) and A is identical for every p (translation
+    invariance in the row index).  Column zero padding stays encoded in
+    the band structure (edge columns have fewer taps) — exact math."""
+    k = np.asarray(kernel, np.float32)[:, :, 0, :]          # [7, 7, C]
+    kh, kw, c = k.shape
+    a = np.zeros((c, (rb + kh - 1) * sp, rb * sp), np.float32)
+    for r_o in range(rb):
+        for dy in range(kh):
+            r_i = r_o + dy
+            for j_o in range(sp):
+                for dx in range(kw):
+                    j_i = j_o + dx - kw // 2
+                    if 0 <= j_i < sp:
+                        a[:, r_i * sp + j_i, r_o * sp + j_o] = k[dy, dx]
+    return a
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
@@ -71,6 +103,8 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--reps", type=int, default=8,
                    help="distinct dw layers per timed stack")
+    p.add_argument("--rb", type=int, default=4,
+                   help="output rows per block for the blockmat arms")
     args = p.parse_args()
 
     from aihab_clip_tpu.utils.profiling import enable_compilation_cache
@@ -157,7 +191,11 @@ def main():
             log(f"  nchw parity max|d|={np.abs(got - ref1).max():.2e}")
             timed(stack_nchw, w_xla, xc, "nchw (NCHW-resident)")
 
-        if "mat" in args.arms and ss <= 1200:
+        # the 537 MB stage-1 dense A (s=1024) oversizes even the ARG
+        # payload of the remote compile (HTTP 413) — cap the arm at
+        # shapes whose A stack ships
+        if "mat" in args.arms and ss <= 1200 \
+                and dim * ss * ss * 2 <= 256 * 2 ** 20:
             amats = [jnp.asarray(build_dw_matrix(k, sp), jnp.bfloat16)
                      for k in kerns]
             log(f"  A matrices: {reps} x {amats[0].size * 2 / 1e6:.0f} MB "
@@ -181,6 +219,52 @@ def main():
             log(f"  mat parity max|d|={err:.2e} (ref max "
                 f"{np.abs(ref1).max():.1f})")
             arms["mat"] = (stack_mat, list(zip(amats, biases_j)))
+
+        rb = args.rb
+        if ("blockmat" in args.arms or "blockslc" in args.arms) \
+                and sp % rb == 0:
+            nblk = sp // rb
+            bmats = [jnp.asarray(build_dw_block_matrix(k, sp, rb),
+                                 jnp.bfloat16) for k in kerns]
+            log(f"  shared block A: {reps} x {bmats[0].size * 2 / 1e6:.1f}"
+                f" MB bf16 (rb={rb}, {nblk} blocks; dense would be "
+                f"{dim * ss * ss * 2 / 1e6:.0f} MB)")
+
+            def dw1_bmat(xx, a, b):
+                b_ = xx.shape[0]
+                xp = jnp.pad(xx, ((0, 0), (3, 3), (0, 0), (0, 0)))
+                win = jnp.stack(
+                    [xp[:, p * rb:p * rb + rb + 6] for p in range(nblk)],
+                    axis=1)                      # [B, P, rb+6, sp, C]
+                win = win.reshape(b_, nblk, (rb + 6) * sp, dim)
+                out = jnp.einsum("bpic,cit->bptc", win, a)
+                return (out.reshape(b_, sp, sp, dim) + b)
+
+            def dw1_bslc(xx, a, b):
+                b_ = xx.shape[0]
+                xp = jnp.pad(xx, ((0, 0), (3, 3), (0, 0), (0, 0)))
+                outs = []
+                for p_ in range(nblk):
+                    w = xp[:, p_ * rb:p_ * rb + rb + 6].reshape(
+                        b_, (rb + 6) * sp, dim)
+                    outs.append(jnp.einsum("bic,cit->btc", w, a))
+                out = jnp.concatenate(outs, axis=1)
+                return (out.reshape(b_, sp, sp, dim) + b)
+
+            for name, f1 in (("blockmat", dw1_bmat), ("blockslc", dw1_bslc)):
+                if name not in args.arms:
+                    continue
+                got = np.asarray(
+                    jax.jit(lambda xx, f1=f1: f1(xx, bmats[0], biases_j[0]))(x)
+                    .astype(jnp.float32))
+                log(f"  {name} parity max|d|={np.abs(got - ref1).max():.2e}")
+
+                def stack(weights, xx, f1=f1):
+                    for a, b in weights:
+                        xx = f1(xx, a, b)
+                    return xx
+
+                arms[name] = (stack, list(zip(bmats, biases_j)))
 
         if "shift" in args.arms:
 

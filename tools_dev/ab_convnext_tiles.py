@@ -40,6 +40,11 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--peak_tflops", type=float, default=197.0)
+    p.add_argument("--chunks", default="0",
+                   help="comma list of n_chunks values (r5: probes "
+                        "whether hidden-dim chunking lets Mosaic overlap "
+                        "the act VPU work of chunk i with chunk i+1's "
+                        "GEMM; 0 = auto)")
     args = p.parse_args()
 
     from aihab_clip_tpu.ops.block_kernel import convnext_mlp_block
@@ -50,7 +55,7 @@ def main():
     rng = np.random.default_rng(0)
     reps = args.reps
 
-    def timed(tile_m, weights, x, label, act="gelu_poly"):
+    def timed(tile_m, weights, x, label, act="gelu_poly", n_chunks=0):
         import os
         if ":" in act:
             act, erf_impl = act.split(":")
@@ -61,7 +66,8 @@ def main():
         def one(weights, xx):
             for (ls, lb, w1, b1, w2, b2, g) in weights:
                 xx = convnext_mlp_block(xx, xx, ls, lb, w1, b1, w2, b2, g,
-                                        tile_m=tile_m, act=act)
+                                        tile_m=tile_m, act=act,
+                                        n_chunks=n_chunks)
             return xx
 
         def loop(weights, x, n):
@@ -108,8 +114,10 @@ def main():
             ))
         for act in args.acts.split(","):
             for t in map(int, args.tiles.split(",")):
-                label = f"act={act} tile_m={t or 'auto'}"
-                timed(t, weights, x, label, act=act)
+                for ch in map(int, args.chunks.split(",")):
+                    label = (f"act={act} tile_m={t or 'auto'}"
+                             + (f" chunks={ch}" if ch else ""))
+                    timed(t, weights, x, label, act=act, n_chunks=ch)
 
 
 if __name__ == "__main__":

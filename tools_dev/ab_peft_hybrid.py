@@ -40,6 +40,7 @@ def main():
     siglip = False
     convnext = False
     vit_tag = ""
+    any_tag = ""
     if "--model" in argv:
         i = argv.index("--model")
         convnext = argv[i + 1] == "convnext"
@@ -48,6 +49,24 @@ def main():
         vit_tag = {"vitl": "ViT-L/14", "vith": "ViT-H/14"}.get(argv[i + 1],
                                                                "")
         del argv[i:i + 2]
+    if "--tag" in argv:
+        # arbitrary zoo tag (r5: SigLIP-L / convnext_large_d / xxlarge
+        # PEFT training rows, VERDICT item 7).  Pair with --bs/--groups.
+        i = argv.index("--tag")
+        any_tag = argv[i + 1]
+        del argv[i:i + 2]
+
+    def int_flag(name, default):
+        if name in argv:
+            i = argv.index(name)
+            v = int(argv[i + 1])
+            del argv[i:i + 2]
+            return v
+        return default
+
+    flag_bs = int_flag("--bs", 0)
+    flag_groups = int_flag("--groups", 0)
+    flag_n = int_flag("--n", 0)
     quant = "--quant" in argv
     scan = "--scan" in argv  # scan_blocks arm (SigLIP only)
     skip_canonical = "--skip-canonical" in argv
@@ -83,10 +102,22 @@ def main():
             bundle = load(f"random:{vit_tag}", seed=0, dtype=jnp.bfloat16)
         n, bs, groups = (128, 32, 2) if vit_tag == "ViT-L/14" else \
             (64, 16, 2)
+    elif any_tag:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            bundle = load(f"random:{any_tag}", seed=0, dtype=jnp.bfloat16)
+        n, bs, groups = 128, 16, 2
+        siglip = "SigLIP" in any_tag or "siglip" in any_tag
     else:
         bundle = load("random:ViT-B/16", seed=0, dtype=jnp.bfloat16)
         n, bs, groups = 512, 64, 2
     model, params, config = bundle.model, bundle.params, bundle.config
+    if flag_bs:
+        bs = flag_bs
+    if flag_groups:
+        groups = flag_groups
+    n = flag_n or n
+    n = max(n, bs)
+    n -= n % bs
     is_cnx = getattr(config, "vision_tower", "") == "convnext"
     n_blocks = sum(config.vision_layers) if is_cnx else config.vision_layers
     prefix = n_blocks + 1 - groups

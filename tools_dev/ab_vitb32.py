@@ -44,6 +44,10 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--two_kernel", action="store_true",
                    help="also run the merge_blocks='off' arm")
+    p.add_argument("--int8", action="store_true",
+                   help="run the int8 merged-kernel G ladder instead "
+                        "(AIHAB_INT8_FULL_BLOCK_G per arm; r5 VERDICT "
+                        "item 5)")
     p.add_argument("--peak_tflops", type=float, default=197.0)
     args = p.parse_args()
 
@@ -58,6 +62,57 @@ def main():
                   param_dtype=jnp.bfloat16, seed=0)
     params, config = bundle.params, bundle.config
     res = config.image_resolution
+
+    if args.int8:
+        from aihab_clip_tpu.models import quant_vit
+
+        qparams = jax.jit(
+            lambda p: quant_vit.quantize_vit_params(p, config))(params)
+
+        def encode_int8(qp, x):
+            # G comes from AIHAB_INT8_FULL_BLOCK_G, read at trace time —
+            # each arm traces its own (n, g)-static bench_n
+            _, feats = quant_vit.vit_encode_int8(qp, x, config,
+                                                 project=True)
+            return feats
+
+        @partial(jax.jit, static_argnames=("n", "g"))
+        def bench_int8(qp, images_u8, n, g):
+            def body(i, acc):
+                x = eval_transform(images_u8 ^ i.astype(jnp.uint8), res,
+                                   dtype=jnp.bfloat16)
+                return acc + jnp.sum(encode_int8(qp, x).astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        rng = np.random.default_rng(0)
+        import os
+
+        for bs in map(int, args.batches.split(",")):
+            imgs = jnp.asarray(rng.integers(0, 256, size=(bs, res, res, 3),
+                                            dtype=np.uint8))
+            print(f"int8 batch {bs}:", flush=True)
+            for g in map(int, args.gs.split(",")):
+                os.environ["AIHAB_INT8_FULL_BLOCK_G"] = str(g)
+                label = f"int8 G={g}"
+                try:
+                    t0 = time.perf_counter()
+                    float(bench_int8(qparams, imgs, 2, g))
+                    log(f"  {label}: short compile+run "
+                        f"{time.perf_counter() - t0:.0f}s")
+                    float(bench_int8(qparams, imgs, 2 + args.iters, g))
+                    t0 = time.perf_counter()
+                    float(bench_int8(qparams, imgs, 2 + args.iters, g))
+                    t_long = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    float(bench_int8(qparams, imgs, 2, g))
+                    t_short = time.perf_counter() - t0
+                    per_iter = (t_long - t_short) / args.iters
+                    print(f"  {label}: {per_iter * 1e3:.1f} ms/iter, "
+                          f"{bs / per_iter:,.0f} img/s", flush=True)
+                except Exception as e:
+                    print(f"  {label}: FAILED ({type(e).__name__}: "
+                          f"{str(e)[:120]})", flush=True)
+        return
 
     def encode(params, x, g: int, merge: str):
         plan = fast_vit._fused_block_plan(config, jnp.bfloat16, merge)

@@ -164,7 +164,11 @@ def main():
         "quantize": args.quantize,
         "batch_size": args.batch_size,
         "clients": args.clients,
-        "request_images": args.request_mix or args.request_images,
+        # keep request_images an int (None when a mix drives the sizes)
+        # and emit the mix under its own key — downstream scripts parse
+        # request_images numerically (ADVICE r4)
+        "request_images": None if args.request_mix else args.request_images,
+        "request_mix": args.request_mix or None,
         "buckets": args.buckets,
         "source_px": args.source_px,
         "images": total,
