@@ -185,12 +185,16 @@ def apply_int8_vit_blocks(qblocks: Dict, x: jax.Array, config: CLIPConfig,
     hidden = qblocks[f"resblocks_{start}"]["mlp/c_fc"]["w8"].shape[1]
     s_pad16 = ((s + 15) // 16) * 16
     # short-sequence towers (ViT-B/32: S_pad=64) run G images per merged
-    # program so the int8 GEMMs fill the M tile — the bf16 merge's G=8
-    # recipe (r4) applied to the int8 path (r5 ladder:
-    # tools_dev/ab_vitb32.py --int8); AIHAB_INT8_FULL_BLOCK_G overrides
+    # program so the int8 GEMMs fill the M tile.  r5 ladder
+    # (tools_dev/ab_vitb32.py --int8, b256 e2e): G=1/2/4/8/16 ->
+    # 10,279/11,499/12,664/10,397/9,927 img/s — G=4 is the knee (the
+    # int8 path's per-row quantize VPU passes scale with G*S rows and
+    # overtake the M-fill win past 4; bf16's knee is 8).  Still loses to
+    # bf16 G=8 (14,160) — int8 B/32 remains the density option only.
+    # AIHAB_INT8_FULL_BLOCK_G overrides for A/B.
     import os
 
-    full_g = 8 if s_pad16 <= 64 else 1
+    full_g = 4 if s_pad16 <= 64 else 1
     if os.environ.get("AIHAB_INT8_FULL_BLOCK_G"):
         full_g = int(os.environ["AIHAB_INT8_FULL_BLOCK_G"])
     est = ((4 * width * width + 2 * width * hidden)      # int8 weights

@@ -37,6 +37,9 @@ def main():
                                            make_epoch_scan, partition_params)
 
     argv = sys.argv[1:]
+    if "--cpu" in argv:                 # parity/plumbing smoke off-TPU
+        argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
     siglip = False
     convnext = False
     vit_tag = ""
