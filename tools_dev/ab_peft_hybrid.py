@@ -142,11 +142,17 @@ def main():
                            config.transformer_layers, unlocked_groups=groups,
                            tower="convnext" if is_cnx else "")
     trainable0, frozen = partition_params(params, mask)
-    if siglip:
-        # image-only step (tune_text off): the frozen text tower + 256k-row
-        # token embedding (~1.2 GB fp32) never participate — drop them so
-        # the SO400M A/B fits v5e HBM next to Adam state + activations
+    if siglip or vit_tag or any_tag:
+        # image-only step (tune_text off): the frozen text tower never
+        # participates — drop it so big towers fit v5e HBM next to Adam
+        # state + activations (SO400M's 256k-row token embedding alone
+        # is ~1.2 GB fp32)
         frozen = {k: v for k, v in frozen.items() if k != "text"}
+    if siglip or vit_tag or any_tag:
+        # host-CPU-inited bundles MUST move the frozen tree onto the
+        # device once, up front — leaving it on the CPU backend re-ships
+        # the whole tree through the tunnel every step (measured: ViT-L
+        # canonical 5,701 ms/step before this device_put, r5)
         dev = jax.devices()[0]
         frozen = jax.device_put(frozen, dev)
     trainable0_host = jax.tree.map(np.asarray, trainable0)
