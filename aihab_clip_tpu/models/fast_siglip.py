@@ -61,12 +61,16 @@ def _ln(x, scale, bias, eps=LN_EPS):
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def siglip_attn_groups(config: SigLIPConfig) -> int:
+def siglip_attn_groups(config: SigLIPConfig, hybrid: bool = False) -> int:
     """Heads per program by tower width (r4 ladder, SigLIP-L-16-384 b32:
     1/2/4/8/16 heads-per-group -> 325/380/390/396/396 img/s — wider
     groups amortize the per-program LN/QKV work until VMEM pushes back):
 
-      * width <= 1024 (B/L towers): 8 heads/program
+      * width <= 1024 (B/L towers): 8 heads/program (encode); the PEFT
+        hybrid prefix caps at 4 — inside the train step the jvp-wrapped
+        kernel's scoped VMEM measured 17.09M > the 16M limit at 8 hpg
+        (SigLIP-L b16@384 compile failure, r5), and the encode ladder
+        priced 4 hpg at only ~1.5% (390 vs 396 img/s)
       * wider (SO400M W=1152): 2 heads/program — 4+ is a measured
         Mosaic compile failure at S=576 (r3, re-confirmed r4)
 
@@ -80,7 +84,7 @@ def siglip_attn_groups(config: SigLIPConfig) -> int:
     hpg = int(os.environ.get("AIHAB_SIGLIP_HPG", "0"))
     if hpg > 0 and heads % hpg == 0:
         return heads // hpg
-    hpg = 8 if config.vision_width <= 1024 else 2
+    hpg = (4 if hybrid else 8) if config.vision_width <= 1024 else 2
     while hpg > 1 and heads % hpg:
         hpg //= 2
     return heads // hpg if heads % hpg == 0 else heads
@@ -88,14 +92,16 @@ def siglip_attn_groups(config: SigLIPConfig) -> int:
 
 def pack_siglip_fast_params(params: Dict, config: SigLIPConfig,
                             dtype=jnp.bfloat16, *, start: int = 0,
-                            stop: Optional[int] = None) -> Dict:
+                            stop: Optional[int] = None,
+                            hybrid: bool = False) -> Dict:
     """One-time regrouping of the separate q/k/v projections into
     per-head-group tensors for the split whole-block attention kernel.
     Done at load time so the packing never re-runs inside the jitted
     encode; pass the result through a JIT ARGUMENT (arrays only — safe
     to trace).  ``start``/``stop`` restrict packing to a block range
-    (the PEFT hybrid packs only its frozen prefix)."""
-    n_groups = siglip_attn_groups(config)
+    (the PEFT hybrid packs only its frozen prefix; ``hybrid`` selects
+    its more conservative head grouping — see siglip_attn_groups)."""
+    n_groups = siglip_attn_groups(config, hybrid)
     vp = params["visual"]
     packed: Dict = {}
     for i in range(start, config.vision_layers if stop is None else stop):
@@ -160,7 +166,10 @@ def _apply_fused_siglip_blocks(vp, packed, x, config: SigLIPConfig, dtype,
     Pallas dispatch (forward-only)."""
     heads = config.vision_heads
     width = config.vision_width
-    n_groups = siglip_attn_groups(config)
+    # grouping comes from the PACKED tensors (leading axis = n_groups),
+    # so pack-time and apply-time can never disagree (r5: the hybrid
+    # prefix packs a different grouping than encode)
+    n_groups = int(packed[f"resblocks_{start}"]["wqkv_g"].shape[0])
     mlp_chunks = _siglip_mlp_chunks(config, dtype)
     b, s, _ = x.shape
     for i in range(start, stop):
@@ -357,7 +366,8 @@ def siglip_encode_hybrid(params: Dict, images: jax.Array,
 
             def prefix_fn(w, xs):
                 packed = pack_siglip_fast_params({"visual": w}, config,
-                                                 dtype, stop=n_prefix)
+                                                 dtype, stop=n_prefix,
+                                                 hybrid=True)
                 return _apply_fused_siglip_blocks(
                     w, packed, xs, config, dtype, start=0, stop=n_prefix,
                     interpret=interpret)

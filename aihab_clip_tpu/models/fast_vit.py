@@ -647,16 +647,25 @@ def peft_fused_prefix_len(config, unlocked_groups: int, mesh=None,
             return 0
     if isinstance(config, CLIPConfig) and \
             getattr(config, "vision_tower", "") == "convnext":
-        # MEASURED NEGATIVE in-step (r3, ab_peft_hybrid --model convnext:
-        # hybrid 74.9 vs canonical 60.9/64.0 ms/step at base_w b64,
-        # groups=2) — the fused prefix that wins 1.65x on ENCODE loses
-        # inside the scanned train step, the same in-context inversion
-        # PERF_NOTES records for the int8 SigLIP MLP.  Auto keeps the
-        # canonical module; finetune.fused_prefix > 0 still opts in
-        # (convnext_encode_hybrid, parity-tested).
-        return 0
+        # REVERSED r5 (median-of-3 A/B/A, ab_peft_hybrid): under the
+        # sig5-GELU fused kernels the hybrid now WINS across the family
+        # — base_w b64 49.7 vs 76.2/76.3 ms/step (+53%), large_d b32
+        # 33.5 vs 54.2/54.7 (+62%), xxlarge b16 53.5 vs 69-81.  (The r3
+        # negative — hybrid 74.9 vs 60.9 at base_w — predates the
+        # banded-dw and sig-GELU kernel generations.)  Auto dispatches
+        # the ConvNeXt hybrid; finetune.fused_prefix 0 opts out.
+        L = sum(config.vision_layers)
+        return max(0, min(L, L + 1 - unlocked_groups))
     if not (isinstance(config, (CLIPConfig, SigLIPConfig))
             and config.is_vit):
+        return 0
+    if isinstance(config, SigLIPConfig) and config.vision_width <= 1024:
+        # SigLIP-L-16-384 measured the hybrid a wash-to-negative (r5
+        # median-of-3: 131.1 vs 103.2-116.9 ms/step at b16, groups=11)
+        # — the SO400M win (+7%, r2) does not transfer to the narrower
+        # tower, whose prefix also needs the conservative 4-hpg
+        # grouping.  Auto keeps the canonical module; explicit
+        # finetune.fused_prefix > 0 still opts in.
         return 0
     L = config.vision_layers
     return max(0, min(L, L + 1 - unlocked_groups))

@@ -150,6 +150,9 @@ def apply_int8_siglip_blocks(qblocks: Dict, x: jax.Array,
                 g = blk["attn/qkv_g"]
                 wg, sg, bg, og = (g["w8_g"], g["scale_g"], g["bias_g"],
                                   g["out_g"])
+                # the stored grouping wins: the hybrid prefix quantizes
+                # with a more conservative hpg than encode (r5)
+                n_groups = int(wg.shape[0])
             else:  # fallback: regroup in place (per call — avoid; pass
                 # heads/n_groups to quantize_siglip_block instead)
                 wg, sg, bg, og = regroup_attn_weights(

@@ -287,9 +287,11 @@ def _quantize_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
 
         def qblock(b):
             # pass the grouping so the head-group regroup happens HERE
-            # (once per run), not inside every train step
-            return quantize_siglip_block(b, model.config.vision_heads,
-                                         siglip_attn_groups(model.config))
+            # (once per run), not inside every train step; hybrid=True
+            # selects the train-prefix grouping (4 hpg cap, r5)
+            return quantize_siglip_block(
+                b, model.config.vision_heads,
+                siglip_attn_groups(model.config, hybrid=True))
     else:
         from ..models.quant_vit import quantize_vit_block as qblock
     blocks = frozen["visual"]["transformer"]
@@ -312,7 +314,7 @@ def _pack_prefix(model: CLIPModel, cfg: "PEFTConfig", frozen):
     from ..models.fast_siglip import pack_siglip_fast_params
 
     return pack_siglip_fast_params(frozen, model.config, cfg.compute_dtype,
-                                   stop=cfg.fused_prefix)
+                                   stop=cfg.fused_prefix, hybrid=True)
 
 
 def _encode_projected(model: CLIPModel, cfg: "PEFTConfig", params, x,

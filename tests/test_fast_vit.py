@@ -224,12 +224,30 @@ def test_peft_fused_prefix_len_siglip(monkeypatch):
     from aihab_clip_tpu.models import fast_vit
     from aihab_clip_tpu.models.siglip import SIGLIP_ARCHS
 
-    cfg = SIGLIP_ARCHS["SigLIP-Tiny"]  # L=2
+    cfg = SIGLIP_ARCHS["SigLIP-Tiny"]  # L=2, narrow
     assert fast_vit.peft_fused_prefix_len(cfg, 1) == 0  # non-TPU
     monkeypatch.setattr(fast_vit, "dispatch_backend", lambda: "tpu")
-    assert fast_vit.peft_fused_prefix_len(cfg, 1) == 2  # head only
-    assert fast_vit.peft_fused_prefix_len(cfg, 2) == 1
-    assert fast_vit.peft_fused_prefix_len(cfg, 4) == 0
+    # narrow SigLIP towers (W <= 1024) keep the canonical module under
+    # auto — SigLIP-L measured the hybrid a wash-to-negative (r5);
+    # explicit finetune.fused_prefix > 0 still opts in
+    assert fast_vit.peft_fused_prefix_len(cfg, 1) == 0
+    wide = SIGLIP_ARCHS["ViT-SO400M-16-SigLIP2-384"]  # W=1152: hybrid on
+    assert fast_vit.peft_fused_prefix_len(wide, 11) == \
+        wide.vision_layers + 1 - 11
+    assert fast_vit.peft_fused_prefix_len(wide, wide.vision_layers + 2) == 0
+
+
+def test_peft_fused_prefix_len_convnext(monkeypatch):
+    """r5: the ConvNeXt hybrid dispatches under auto (median-of-3 A/B/A
+    reversed the r3 negative: base_w +53%, large_d +62%, xxlarge wins)."""
+    from aihab_clip_tpu.models import fast_vit
+    from aihab_clip_tpu.models.clip import CLIP_ARCHS
+
+    cfg = CLIP_ARCHS["convnext_base_w"]
+    monkeypatch.setattr(fast_vit, "dispatch_backend", lambda: "tpu")
+    total = sum(cfg.vision_layers)
+    assert fast_vit.peft_fused_prefix_len(cfg, 2) == total - 1
+    assert fast_vit.peft_fused_prefix_len(cfg, total + 2) == 0
 
 
 def test_hybrid_quant_prefix_forward_and_grads(bundle, rng):

@@ -197,14 +197,27 @@ def main():
         log(f"  {tag}: compile+first epoch {time.perf_counter() - t0:.0f}s")
         run(e_short)  # warm both chain lengths
         run(e_long)
-        t0 = time.perf_counter()
-        run(e_short)
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(e_long)
-        tl = time.perf_counter() - t0
-        ms = (tl - ts) / ((e_long - e_short) * steps) * 1e3
-        log(f"  {tag}: {ms:.1f} ms/step -> {bs / ms * 1e3:,.0f} img/s")
+        # MEDIAN-OF-3 differenced windows: the shared tunnel/device shows
+        # multi-x step-time swings between identical compiled arms
+        # (PERF_NOTES "Measurement variance warning", re-confirmed r5:
+        # 120 vs 40 ms/step back-to-back at SigLIP-L) — single samples
+        # at big-model configs are meaningless.  Median, not min: with
+        # DIFFERENCED windows contention on the short chain biases the
+        # estimate LOW, so min() would select the artifact.
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(e_short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(e_long)
+            tl = time.perf_counter() - t0
+            ms = (tl - ts) / ((e_long - e_short) * steps) * 1e3
+            log(f"    window: {ms:.1f} ms/step")
+            windows.append(ms)
+        ms = sorted(windows)[1]
+        log(f"  {tag}: {ms:.1f} ms/step -> {bs / ms * 1e3:,.0f} img/s "
+            "(median of 3)")
         results[tag] = round(ms, 2)
     print(results)
 
