@@ -76,8 +76,11 @@ def bench_components(args, bundle):
 
     names = ["preprocess", "stem", "stage1", "stage2", "stage3", "stage4",
              "attnpool"]
-    times = []
+    times, flops = [], []
     for upto in range(7):
+        cost = (jax.jit(run_to, static_argnames="upto")
+                .lower(folded, imgs, upto=upto).compile().cost_analysis())
+        flops.append(float(cost.get("flops", 0.0)) if cost else 0.0)
         float(bench_n(folded, imgs, 2, upto))
         float(bench_n(folded, imgs, 2 + args.iters, upto))
         t0 = time.perf_counter()
@@ -88,8 +91,12 @@ def bench_components(args, bundle):
         t_short = time.perf_counter() - t0
         times.append((t_long - t_short) / args.iters * 1e3)
         delta = times[-1] - (times[-2] if upto else 0.0)
+        dflops = flops[-1] - (flops[-2] if upto else 0.0)
+        mfu = (dflops / (delta * 1e-3) / (args.peak_tflops * 1e12)
+               if delta > 0 else float("nan"))
         print(f"  through {names[upto]}: {times[-1]:.1f} ms "
-              f"(+{delta:.1f})", flush=True)
+              f"(+{delta:.1f}, {dflops / 1e9:.0f} GF, "
+              f"stage MFU {mfu:.1%})", flush=True)
 
 
 def main():
